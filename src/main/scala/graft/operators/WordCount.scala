@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's one query (SURVEY.md §0), generalized to any text
+  * source/column:
+  *
+  * {{{
+  * SELECT word, COUNT(*) AS cnt
+  * FROM   tokenize(:input)       -- maximal [A-Za-z0-9]+ runs
+  * GROUP  BY word
+  * ORDER  BY word ASC            -- bytewise; ASCII tokens => binary orderBy
+  * }}}
+  *
+  * Physical shape (by construction, verified via explain):
+  * FileScan -> WSCG[Generate(split+explode)+Filter+PartialHashAgg]
+  *   -> Exchange(hash word) -> FinalHashAgg -> Exchange(range) -> Sort.
+  * The reference's shared concurrent hash map (/root/reference/src/chash.c:
+  * 100-153) becomes the shuffle between partial and final aggregation; its
+  * thread-range boundary realignment (main.c:202-229) is the text source's
+  * line-record splitting. Scales by partition count with no shared state.
+  */
+object WordCount {
+
+  /** word,cnt counts of a string column of `df`, ordered bytewise by word. */
+  def counts(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(Text.tokens(textCol)).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Reference parity: counts for a text file at `path`.
+    *
+    * `minPartitions` maps the reference's `num_threads` CLI knob onto
+    * Spark's split planning; output is partition-count invariant
+    * (SURVEY §1.4 determinism).
+    */
+  def fromFile(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    val lines =
+      if (minPartitions > 0)
+        spark.createDataset(spark.sparkContext.textFile(path, minPartitions))(
+          org.apache.spark.sql.Encoders.STRING).toDF("value")
+      else spark.read.text(path)
+    counts(lines, col("value"))
+  }
+
+  /** Reference output format: one `word=cnt` line per row (main.c:172-174). */
+  def formatted(counts: DataFrame): Dataset[String] = {
+    val spark = counts.sparkSession
+    counts.select(concat(col("word"), lit("="), col("cnt")).as("line"))
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+  }
+}
+
+/** CLI with the reference's argument/error surface (SURVEY §1.5):
+  * `run <filename> <num_threads>`; all diagnostics to stdout; exit 1 on
+  * misuse/unreadable/empty input; empty RESULT (separator-only file) is
+  * success with no output lines. Divergence (deliberate, SURVEY §1.6):
+  * a word at the file's last byte is counted, not dropped.
+  */
+object WordCountCli {
+
+  /** C `strtol(s, 10)` semantics: optional sign, leading digits, trailing
+    * garbage ignored; no digits -> 0 (main.c:60-66 then rejects <= 0).
+    */
+  def strtol(s: String): Long = {
+    val t = s.trim
+    val m = "^([+-]?\\d+)".r.findFirstIn(t)
+    m.map(_.toLong).getOrElse(0L)
+  }
+
+  /** Returns process exit code; prints to stdout like the reference. */
+  def run(args: Array[String], spark: () => SparkSession): Int = {
+    if (args.length != 2) {
+      println("Usage: wordcount <filename> <num_partitions>")
+      return 1
+    }
+    val n = strtol(args(1))
+    if (n <= 0) {
+      println(s"Error: num_partitions must be a positive integer, got '${args(1)}'")
+      return 1
+    }
+    val f = new java.io.File(args(0))
+    if (!f.isFile || !f.canRead) {
+      println(s"Error: cannot open file '${args(0)}'")
+      return 1
+    }
+    if (f.length() == 0) {
+      println(s"Error: file '${args(0)}' does not contain any valid text data")
+      return 1
+    }
+    // Reference clamps num_threads to file size (main.c:120-124); partitions
+    // beyond one byte each are equally meaningless, so mirror the clamp.
+    val parts = math.min(n, f.length()).toInt
+    val s = spark()
+    WordCount.formatted(WordCount.fromFile(s, args(0), parts))
+      .collect()
+      .foreach(println)
+    0
+  }
+
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args, () => graft.Engine.session()))
+}

@@ -1,0 +1,580 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2 "extended" column):
+  * aggregation, joins (broadcast/semi/anti/outer), windows, rollup/cube/
+  * grouping sets, distinct agg, top-k, set ops, string/date/math/json/
+  * array scalar families, stats/percentiles.
+  *
+  * All plans are declarative DataFrame API so Catalyst does pushdown,
+  * pruning, and join selection. Small dimensions (region/nation/supplier)
+  * are `broadcast()`-hinted — at 100 TB those stay KB-sized while fact
+  * tables shuffle; big-big joins are left to AQE (sort-merge + skew split).
+  *
+  * Cross-engine determinism strategy (driver hash-compares vs DuckDB):
+  *  - 2-decimal money columns are converted to exact integer cents
+  *    (`round(x*100)::long` — x*100 is within 1e-9 of an integer, so both
+  *    engines agree) and aggregated in integer space: sums are exact,
+  *    independent of accumulation order, and identical across engines;
+  *    final `/100.0` divisions of identical longs give identical doubles.
+  *  - Row-level float expressions are left unrounded: same input bits +
+  *    same IEEE ops = same output bits in any engine.
+  *  - Genuinely order-sensitive float aggregates (stddev) use
+  *    `floor(x*10^s + 0.5)/10^s` spelled identically in both engines —
+  *    plain IEEE arithmetic, no engine-specific tie-break mode.
+  *  - Every query ends in a total ORDER BY over exact-valued columns.
+  */
+object Relational extends QueryModule {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  /** Exact integer cents of a 2-decimal money double. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact integer percent of a 2-decimal fraction (e.g. l_discount). */
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+
+  /** Tie-mode-free rounding: identical IEEE ops in Spark and DuckDB. */
+  private def rnd(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + 0.5) / p
+  }
+
+  /** Per-lineitem discounted revenue in exact 1e-4 currency units. */
+  private val revUnits: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- TPC-H Q1-style pricing summary: scan + filter + hash agg ---------
+    "q1_agg" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          (sum(revUnits) / 10000.0).as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          (sum(pct(col("l_discount"))) / 100.0 / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // -- filter + projection with computed column (pushdown check) --------
+    "q2_filter" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05 &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // -- TPC-H Q3-style: 3-way join + agg + top-k -------------------------
+    "q3_topk_join" -> ((s, d) => {
+      val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = ord(s, d).filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      val l = li(s, d).filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg((sum(revUnits) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // -- TPC-H Q5-style: 6-way join, broadcast dims, agg by nation --------
+    "q5_multijoin" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val c = cust(s, d)
+      val o = ord(s, d).filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      val l = li(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((sum(revUnits) / 10000.0).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // -- left semi join (EXISTS) ------------------------------------------
+    "q_semi_join" -> ((s, d) => {
+      val o96 = ord(s, d).filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey"))
+      cust(s, d)
+        .join(o96, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- left anti join (NOT EXISTS) --------------------------------------
+    "q_anti_join" -> ((s, d) => {
+      val highVal = ord(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      cust(s, d)
+        .join(highVal, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- left outer join + zero-preserving agg ----------------------------
+    "q_outer_join" -> ((s, d) => {
+      val o = ord(s, d)
+      cust(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          (coalesce(sum(cents(col("o_totalprice"))), lit(0L)) / 100.0).as("total_spend"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- window: ranking (top-3 orders per customer) ----------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // -- window: analytic frame (running total per customer) --------------
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(cents(col("o_totalprice"))).over(w) / 100.0).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // -- window: lag (days between consecutive orders) --------------------
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w))
+            .cast("long").as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // -- rollup -----------------------------------------------------------
+    "q_rollup" -> ((s, d) =>
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")),
+
+    // -- cube -------------------------------------------------------------
+    "q_cube" -> ((s, d) =>
+      ord(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))) / 100.0 / count(lit(1))).as("avg_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("avg_price"))
+        .orderBy("status", "priority")),
+
+    // -- grouping sets (SQL surface) --------------------------------------
+    "q_grouping_sets" -> ((s, d) => {
+      ord(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(1) AS n
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    }),
+
+    // -- distinct aggregation ---------------------------------------------
+    "q_distinct_agg" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // -- top-k (TakeOrderedAndProject) ------------------------------------
+    "q_topk" -> ((s, d) =>
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // -- set ops: union / intersect / except ------------------------------
+    "q_setops" -> ((s, d) => {
+      val c = cust(s, d)
+      val build = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val u = build.union(rich).distinct().withColumn("op", lit("union"))
+      val i = build.intersect(rich).withColumn("op", lit("intersect"))
+      val e = build.except(rich).withColumn("op", lit("except"))
+      u.union(i).union(e)
+        .groupBy("op").agg(count(lit(1)).as("n"),
+          sum("c_custkey").as("key_sum"))
+        .orderBy("op")
+    }),
+
+    // -- string function family -------------------------------------------
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          lower(col("p_type")).as("type_lower"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devowel"),
+          trim(lpad(col("p_brand"), 12, " ")).as("brand_trim"),
+          when(col("p_name").contains("red"), lit(1L)).otherwise(lit(0L)).as("has_red"))
+        .orderBy("p_partkey")),
+
+    // -- date/time function family ----------------------------------------
+    "q_date_funcs" -> ((s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ymd"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy("o_orderkey")),
+
+    // -- date agg: orders per month ---------------------------------------
+    "q_date_agg" -> ((s, d) =>
+      ord(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+        .orderBy("ym")),
+
+    // -- math function family ---------------------------------------------
+    "q_math_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).cast("long").as("size_dev"),
+          ceil(col("p_retailprice") / 100).cast("long").as("price_bucket"),
+          floor(col("p_retailprice") / 100).cast("long").as("price_floor"),
+          rnd(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+          pow(col("p_size"), 2).as("size_sq"),
+          rnd(log(col("p_retailprice")), 4).as("price_ln"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod7"))
+        .orderBy("p_partkey")),
+
+    // -- JSON scalar functions (events.props) -----------------------------
+    "q_json_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // -- JSON + agg: distribution of extracted key by event type ----------
+    "q_json_agg" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          (sum(k) / count(lit(1))).as("avg_k"),
+          max(k).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // -- array scalar functions (embeddings.embedding) --------------------
+    "q_array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          rnd(aggregate(col("embedding"),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 3).as("vec_sum"),
+          rnd(aggregate(col("embedding"),
+            lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")), 3).as("sq_norm"))
+        .orderBy("vec_id")),
+
+    // -- statistical aggregates + exact median ----------------------------
+    "q_stats_agg" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          (sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1))).as("avg_price"),
+          rnd(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS sum_disc_price,
+             avg(l_quantity) AS avg_qty,
+             sum(round(l_discount * 100)::BIGINT) / 100.0 / count(1) AS avg_disc,
+             count(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q2_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             l_extendedprice * (1 - l_discount) AS net_price
+      FROM lineitem
+      WHERE l_quantity > 45 AND l_discount >= 0.05
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_topk_join" -> """
+      SELECT l_orderkey,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q5_multijoin" -> """
+      SELECT n_name,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q_semi_join" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')
+      ORDER BY c_custkey""",
+
+    "q_anti_join" -> """
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""",
+
+    "q_outer_join" -> """
+      SELECT c_custkey,
+             count(o_orderkey) AS n_orders,
+             coalesce(sum(round(o_totalprice * 100)::BIGINT), 0) / 100.0 AS total_spend
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+
+    "q_window_rank" -> """
+      SELECT o_custkey, rk, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk""",
+
+    "q_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             sum(round(o_totalprice * 100)::BIGINT) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q_window_lag" -> """
+      SELECT o_custkey, o_orderkey,
+             date_diff('day',
+               lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS days_since_prev
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(1) AS n, sum(l_quantity) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
+
+    "q_cube" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(1) AS n,
+             sum(round(o_totalprice * 100)::BIGINT) / 100.0 / count(1) AS avg_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "q_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(1) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""",
+
+    "q_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part,
+             count(1) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_topk" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""",
+
+    "q_setops" -> """
+      WITH build AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+           u AS (SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM build UNION SELECT c_custkey FROM rich)),
+           i AS (SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM build INTERSECT SELECT c_custkey FROM rich)),
+           e AS (SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM build EXCEPT SELECT c_custkey FROM rich))
+      SELECT op, count(1) AS n, sum(c_custkey)::BIGINT AS key_sum
+      FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
+      GROUP BY op
+      ORDER BY op""",
+
+    "q_string_funcs" -> """
+      SELECT p_partkey,
+             upper(p_brand) AS brand_upper,
+             lower(p_type) AS type_lower,
+             substring(p_name, 1, 8) AS name_prefix,
+             length(p_name) AS name_len,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+             trim(lpad(p_brand, 12, ' ')) AS brand_trim,
+             (CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END)::BIGINT AS has_red
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mo,
+             EXTRACT(day FROM o_orderdate) AS dom,
+             strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    "q_date_agg" -> """
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+             count(1) AS n,
+             sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY ym""",
+
+    "q_math_funcs" -> """
+      SELECT p_partkey,
+             abs(p_size - 25)::BIGINT AS size_dev,
+             ceil(p_retailprice / 100)::BIGINT AS price_bucket,
+             floor(p_retailprice / 100)::BIGINT AS price_floor,
+             floor(sqrt(p_retailprice) * 10000.0 + 0.5) / 10000.0 AS price_sqrt,
+             pow(p_size, 2) AS size_sq,
+             floor(ln(p_retailprice) * 10000.0 + 0.5) / 10000.0 AS price_ln,
+             p_partkey % 7 AS key_mod7
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q_json_funcs" -> """
+      SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+      FROM events
+      ORDER BY event_id""",
+
+    "q_json_agg" -> """
+      SELECT event_type,
+             sum(json_extract_string(props, '$.k')::BIGINT) / count(1) AS avg_k,
+             max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+             count(1) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "q_array_funcs" -> """
+      SELECT vec_id,
+             len(embedding) AS dim,
+             embedding[1]::DOUBLE AS first_val,
+             floor(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum')
+                   * 1000.0 + 0.5) / 1000.0 AS vec_sum,
+             floor(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')
+                   * 1000.0 + 0.5) / 1000.0 AS sq_norm
+      FROM embeddings
+      ORDER BY vec_id""",
+
+    "q_stats_agg" -> """
+      SELECT l_returnflag,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             sum(round(l_extendedprice * 100)::BIGINT) / 100.0 / count(1) AS avg_price,
+             floor(stddev_samp(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sd_price,
+             quantile_cont(l_quantity, 0.5) AS p50_qty,
+             count(1) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must run at sf0.001 and produce rows; spot
+  * value checks for a few. The cross-engine value gate is the driver's
+  * DuckDB compare (tools/check.py mirrors it locally).
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("every query runs and returns rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, TestSpark.sf0001).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with 0 rows: $empty")
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_agg: 6 groups, counts sum to filtered lineitem count") {
+    val rows = SparkEntry.queries("q1_agg")(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 5000 && total <= 6500)
+  }
+
+  test("q_window_rank: rk bounded by 3 and per-customer unique") {
+    val rows = SparkEntry.queries("q_window_rank")(spark, TestSpark.sf0001).collect()
+    assert(rows.forall(_.getAs[Int]("rk") <= 3))
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.values.forall(g => g.map(_.getAs[Int]("rk")).distinct.length == g.length))
+  }
+}
