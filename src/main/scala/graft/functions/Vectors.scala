@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over float-array
+  * embeddings — the hot inner loop of similarity search / near-dup
+  * scoring. A codegen'd `Expression` (not a Scala UDF) keeps the whole
+  * stage inside WholeStageCodegen: no boxing, no Row conversion, one
+  * fused loop computing dot product and both norms.
+  *
+  * Semantics (fixed, engine-checkable): accumulate left-to-right in
+  * double: dot += a[i]*b[i]; na += a[i]^2; nb += b[i]^2; result =
+  * dot / (sqrt(na) * sqrt(nb)). NaN if either norm is zero; null if
+  * either array is null. Arrays of unequal length use the common prefix.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        int n = Math.min($a.numElements(), $b.numElements());
+        double dot = 0.0, na = 0.0, nb = 0.0;
+        for (int i = 0; i < n; i++) {
+          double xi = (double) $a.getFloat(i);
+          double yi = (double) $b.getFloat(i);
+          dot += xi * yi; na += xi * xi; nb += yi * yi;
+        }
+        ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level vector functions backed by the native expressions. */
+object Vectors {
+
+  /** Idempotent session-level registration (also SQL-callable as
+    * `graft_cosine(a, b)`). For cluster deploys the same registration
+    * can ride `spark.sql.extensions` via [[graft.GraftExtensions]].
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+
+  /** Cosine similarity Column over two array<float> columns. */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** Cosine scaled to an exact integer (1e-6 resolution) — engine-exact
+    * for oracle comparison and deterministic ordering.
+    */
+  def cosineScaled(spark: SparkSession, a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    round(cosine(spark, a, b) * 1e6).cast("long")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for LLM-data pipelines, as pure Column
+  * expressions (codegen'd, shuffle-free until the final group/join):
+  *
+  *  - exact:    md5 over raw or token-normalized text -> groupBy
+  *  - MinHash:  word-shingles -> k seeded min-hashes -> LSH band keys;
+  *              candidate pairs come from a single shuffle on band key
+  *              (no O(n^2) compare — the scale path for 100 TB corpora)
+  *  - SimHash:  per-token hash bit votes -> 16-bit locality hash
+  *  - n-gram Jaccard: exact set overlap for candidate verification
+  *
+  * Hash function choice: md5 (not Spark's murmur/xxhash) so signatures
+  * are reproducible in any engine — the DuckDB oracle recomputes them
+  * bit-for-bit. For a pure-Spark production run, swapping md5 for
+  * xxhash64 is a one-line change and ~3x faster; semantics identical.
+  */
+object DedupOps {
+
+  /** Canonical content fingerprint: md5 of the lowercased token stream
+    * (whitespace/punct-insensitive, case-insensitive).
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(array_join(Text.tokensLower(textCol), " ").cast("binary"))
+
+  /** Distinct word n-shingles of a text column (MinHash input sets). */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    array_distinct(Text.ngrams(Text.tokensLower(textCol), n))
+
+  /** MinHash signature: for seed i in [0,k), min over shingles of
+    * md5(i + "|" + shingle). One pass per row, no shuffle, no UDF.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 16): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s).cast("binary"))))
+    }: _*)
+
+  /** LSH band keys: split the k-signature into `bands` groups of
+    * `rowsPer` and hash each group. Docs sharing ANY band key are
+    * candidate pairs.
+    */
+  def bandKeys(sigCol: Column, bands: Int, rowsPer: Int): Column =
+    array((0 until bands).map { b =>
+      md5(array_join(slice(sigCol, b * rowsPer + 1, rowsPer), "|").cast("binary"))
+    }: _*)
+
+  /** Estimated Jaccard from two k-signatures: matching fraction. */
+  def estJaccard(a: Column, b: Column, k: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k.toDouble
+
+  /** Exact Jaccard similarity of two pre-deduplicated string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Cosine similarity of two float-array embeddings, computed in
+    * double with left-to-right accumulation; `*1e6` integer scaling at
+    * call sites makes results engine-exact.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Cosine scaled to an exact integer (1e-6 resolution). */
+  def cosineScaled(a: Column, b: Column): Column =
+    round(cosine(a, b) * 1e6).cast("long")
+}

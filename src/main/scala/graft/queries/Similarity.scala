@@ -1,9 +1,151 @@
 package graft.queries
 
-import graft.QueryModule
+import graft.{QueryModule, Tables}
+import graft.functions.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Approximate-nearest-neighbor surface over `embeddings`:
+  *
+  *  - sim_brute_topk: exact baseline. The (tiny) query set is
+  *    broadcast against the corpus — a map-only scan scoring every
+  *    vector with the native codegen'd cosine, then a per-query top-k
+  *    window. At 100 TB this is one full scan, zero shuffle of the
+  *    corpus side; the window input is only (queries x k) candidates
+  *    after the rank filter pushes through.
+  *
+  *  - sim_ivf_topk: the scale path. A deterministic seeded IVF:
+  *    centroid per label = embedding of that label's min vec_id;
+  *    every vector is assigned to its nearest centroid once (the
+  *    "index build"); a query probes only nprobe=2 closest centroids'
+  *    posting lists — pruning the scan to ~nprobe/nlist of the corpus.
+  *
+  * Scores are integer-scaled cosines (round(cos*1e6)) — exact across
+  * engines, so ordering and the DuckDB oracle compare are stable.
+  */
 object Similarity extends QueryModule {
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override def oracles: Map[String, String] = Map()
+
+  private val NQUERIES = 5
+  private val TOPK = 10
+  private val NPROBE = 2
+  private val IVFK = 5
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- brute-force exact top-k ------------------------------------------
+    "sim_brute_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Vectors.cosineScaled(s, col("q_v"), col("embedding")).as("icos_e6"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("icos_e6").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("icos_e6"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // -- seeded-IVF approximate top-k -------------------------------------
+    "sim_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      // Index build: deterministic centroid = embedding of min vec_id
+      // per label; nlist = #labels.
+      val seedIds = e.groupBy("label").agg(min("vec_id").as("seed_id"))
+        .select(col("seed_id"))
+      val centroids = e.join(broadcast(seedIds),
+          col("vec_id") === col("seed_id"))
+        .select(col("label").as("c_label"), col("embedding").as("c_v"))
+      // Assignment: nearest centroid per vector (one broadcast pass).
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("a_icos").desc, col("c_label"))
+      val assigned = e.join(broadcast(centroids))
+        .select(col("vec_id"), col("label"), col("embedding"), col("c_label"),
+          Vectors.cosineScaled(s, col("embedding"), col("c_v")).as("a_icos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_label"))
+      // Probe: each query scans only its NPROBE nearest centroids.
+      val q = e.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("p_icos").desc, col("c_label"))
+      val probes = q.join(broadcast(centroids))
+        .select(col("q_id"), col("q_v"), col("c_label"),
+          Vectors.cosineScaled(s, col("q_v"), col("c_v")).as("p_icos"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= NPROBE)
+        .select(col("q_id"), col("q_v"), col("c_label"))
+      // Search the probed posting lists.
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("icos_e6").desc, col("vec_id"))
+      assigned.join(broadcast(probes), "c_label")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Vectors.cosineScaled(s, col("q_v"), col("embedding")).as("icos_e6"))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= IVFK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("icos_e6"))
+        .orderBy("q_id", "rk")
+    })
+  )
+
+  private val sqlCos = "round(list_cosine_similarity(%s, %s) * 1e6)::BIGINT"
+
+  override def oracles: Map[String, String] = Map(
+    "sim_brute_topk" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+           q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $NQUERIES),
+           scored AS (
+             SELECT q.q_id, e.vec_id,
+                    ${sqlCos.format("q.q_v", "e.v")} AS icos_e6
+             FROM e CROSS JOIN q
+             WHERE e.vec_id <> q.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, icos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY icos_e6 DESC, vec_id) AS rk
+             FROM scored)
+      SELECT q_id, rk, vec_id, icos_e6
+      FROM ranked WHERE rk <= $TOPK
+      ORDER BY q_id, rk""",
+
+    "sim_ivf_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+           seeds AS (SELECT label, min(vec_id) AS seed_id FROM e GROUP BY label),
+           cent AS (SELECT e.label AS c_label, e.v AS c_v
+                    FROM e JOIN seeds ON e.vec_id = seeds.seed_id),
+           assigned AS (
+             SELECT vec_id, v, c_label FROM (
+               SELECT e.vec_id, e.v, cent.c_label,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${sqlCos.format("e.v", "cent.c_v")} DESC, cent.c_label) AS arn
+               FROM e CROSS JOIN cent)
+             WHERE arn = 1),
+           q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $NQUERIES),
+           probes AS (
+             SELECT q_id, q_v, c_label FROM (
+               SELECT q.q_id, q.q_v, cent.c_label,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY ${sqlCos.format("q.q_v", "cent.c_v")} DESC, cent.c_label) AS prn
+               FROM q CROSS JOIN cent)
+             WHERE prn <= $NPROBE),
+           searched AS (
+             SELECT p.q_id, a.vec_id,
+                    ${sqlCos.format("p.q_v", "a.v")} AS icos_e6
+             FROM assigned a JOIN probes p ON a.c_label = p.c_label
+             WHERE a.vec_id <> p.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, icos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY icos_e6 DESC, vec_id) AS rk
+             FROM searched)
+      SELECT q_id, rk, vec_id, icos_e6
+      FROM ranked WHERE rk <= $IVFK
+      ORDER BY q_id, rk"""
+  )
 }

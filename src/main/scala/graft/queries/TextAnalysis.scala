@@ -1,9 +1,222 @@
 package graft.queries
 
-import graft.QueryModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{QueryModule, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators for an LLM-data pipeline over `documents`:
+  * token statistics, quality scoring, language-ID heuristic, document
+  * fingerprinting, n-gram mining, TF-IDF.
+  *
+  * Everything is built from codegen'd `functions._` column expressions —
+  * no UDFs — so the whole pipeline stays inside WholeStageCodegen and
+  * scales embarrassingly (per-row work, no shuffle except final aggs).
+  *
+  * Cross-engine exactness: counts are integers; ratios are single
+  * divisions of identical integers; ln-based scores are scaled to
+  * integers via round(x*1e6) (a 1-ulp libm difference cannot move the
+  * rounded integer because the true value is never within 1e-8 of a
+  * tie boundary for irrational inputs).
+  */
 object TextAnalysis extends QueryModule {
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override def oracles: Map[String, String] = Map()
+
+  /** English stopword set for the language-ID heuristic and quality
+    * scoring. Kept tiny + fixed so the SQL oracle can inline it.
+    */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  private def toks: Column = Text.tokens(col("text"))
+
+  /** count of tokens that are in the stopword list (with multiplicity) */
+  private def stopCount(t: Column): Column =
+    size(filter(t, w => w.isin(stopwords: _*))).cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- per-document token statistics ------------------------------------
+    "txt_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long").as("n_alnum_chars"),
+          (length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double")
+            / size(toks)).as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // -- quality scoring: stopword ratio, distinct ratio, length ----------
+    "txt_quality" -> ((s, d) => {
+      val nTok = size(toks).cast("long")
+      val nStop = stopCount(toks)
+      val nDist = size(array_distinct(toks)).cast("long")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), nTok.as("n_tokens"),
+          (nStop.cast("double") / nTok).as("stop_ratio"),
+          (nDist.cast("double") / nTok).as("distinct_ratio"),
+          // Composite quality: stopword presence + vocabulary diversity,
+          // penalized for very short docs. Single exact expression.
+          ((nStop.cast("double") / nTok) * 0.5
+            + (nDist.cast("double") / nTok) * 0.3
+            + when(nTok >= 50, 0.2).otherwise(0.0)).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // -- language-ID heuristic (stopword density) -------------------------
+    "txt_lang_id" -> ((s, d) => {
+      val nTok = size(toks).cast("long")
+      val ratio = stopCount(toks).cast("double") / nTok
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          when(nTok === 0, "und")
+            .when(ratio >= 0.08, "en")
+            .otherwise("unk").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // -- document fingerprint: md5 of canonical token stream --------------
+    "txt_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(array_join(Text.tokensLower(col("text")), " ")
+            .cast("binary")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // -- n-gram mining: top bigrams corpus-wide ---------------------------
+    "txt_bigrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Text.ngrams(toks, 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(30)),
+
+    // -- TF-IDF: top terms per document (integer-scaled scores) -----------
+    "txt_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count() // tiny scalar; computed once at plan time
+      val tf = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, "term")
+        .withColumn("iscore",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("iscore").desc, col("term"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("iscore"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // -- length histogram -------------------------------------------------
+    "txt_length_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(floor(col("n_chars") / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("bucket"))
+  )
+
+  private val sqlToks =
+    "list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), t -> t <> '')"
+  private val sqlToksLower =
+    "list_filter(string_split_regex(lower(text), '[^A-Za-z0-9]+'), t -> t <> '')"
+
+  override def oracles: Map[String, String] = Map(
+    "txt_token_stats" -> s"""
+      SELECT doc_id,
+             len($sqlToks) AS n_tokens,
+             len(list_distinct($sqlToks)) AS n_distinct,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum_chars,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+               / len($sqlToks) AS avg_token_len
+      FROM documents
+      ORDER BY doc_id""",
+
+    "txt_quality" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               len($sqlToks) AS n_tokens,
+               len(list_filter($sqlToks, t -> t IN ($stopwordsSql))) AS n_stop,
+               len(list_distinct($sqlToks)) AS n_dist
+        FROM documents)
+      SELECT doc_id, n_tokens,
+             n_stop::DOUBLE / n_tokens AS stop_ratio,
+             n_dist::DOUBLE / n_tokens AS distinct_ratio,
+             (n_stop::DOUBLE / n_tokens) * 0.5
+               + (n_dist::DOUBLE / n_tokens) * 0.3
+               + (CASE WHEN n_tokens >= 50 THEN 0.2 ELSE 0.0 END) AS quality
+      FROM t
+      ORDER BY doc_id""",
+
+    "txt_lang_id" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               len($sqlToks) AS n_tokens,
+               len(list_filter($sqlToks, t -> t IN ($stopwordsSql))) AS n_stop
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN n_tokens = 0 THEN 'und'
+                  WHEN n_stop::DOUBLE / n_tokens >= 0.08 THEN 'en'
+                  ELSE 'unk' END AS pred_lang
+      FROM t
+      ORDER BY doc_id""",
+
+    "txt_fingerprint" -> s"""
+      SELECT doc_id,
+             md5(array_to_string($sqlToksLower, ' ')) AS fingerprint
+      FROM documents
+      ORDER BY doc_id""",
+
+    "txt_bigrams" -> s"""
+      WITH t AS (SELECT $sqlToks AS toks FROM documents),
+           b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                 FROM t WHERE len(toks) >= 2)
+      SELECT bigram, count(1) AS cnt
+      FROM b
+      GROUP BY bigram
+      ORDER BY cnt DESC, bigram
+      LIMIT 30""",
+
+    "txt_tfidf" -> s"""
+      WITH tf AS (
+        SELECT doc_id, term, count(1) AS tf
+        FROM (SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(1)::DOUBLE AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs / df.df) * 1e6)::BIGINT AS iscore
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, iscore,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY iscore DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, rk, term, iscore
+      FROM ranked
+      WHERE rk <= 3
+      ORDER BY doc_id, rk""",
+
+    "txt_length_hist" -> """
+      SELECT floor(n_chars / 100)::BIGINT AS bucket,
+             count(1) AS n,
+             min(n_chars) AS min_chars,
+             max(n_chars) AS max_chars
+      FROM documents
+      GROUP BY 1
+      ORDER BY bucket"""
+  )
 }
