@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A media payload row: opaque bytes + typed metadata. In a production
+  * corpus `payload` holds the image/audio/video bytes (or a storage
+  * pointer); here the documents' UTF-8 text stands in as the payload so
+  * the pipeline is runnable in this container.
+  */
+case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
+
+/** Decoded (or probed) media metadata. */
+case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+    width: Long, height: Long, n_frames: Long)
+
+/** One sampled frame reference: byte-range into the payload. */
+case class FrameRef(doc_id: Long, frame_idx: Long, byte_off: Long)
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, processed per-partition (the Scala analog of a batched
+  * `mapInPandas` decode stage).
+  *
+  * The decode itself is a STUB — image/audio codecs are not available
+  * in this container, so `decode` derives deterministic fake dimensions
+  * from the byte stream. Everything around it is real and is the part
+  * that matters at scale: binary columns through parquet, case-class
+  * encoders, partition-batched iteration (decoder state amortized
+  * per-partition, not per-row), and a generator stage (frame sampling)
+  * that explodes rows without materializing frames in memory.
+  */
+object MultimodalOps {
+
+  /** Wrap a text corpus as media payloads (binary column + kind tag). */
+  def toMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(
+      col("doc_id"),
+      // deterministic kind assignment standing in for a real mime type
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode: replace the body of `decodeOne` with a real codec
+    * (e.g. javax.imageio / ffmpeg bindings) in production. Deterministic
+    * fake: dimensions derived from payload length.
+    */
+  private def decodeOne(m: MediaRecord): MediaMeta = {
+    val n = m.payload.length.toLong
+    MediaMeta(
+      doc_id = m.doc_id,
+      kind = m.kind,
+      n_bytes = n,
+      width = n % 640 + 16,
+      height = n % 480 + 16,
+      n_frames = n / 1000 + 1)
+  }
+
+  /** Partition-batched decode: the iterator shape lets a real decoder
+    * init once per partition (model load, codec context) and stream
+    * rows through it.
+    */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { it =>
+      // (real impl: open codec context here, close on iterator end)
+      it.map(decodeOne)
+    }
+  }
+
+  /** Sample every `step`-th frame as a byte-range reference — a
+    * flatMap generator that never materializes frame payloads.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], step: Int): Dataset[FrameRef] = {
+    val sp = meta.sparkSession
+    import sp.implicits._
+    meta.flatMap { m =>
+      (0L until m.n_frames by step.toLong)
+        .map(i => FrameRef(m.doc_id, i, i * 1000L))
+    }
+  }
+}

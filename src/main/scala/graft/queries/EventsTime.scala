@@ -1,9 +1,227 @@
 package graft.queries
 
-import graft.QueryModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{QueryModule, Tables}
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Event-time operators over the `events` table: tumbling and sliding
+  * windows (the batch twins of the Structured Streaming ops in
+  * graft.streaming), sessionization, pivot, as-of join, and a bucketed
+  * range join.
+  *
+  * Timestamps are compared in integer epoch-microseconds on BOTH
+  * engines (unix_micros / epoch_us) — exact, and immune to the
+  * ns-vs-us precision mismatch of the raw column. `value` (2-decimal)
+  * aggregates use the integer-cents trick (see Relational).
+  */
 object EventsTime extends QueryModule {
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override def oracles: Map[String, String] = Map()
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def us: Column = unix_micros(col("ts"))
+  private def valE2: Column = round(col("value") * 100).cast("long")
+
+  private val GAP_US = 1800000000L // 30 min session gap
+  private val W_US = 600000000L // 10 min range-join window
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- tumbling window (batch twin of streaming groupBy(window)) --------
+    "ev_tumbling" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), (sum(valE2) / 100.0).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // -- sliding window via native window() (10 min size, 5 min slide) ----
+    "ev_sliding" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"), window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .groupBy(unix_micros(col("w.start")).as("ws_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("ws_us", "event_type")),
+
+    // -- per-user profile --------------------------------------------------
+    "ev_user_stats" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(us).as("first_us"),
+          max(us).as("last_us"),
+          (sum(valE2) / 100.0).as("total_value"))
+        .orderBy("user_id")),
+
+    // -- sessionization: 30-min inactivity gap ----------------------------
+    "ev_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), us.as("us"))
+        .withColumn("prev", lag("us", 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > GAP_US, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"), (max("us") - min("us")).as("span_us"))
+        .groupBy("user_id")
+        .agg(
+          max("sid").as("n_sessions"),
+          max("n_ev").as("max_session_events"),
+          max("span_us").as("max_session_span_us"))
+        .orderBy("user_id")
+    }),
+
+    // -- pivot: event_type counts per day (conditional aggregation) -------
+    "ev_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          types.map(t =>
+            sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+        .orderBy("day")
+    }),
+
+    // -- as-of join: latest purchase at or before each event --------------
+    "ev_asof_join" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("user_id"), us.as("us"))
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("us"), valE2.as("pval"))
+      AsofJoin.asofBackward(
+        e, purchases, key = "user_id", ts = "us",
+        payload = Seq("us", "pval"),
+        rename = Map("us" -> "prev_purchase_us", "pval" -> "prev_purchase_e2"))
+        .select(col("event_id"), col("user_id"),
+          col("prev_purchase_us"), col("prev_purchase_e2"))
+        .orderBy("event_id")
+    }),
+
+    // -- range join: clicks in the 10 min before each error ---------------
+    // Bucketed equi-join formulation: theta-join -> equi-join on
+    // (user, time bucket) + residual filter. Scales as a hash join on a
+    // uniform key instead of a nested-loop interval join.
+    "ev_range_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), us.as("err_us"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id"), us.as("clk_us"))
+        .withColumn("bucket", expr(s"clk_us div $W_US"))
+      val errB = err.withColumn("bucket",
+        explode(array(expr(s"err_us div $W_US - 1"), expr(s"err_us div $W_US"))))
+      val counted = errB.join(clk, Seq("user_id", "bucket"))
+        .filter(col("clk_us") >= col("err_us") - W_US && col("clk_us") < col("err_us"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n"))
+      err.join(counted, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_recent_clicks"))
+        .orderBy("event_id")
+    }),
+
+    // -- top-k users by activity ------------------------------------------
+    "ev_topk_users" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(5))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "ev_tumbling" -> """
+      SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
+             event_type, count(1) AS n,
+             sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour, event_type""",
+
+    "ev_sliding" -> """
+      WITH x AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+           w AS (SELECT event_type, (us // 300000000 - i.i) * 300000000 AS ws_us
+                 FROM x CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i)
+      SELECT ws_us, event_type, count(1) AS n
+      FROM w
+      GROUP BY ws_us, event_type
+      ORDER BY ws_us, event_type""",
+
+    "ev_user_stats" -> """
+      SELECT user_id, count(1) AS n_events,
+             count(DISTINCT event_type) AS n_types,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us,
+             sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "ev_sessionize" -> s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           flagged AS (
+             SELECT user_id, event_id, us,
+                    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $GAP_US
+                         THEN 1 ELSE 0 END AS new_s
+             FROM e),
+           sess AS (
+             SELECT user_id, us,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM flagged),
+           per_sess AS (
+             SELECT user_id, sid, count(1) AS n_ev, max(us) - min(us) AS span_us
+             FROM sess GROUP BY user_id, sid)
+      SELECT user_id, max(sid)::BIGINT AS n_sessions,
+             max(n_ev) AS max_session_events,
+             max(span_us) AS max_session_span_us
+      FROM per_sess
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "ev_pivot" -> """
+      SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+             count(1) AS n_total,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+      FROM events
+      GROUP BY 1
+      ORDER BY day""",
+
+    "ev_asof_join" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+           p AS (SELECT user_id, epoch_us(ts) AS us,
+                        round(value * 100)::BIGINT AS pval
+                 FROM events WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id,
+             p.us AS prev_purchase_us,
+             p.pval AS prev_purchase_e2
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.us
+      ORDER BY event_id""",
+
+    "ev_range_join" -> s"""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+      SELECT e.event_id, e.user_id,
+             (SELECT count(1) FROM e c
+              WHERE c.event_type = 'click' AND c.user_id = e.user_id
+                AND c.us >= e.us - $W_US AND c.us < e.us) AS n_recent_clicks
+      FROM e
+      WHERE e.event_type = 'error'
+      ORDER BY event_id""",
+
+    "ev_topk_users" -> """
+      SELECT user_id, count(1) AS n
+      FROM events
+      GROUP BY user_id
+      ORDER BY n DESC, user_id
+      LIMIT 5"""
+  )
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the reference's one query as an
+  * unbounded stream, plus event-time windowed aggregation (tumbling /
+  * sliding / session) with watermark-driven late-data handling, and a
+  * custom stateful sessionizer via flatMapGroupsWithState.
+  *
+  * All transforms are source-agnostic: pass any streaming (or batch)
+  * DataFrame with the right columns — readStream.parquet/kafka/socket
+  * in production, MemoryStream in tests. Batch DataFrames run the same
+  * plans (see graft.queries.EventsTime for the batch twins), which is
+  * the unification Spark gives for free.
+  */
+object Streaming {
+
+  /** Streaming word count (reference query §0 over an unbounded text
+    * stream). Complete/update output; state = one count per word,
+    * partitioned by word hash across executors.
+    */
+  def wordCounts(lines: DataFrame, textCol: String = "value"): DataFrame =
+    lines.select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Tumbling/sliding event-time counts with watermark: accepts data up
+    * to `watermark` late; state for closed windows is dropped (bounded
+    * memory on an unbounded stream).
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      size: String = "10 minutes",
+      slide: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"))
+
+  /** Session windows (30-min gap) per user — native session_window. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n_events"))
+
+  /** Custom stateful operator: running per-user event count + last-seen
+    * timestamp, emitted on every update (flatMapGroupsWithState).
+    * The KeyValueGroupedDataset state machine is the extension slot for
+    * semantics session_window can't express (e.g. cross-window logic).
+    */
+  case class UserEvent(user_id: Long, event_type: String, us: Long)
+  case class UserState(n: Long, lastUs: Long)
+  case class UserUpdate(user_id: Long, n_total: Long, last_us: Long)
+
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var last = prev.lastUs
+          rows.foreach { r => n += 1; last = math.max(last, r.us) }
+          state.update(UserState(n, last))
+          Iterator(UserUpdate(uid, n, last))
+      }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming smoke: each transform runs as a real streaming
+  * query over a MemoryStream, with watermark/late-data behavior checked
+  * across multiple micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming word count across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Streaming.wordCounts(in.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc_out").start()
+    try {
+      in.addData("a b a", "c")
+      q.processAllAvailable()
+      in.addData("a c_c")
+      q.processAllAvailable()
+      val m = spark.table("wc_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("a" -> 3L, "b" -> 1L, "c" -> 3L))
+    } finally q.stop()
+  }
+
+  test("tumbling windows with watermark drop late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = Streaming.windowedTypeCounts(events, "10 minutes", "10 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      in.addData((ts("2024-01-01 00:01:00"), "click"),
+        (ts("2024-01-01 00:05:00"), "click"))
+      q.processAllAvailable()
+      // advance watermark far past the first window -> it closes
+      in.addData((ts("2024-01-01 01:00:00"), "view"))
+      q.processAllAvailable()
+      // this event is 50+ min late, behind the watermark -> dropped
+      in.addData((ts("2024-01-01 00:02:00"), "click"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 02:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => (r.getAs[Timestamp]("ws").toString, r.getString(2), r.getLong(3)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+      assert(!rows.exists { case (w, t, n) => w == "2024-01-01 00:00:00.0" && n == 3L })
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = Streaming.sessionCounts(events, "30 minutes", "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:10:00"), 1L),
+        (ts("2024-01-01 03:00:00"), 1L)) // separate session, advances watermark
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 09:00:00"), 2L)) // push watermark to close all user-1 sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, 2L))) // first session: 2 events merged
+      assert(rows.contains((1L, 1L))) // second session: 1 event
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.runningUserCounts(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      in.addData(Streaming.UserEvent(1, "click", 100), Streaming.UserEvent(1, "view", 200))
+      q.processAllAvailable()
+      in.addData(Streaming.UserEvent(1, "click", 300), Streaming.UserEvent(2, "view", 50))
+      q.processAllAvailable()
+      val rows = spark.table("state_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 2L, 200L))) // after batch 1
+      assert(rows.contains((1L, 3L, 300L))) // state carried into batch 2
+      assert(rows.contains((2L, 1L, 50L)))
+    } finally q.stop()
+  }
+}
