@@ -31,21 +31,38 @@ object DedupOps {
   def shingles(textCol: Column, n: Int = 3): Column =
     array_distinct(Text.ngrams(Text.tokensLower(textCol), n))
 
-  /** MinHash signature: for seed i in [0,k), min over shingles of
-    * md5(i + "|" + shingle). One pass per row, no shuffle, no UDF.
+  /** MinHash signatures, computed with ONE md5 per (doc, shingle) and k
+    * universal integer hashes g_i = h1 + i*h2 derived from the digest
+    * (h1, h2 are 48-bit, so g_i < 2^52 — exact in long on any engine).
+    * Shape: explode shingles -> hash -> single hash-agg of k `min`s per
+    * doc. One shuffle on doc id; k-fold cheaper than per-seed md5 and
+    * immune to expression re-inlining blowup.
+    *
+    * Returns (idCol, sig: array<long>[k]); docs with no shingles drop.
     */
-  def minhashSignature(shingleCol: Column, k: Int = 16): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s).cast("binary"))))
-    }: _*)
+  def minhashSignatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: Column, n: Int = 3, k: Int = 16): org.apache.spark.sql.DataFrame = {
+    // Fused generator: lowercased text -> (h1, h2) per n-gram shingle,
+    // one digest each, no intermediate arrays (see ShingleHashes).
+    // Duplicate shingles need no dedup: MIN is idempotent over them.
+    val hashed = df.select(col(idCol),
+      graft.functions.ShingleHashes
+        .shingleHashes(df.sparkSession, lower(textCol), n).as(Seq("h1", "h2")))
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"_m$i"))
+    hashed.groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: split the k-signature into `bands` groups of
-    * `rowsPer` and hash each group. Docs sharing ANY band key are
-    * candidate pairs.
+    * `rowsPer`; the group's joined values are the bucket key. Docs
+    * sharing ANY band key are candidate pairs.
     */
   def bandKeys(sigCol: Column, bands: Int, rowsPer: Int): Column =
     array((0 until bands).map { b =>
-      md5(array_join(slice(sigCol, b * rowsPer + 1, rowsPer), "|").cast("binary"))
+      array_join(slice(sigCol, b * rowsPer + 1, rowsPer).cast("array<string>"), "|")
     }: _*)
 
   /** Estimated Jaccard from two k-signatures: matching fraction. */

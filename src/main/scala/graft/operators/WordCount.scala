@@ -24,9 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object WordCount {
 
-  /** word,cnt counts of a string column of `df`, ordered bytewise by word. */
+  /** word,cnt counts of a string column of `df`, ordered bytewise by word.
+    *
+    * Tokenization runs through the fused [[graft.functions.TokenizeExplode]]
+    * generator — a single byte-FSM scan per row emitting zero-copy token
+    * slices — instead of `explode(split(regex))`, whose per-row regex +
+    * String[] allocation dominated the profile ~10:1 at 12M tokens.
+    * Semantics are identical (same token contract, SURVEY §1.4).
+    */
   def counts(df: DataFrame, textCol: Column): DataFrame =
-    df.select(explode(Text.tokens(textCol)).as("word"))
+    df.select(graft.functions.TokenizeExplode
+        .tokenize(df.sparkSession, textCol).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")

@@ -44,36 +44,46 @@ object Dedup extends QueryModule {
         .orderBy("fingerprint")),
 
     // -- minhash signatures (spot-checkable scalar projection) ------------
-    "dedup_minhash_sig" -> ((s, d) => {
-      val sig = DedupOps.minhashSignature(
-        DedupOps.shingles(col("text"), 3), K)
-      Tables.documents(s, d)
+    "dedup_minhash_sig" -> ((s, d) =>
+      DedupOps.minhashSignatures(
+        Tables.documents(s, d), "doc_id", col("text"), 3, K)
         .select(
           col("doc_id"),
-          element_at(sig, 1).as("mh0"),
-          md5(array_join(sig, "|").cast("binary")).as("sig_hash"))
-        .orderBy("doc_id")
-    }),
+          element_at(col("sig"), 1).as("mh0"),
+          md5(array_join(col("sig").cast("array<string>"), "|")
+            .cast("binary")).as("sig_hash"))
+        .orderBy("doc_id")),
 
     // -- MinHash + LSH candidate pairs with estimated Jaccard -------------
+    // Pair generation is bucket-local: band keys -> ONE shuffle grouping
+    // (doc, sig) per bucket -> in-bucket pair explosion. The signature
+    // pipeline runs exactly once (a self-join would recompute it per
+    // side), and the cross-product is bounded by bucket size — the only
+    // O(n^2) anywhere is within an LSH collision bucket, which is the
+    // whole point of banding. (Production guard for adversarial skew:
+    // cap bucket size before exploding.)
     "dedup_minhash_pairs" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"),
-          DedupOps.minhashSignature(DedupOps.shingles(col("text"), 3), K).as("sig"))
-        .filter(col("sig").isNotNull)
+      val base = DedupOps.minhashSignatures(
+        Tables.documents(s, d), "doc_id", col("text"), 3, K)
       val banded = base
         .select(col("doc_id"), col("sig"),
           posexplode(DedupOps.bandKeys(col("sig"), BANDS, ROWS)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bkey")
-      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        col("band"), col("bkey"))
-      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-        col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          DedupOps.estJaccard(col("a_sig"), col("b_sig"), K).as("est_jaccard"))
+      val buckets = banded.groupBy("band", "bkey")
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      // ordered index pairs (i < j) within each bucket
+      val combos = flatten(transform(sequence(lit(0), size(col("ms")) - 2), i =>
+        transform(sequence(i + 1, size(col("ms")) - 1), j =>
+          struct(element_at(col("ms"), i + 1).as("x"),
+            element_at(col("ms"), j + 1).as("y")))))
+      val norm = when(col("p.x.doc_id") < col("p.y.doc_id"), col("p"))
+        .otherwise(struct(col("p.y").as("x"), col("p.x").as("y")))
+      buckets.select(explode(combos).as("p"))
+        .select(norm.as("p"))
+        .select(col("p.x.doc_id").as("a_id"), col("p.y.doc_id").as("b_id"),
+          DedupOps.estJaccard(col("p.x.sig"), col("p.y.sig"), K).as("est_jaccard"))
         .distinct()
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
@@ -138,11 +148,21 @@ object Dedup extends QueryModule {
       s"list_transform(range(1, len($t) - 1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) " +
       "ELSE [] END)"
 
-  /** k min-hashes over shingle list expression `sh` */
-  private def sqlSig(sh: String): String =
-    (0 until K).map { seed =>
-      s"list_aggregate(list_transform($sh, s -> md5('$seed|' || s)), 'min')"
-    }.mkString("[", ", ", "]")
+  /** CTEs computing integer minhash signatures, mirroring
+    * DedupOps.minhashSignatures: one md5 per (doc, shingle), two 48-bit
+    * halves, k universal hashes h1 + i*h2, min per doc.
+    * Yields a relation `sg(doc_id, sig)`.
+    */
+  private def sqlSigCtes: String = {
+    val mins = (0 until K)
+      .map(i => s"min(h1 + $i * h2)").mkString("[", ", ", "]")
+    s"""sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s FROM documents),
+           hh AS (SELECT doc_id,
+                         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+                         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+                  FROM sh),
+           sg AS (SELECT doc_id, $mins AS sig FROM hh GROUP BY doc_id)"""
+  }
 
   override def oracles: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -163,19 +183,17 @@ object Dedup extends QueryModule {
       ORDER BY fingerprint""",
 
     "dedup_minhash_sig" -> s"""
-      WITH sh AS (SELECT doc_id, ${sqlShingles(sqlToksL)} AS sh FROM documents),
-           sg AS (SELECT doc_id, ${sqlSig("sh")} AS sig FROM sh)
+      WITH $sqlSigCtes
       SELECT doc_id, sig[1] AS mh0,
              md5(array_to_string(sig, '|')) AS sig_hash
       FROM sg
       ORDER BY doc_id""",
 
     "dedup_minhash_pairs" -> s"""
-      WITH sh AS (SELECT doc_id, ${sqlShingles(sqlToksL)} AS sh FROM documents),
-           sg AS (SELECT doc_id, ${sqlSig("sh")} AS sig FROM sh WHERE len(sh) > 0),
+      WITH $sqlSigCtes,
            bands AS (
              SELECT doc_id, sig, bb.b AS band,
-                    md5(array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|')) AS bkey
+                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
              FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
            cand AS (
              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
