@@ -124,6 +124,17 @@ object EventsTime extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // -- native session_window (same op Structured Streaming uses) --------
+    "ev_session_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "start_us")),
+
     // -- top-k users by activity ------------------------------------------
     "ev_topk_users" -> ((s, d) =>
       ev(s, d)
@@ -216,6 +227,26 @@ object EventsTime extends QueryModule {
       FROM e
       WHERE e.event_type = 'error'
       ORDER BY event_id""",
+
+    "ev_session_window" -> s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           flagged AS (
+             SELECT user_id, event_id, us,
+                    -- session_window merges on STRICT overlap (diff < gap)
+                    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= $GAP_US
+                         THEN 1 ELSE 0 END AS new_s
+             FROM e),
+           sess AS (
+             SELECT user_id, us,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM flagged)
+      SELECT min(us) AS start_us, max(us) + $GAP_US AS end_us,
+             user_id, count(1) AS n_events
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, start_us""",
 
     "ev_topk_users" -> """
       SELECT user_id, count(1) AS n

@@ -325,6 +325,28 @@ object Relational extends QueryModule {
             lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")), 3).as("sq_norm"))
         .orderBy("vec_id")),
 
+    // -- typed UDAF: exact weighted mean (Aggregator[IN,BUF,OUT]) ---------
+    "q_udaf_wavg" -> ((s, d) => {
+      val wavg = udaf(graft.functions.Aggregators.WeightedMean)
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(wavg(cents(col("l_extendedprice")),
+          round(col("l_quantity")).cast("long")).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- approximate/sketch aggregates (no oracle: engine sketches differ;
+    //    driver records the weaker rows-only check) -----------------------
+    "q_approx_sketch" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_p50"))
+        .orderBy("l_returnflag")),
+
     // -- statistical aggregates + exact median ----------------------------
     "q_stats_agg" -> ((s, d) =>
       li(s, d)
@@ -564,6 +586,14 @@ object Relational extends QueryModule {
                    * 1000.0 + 0.5) / 1000.0 AS sq_norm
       FROM embeddings
       ORDER BY vec_id""",
+
+    "q_udaf_wavg" -> """
+      SELECT l_returnflag,
+             (sum(round(l_extendedprice * 100)::BIGINT * round(l_quantity)::BIGINT)::DOUBLE
+              / sum(round(l_quantity)::BIGINT)::DOUBLE) / 100.0 AS wavg_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_stats_agg" -> """
       SELECT l_returnflag,

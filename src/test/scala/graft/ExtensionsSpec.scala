@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.Vectors
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions wiring: functions resolvable from SQL on an
+  * extensions-built session, and the SimplifySelfCosine rule folds the
+  * self-similarity diagonal to a literal.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // Separate session config; shares the JVM-wide SparkContext.
+    Engine.builder("local[4]", 4)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+      .newSession()
+  }
+
+  test("extension-registered functions callable from SQL") {
+    // newSession() keeps extensions; register on this session anyway to
+    // cover both wiring paths.
+    Vectors.register(spark)
+    graft.functions.TokenizeExplode.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS c").collect()
+    assert(r.head.getDouble(0) == 0.0)
+    val t = spark.sql(
+      "SELECT graft_tokenize('a_b 42') AS w").collect().map(_.getString(0))
+    assert(t.toSeq == Seq("a", "b", "42"))
+  }
+
+  test("SimplifySelfCosine folds cosine(x, x) to 1.0 in the plan") {
+    Vectors.register(spark)
+    val v = array(lit(3.0f), lit(4.0f)) // non-nullable child
+    val df = spark.range(1).select(Vectors.cosine(spark, v, v).as("c"))
+    assert(df.collect().head.getDouble(0) == 1.0)
+    val rewritten = SimplifySelfCosine(df.queryExecution.analyzed)
+    assert(!rewritten.toString.contains("graft_cosine"),
+      s"rule did not fold: $rewritten")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip every supported format and confirm values + schema
+  * survive, including partitioned parquet layout.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def scratch(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_src_$name")
+    d.toFile.deleteOnExit()
+    s"$d/out"
+  }
+
+  private def sample = Tables.customer(spark, TestSpark.sf0001)
+    .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+
+  test("parquet round-trip, partitioned by nation") {
+    val p = scratch("parquet")
+    Sources.writeParquet(sample, p, partitionBy = Seq("c_nationkey"))
+    val back = Sources.readParquet(spark, p)
+    assert(back.count() == sample.count())
+    // partition pruning: scanning one nation reads one directory
+    val one = back.filter(col("c_nationkey") === 3)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(one.count() ==
+      sample.filter(col("c_nationkey") === 3).count())
+  }
+
+  test("csv round-trip with explicit schema") {
+    val p = scratch("csv")
+    Sources.writeCsv(sample, p)
+    val back = Sources.readCsv(spark, p, sample.schema)
+    assert(back.schema == sample.schema)
+    assert(back.agg(sum("c_custkey")).head.getLong(0) ==
+      sample.agg(sum("c_custkey")).head.getLong(0))
+  }
+
+  test("jsonl round-trip with explicit schema") {
+    val p = scratch("json")
+    Sources.writeJsonl(sample, p)
+    val back = Sources.readJsonl(spark, p, sample.schema)
+    assert(back.count() == sample.count())
+    assert(back.agg(sum("c_custkey")).head.getLong(0) ==
+      sample.agg(sum("c_custkey")).head.getLong(0))
+  }
+
+  test("text round-trip (word=count sink format)") {
+    val p = scratch("text")
+    val counts = graft.operators.WordCount.counts(
+      Tables.documents(spark, TestSpark.sf0001), col("text"))
+    Sources.writeText(graft.operators.WordCount.formatted(counts).toDF(), p)
+    val back = Sources.readText(spark, p)
+    assert(back.count() == counts.count())
+    assert(back.head.getString(0).matches("[A-Za-z0-9]+=\\d+"))
+  }
+}
