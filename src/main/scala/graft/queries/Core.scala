@@ -37,7 +37,21 @@ object Core extends QueryModule {
         .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
         .groupBy("lang", "word")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("lang", "word"))
+        .orderBy("lang", "word")),
+
+    // Skew-safe two-phase aggregation (salting): when one key dominates
+    // (think "the" at 100 TB), pre-aggregate on (key, salt) so no single
+    // reducer owns a hot key, then merge. Same result as `wordcount` —
+    // which is exactly what the shared oracle asserts.
+    "wordcount_salted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"),
+          spark_partition_id().as("salt"))
+        .groupBy("word", "salt")
+        .agg(count(lit(1)).as("c1"))
+        .groupBy("word")
+        .agg(sum("c1").as("cnt"))
+        .orderBy("word"))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -58,6 +72,12 @@ object Core extends QueryModule {
       SELECT lang, word, count(1) AS cnt
       FROM (SELECT lang, unnest($sqlTokens) AS word FROM documents)
       GROUP BY lang, word
-      ORDER BY lang, word"""
+      ORDER BY lang, word""",
+
+    "wordcount_salted" -> s"""
+      SELECT word, count(1) AS cnt
+      FROM (SELECT unnest($sqlTokens) AS word FROM documents)
+      GROUP BY word
+      ORDER BY word"""
   )
 }

@@ -22,11 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
-  /** English stopword set for the language-ID heuristic and quality
-    * scoring. Kept tiny + fixed so the SQL oracle can inline it.
+  /** English stopword set for the quality-scoring heuristic. Kept tiny
+    * + fixed so the SQL oracle can inline it.
     */
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-language function-word profiles for the language-ID heuristic
+    * (the classic stopword-density n-gram-free approach).
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"))
 
   private def toks: Column = Text.tokens(col("text"))
 
@@ -65,16 +74,48 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // -- language-ID heuristic (stopword density) -------------------------
+    // -- language-ID heuristic: argmax of per-language stopword hits ------
     "txt_lang_id" -> ((s, d) => {
-      val nTok = size(toks).cast("long")
-      val ratio = stopCount(toks).cast("double") / nTok
+      val lowToks = Text.tokensLower(col("text"))
+      val hits = langProfiles.map { case (lg, ws) =>
+        lg -> size(filter(lowToks, w => w.isin(ws: _*))).cast("long")
+      }
+      val Seq(en, es, de, fr) = hits.map(_._2)
+      val pred =
+        when(size(lowToks) === 0, "und")
+          .when(greatest(en, es, de, fr) === 0, "unk")
+          .when(en >= greatest(es, de, fr), "en")
+          .when(es >= greatest(de, fr), "es")
+          .when(de >= fr, "de")
+          .otherwise("fr")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+          en.as("n_en"), es.as("n_es"), de.as("n_de"), fr.as("n_fr"))
+        .orderBy("doc_id")
+    }),
+
+    // -- BPE-ish token-count estimation (chars/4 + word heuristic) --------
+    "txt_token_estimate" -> ((s, d) => {
+      val nWords = size(toks).cast("long")
+      val nChars = length(col("text")).cast("long")
       Tables.documents(s, d)
         .select(
-          col("doc_id"), col("lang"),
-          when(nTok === 0, "und")
-            .when(ratio >= 0.08, "en")
-            .otherwise("unk").as("pred_lang"))
+          col("doc_id"), nWords.as("n_words"), nChars.as("n_chars"),
+          ceil(nChars.cast("double") / 4).cast("long").as("est_bpe_chars4"),
+          // words + one extra piece per 8 chars of long words: crude
+          // subword estimate, same arithmetic both engines
+          (nWords + floor(nChars.cast("double") / 8).cast("long")).as("est_bpe_blend"))
+        .orderBy("doc_id")
+    }),
+
+    // -- rolling polynomial hash fingerprint (exact fold, mod 1e9+7) ------
+    "txt_rolling_hash" -> ((s, d) => {
+      val canon = array_join(Text.tokensLower(col("text")), " ")
+      val codes = transform(split(canon, ""), c => ascii(c).cast("long"))
+      val rolled = aggregate(codes, lit(0L),
+        (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), rolled.as("rhash"))
         .orderBy("doc_id")
     }),
 
@@ -159,17 +200,45 @@ object TextAnalysis extends QueryModule {
       FROM t
       ORDER BY doc_id""",
 
-    "txt_lang_id" -> s"""
+    "txt_lang_id" -> {
+      val hitCols = langProfiles.map { case (lg, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($sqlToksLower, t -> t IN ($set))) AS n_$lg"
+      }.mkString(",\n               ")
+      s"""
       WITH t AS (
-        SELECT doc_id, lang,
-               len($sqlToks) AS n_tokens,
-               len(list_filter($sqlToks, t -> t IN ($stopwordsSql))) AS n_stop
+        SELECT doc_id, lang, len($sqlToksLower) AS n_tokens,
+               $hitCols
         FROM documents)
       SELECT doc_id, lang,
              CASE WHEN n_tokens = 0 THEN 'und'
-                  WHEN n_stop::DOUBLE / n_tokens >= 0.08 THEN 'en'
-                  ELSE 'unk' END AS pred_lang
+                  WHEN greatest(n_en, n_es, n_de, n_fr) = 0 THEN 'unk'
+                  WHEN n_en >= greatest(n_es, n_de, n_fr) THEN 'en'
+                  WHEN n_es >= greatest(n_de, n_fr) THEN 'es'
+                  WHEN n_de >= n_fr THEN 'de'
+                  ELSE 'fr' END AS pred_lang,
+             n_en, n_es, n_de, n_fr
       FROM t
+      ORDER BY doc_id"""
+    },
+
+    "txt_token_estimate" -> s"""
+      SELECT doc_id,
+             len($sqlToks) AS n_words,
+             length(text) AS n_chars,
+             ceil(length(text)::DOUBLE / 4)::BIGINT AS est_bpe_chars4,
+             len($sqlToks) + floor(length(text)::DOUBLE / 8)::BIGINT AS est_bpe_blend
+      FROM documents
+      ORDER BY doc_id""",
+
+    "txt_rolling_hash" -> s"""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(array_to_string($sqlToksLower, ' '), ''),
+                                c -> ord(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+      FROM documents
       ORDER BY doc_id""",
 
     "txt_fingerprint" -> s"""

@@ -82,6 +82,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("events parquet replayed as a file-source stream") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_stream_in")
+    tmp.toFile.deleteOnExit()
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      tmp.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(tmp.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streaming.windowedTypeCounts(stream, "1 hour", "1 hour", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("replay_out").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("replay_out").agg(sum("n")).collect().head.getLong(0)
+      assert(total == 1000L) // every event of sf0.001 lands in some window
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
