@@ -42,5 +42,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

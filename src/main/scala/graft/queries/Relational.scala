@@ -325,6 +325,19 @@ object Relational extends QueryModule {
             lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")), 3).as("sq_norm"))
         .orderBy("vec_id")),
 
+    // -- custom physical operator: heap-based per-key top-k ---------------
+    // Same rows as q_window_rank's top-3, but via graft.plans.TopKPerKey
+    // (bounded heaps, no SortExec) — see that file for the plan ladder.
+    // Score encodes the (totalprice DESC, orderkey ASC) tie-break
+    // uniquely in one long.
+    "q_topk_per_key" -> ((s, d) => {
+      val score = round(col("o_totalprice") * 100).cast("long") * 100000000L +
+        (lit(100000000L) - col("o_orderkey"))
+      graft.plans.TopK.perKey(ord(s, d), Seq("o_custkey"), score, 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // -- typed UDAF: exact weighted mean (Aggregator[IN,BUF,OUT]) ---------
     "q_udaf_wavg" -> ((s, d) => {
       val wavg = udaf(graft.functions.Aggregators.WeightedMean)
@@ -586,6 +599,16 @@ object Relational extends QueryModule {
                    * 1000.0 + 0.5) / 1000.0 AS sq_norm
       FROM embeddings
       ORDER BY vec_id""",
+
+    "q_topk_per_key" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+      WHERE rk <= 3
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
 
     "q_udaf_wavg" -> """
       SELECT l_returnflag,

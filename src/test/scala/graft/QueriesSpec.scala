@@ -33,6 +33,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(total > 5000 && total <= 6500)
   }
 
+  test("minhash signatures are partition-count invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    def sigs(parts: Int) =
+      graft.operators.DedupOps.minhashSignatures(
+        docs.repartition(parts), "doc_id", col("text"), 3, 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) == sigs(8))
+  }
+
   test("q_window_rank: rk bounded by 3 and per-customer unique") {
     val rows = SparkEntry.queries("q_window_rank")(spark, TestSpark.sf0001).collect()
     assert(rows.forall(_.getAs[Int]("rk") <= 3))
