@@ -20,8 +20,8 @@ object Bench {
   /** Representative slice of every module; names match SparkEntry. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q2_filter", "q3_topk_join", "q5_multijoin", "q_outer_join",
-    "q_window_rank", "q_rollup", "q_stats_agg",
-    "wordcount", "wordcount_by_lang",
+    "q_window_rank", "q_topk_per_key", "q_rollup", "q_stats_agg",
+    "wordcount", "wordcount_by_lang", "wordcount_salted",
     "txt_token_stats", "txt_tfidf", "txt_quality",
     "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
     "sim_brute_topk", "sim_ivf_topk",

@@ -243,6 +243,44 @@ object Relational extends QueryModule {
         .orderBy("op")
     }),
 
+    // -- scalar subquery: above-average customers (exact integer compare:
+    //    cents*n > sum_cents avoids float-boundary divergence) -----------
+    "q_scalar_subquery" -> ((s, d) => {
+      val c = cust(s, d)
+      val stats = c.agg(
+        sum(cents(col("c_acctbal"))).as("sum_cents"),
+        count(lit(1)).as("n"))
+      c.crossJoin(broadcast(stats))
+        .filter(cents(col("c_acctbal")) * col("n") > col("sum_cents"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- multiset set ops: EXCEPT ALL / INTERSECT ALL ---------------------
+    "q_setops_all" -> ((s, d) => {
+      val o = ord(s, d)
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val ea = a.exceptAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val ia = a.intersectAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ea.union(ia).orderBy("op", "o_custkey")
+    }),
+
+    // -- min_by / max_by (deterministic via unique encoded score) ---------
+    "q_minmax_by" -> ((s, d) => {
+      val score = cents(col("o_totalprice")) * 100000000L +
+        (lit(100000000L) - col("o_orderkey"))
+      ord(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), score).as("best_order"),
+          min_by(col("o_orderkey"), score).as("worst_order"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
     // -- string function family -------------------------------------------
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -531,6 +569,42 @@ object Relational extends QueryModule {
       FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
       GROUP BY op
       ORDER BY op""",
+
+    "q_scalar_subquery" -> """
+      WITH stats AS (
+        SELECT sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS sum_cents,
+               count(1) AS n
+        FROM customer)
+      SELECT c_custkey, c_acctbal
+      FROM customer CROSS JOIN stats
+      WHERE round(c_acctbal * 100)::BIGINT * n > sum_cents
+      ORDER BY c_custkey""",
+
+    "q_setops_all" -> """
+      WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+           b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+           ea AS (SELECT o_custkey, count(1) AS n, 'except_all' AS op
+                  FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+                  GROUP BY o_custkey),
+           ia AS (SELECT o_custkey, count(1) AS n, 'intersect_all' AS op
+                  FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+                  GROUP BY o_custkey)
+      SELECT * FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+      ORDER BY op, o_custkey""",
+
+    "q_minmax_by" -> """
+      WITH scored AS (
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice * 100)::BIGINT * 100000000
+                 + (100000000 - o_orderkey) AS score
+        FROM orders)
+      SELECT o_custkey,
+             arg_max(o_orderkey, score) AS best_order,
+             arg_min(o_orderkey, score) AS worst_order,
+             count(1) AS n
+      FROM scored
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
 
     "q_string_funcs" -> """
       SELECT p_partkey,
