@@ -26,18 +26,16 @@ object WordCount {
 
   /** word,cnt counts of a string column of `df`, ordered bytewise by word.
     *
-    * Tokenization runs through the fused [[graft.functions.TokenizeExplode]]
-    * generator — a single byte-FSM scan per row emitting zero-copy token
-    * slices — instead of `explode(split(regex))`, whose per-row regex +
-    * String[] allocation dominated the profile ~10:1 at 12M tokens.
-    * Semantics are identical (same token contract, SURVEY §1.4).
+    * Runs the fused [[graft.plans.TokenCounts]] physical operator — the
+    * reference's scan+FSM+partial-count worker as one SparkPlan — then a
+    * plain merge agg + sort. (An `explode(split(regex))` formulation was
+    * ~10x slower: per-row regex + String[] allocation + a per-token
+    * Generate hop; see TokenizeExplode for the intermediate generator
+    * form, kept for general tokenization.) Semantics identical
+    * (token contract SURVEY §1.4).
     */
   def counts(df: DataFrame, textCol: Column): DataFrame =
-    df.select(graft.functions.TokenizeExplode
-        .tokenize(df.sparkSession, textCol).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("word")
+    graft.plans.TokenCounts.counts(df, textCol)
 
   /** Reference parity: counts for a text file at `path`.
     *
