@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AsofJoin property: the union-tag windowed formulation must equal a
+  * brute-force in-memory oracle (latest right.ts <= left.ts per key)
+  * on randomized inputs, including ties and keys with no matches.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def oracle(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)])
+      : Map[Long, Option[Long]] =
+    left.map { case (id, k, ts) =>
+      val candidates = right.filter(r => r._2 == k && r._3 <= ts)
+      id -> (if (candidates.isEmpty) None
+             else Some(candidates.maxBy(r => (r._3, r._1))._1))
+    }.toMap
+
+  test("asofBackward matches brute-force oracle on random data") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 60)
+      nr <- Gen.choose(0, 60)
+      lts <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+      rts <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    } yield (lts, rts)
+    for (seed <- 1 to 5) {
+      val (lraw, rraw) = gen.sample.get
+      val left = lraw.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      // unique (key, ts) on the right so the oracle's pick is unambiguous
+      val right = rraw.distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, ts), i) => (1000L + i, k, ts) }
+      val ldf = left.toDF("id", "k", "ts")
+      val rdf = right.toDF("rid", "k", "ts")
+      val got = AsofJoin.asofBackward(ldf, rdf, "k", "ts",
+        payload = Seq("rid"), rename = Map("rid" -> "matched"))
+        .select(col("id"), col("matched"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == oracle(left, right), s"seed=$seed left=$left right=$right")
+    }
+  }
+}

@@ -51,6 +51,14 @@ class SourcesSpec extends AnyFunSuite {
       sample.agg(sum("c_custkey")).head.getLong(0))
   }
 
+  test("orc round-trip with pushdown") {
+    val p = scratch("orc")
+    Sources.writeOrc(sample, p)
+    val back = Sources.readOrc(spark, p).filter(col("c_acctbal") > 0)
+    assert(back.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(back.count() == sample.filter(col("c_acctbal") > 0).count())
+  }
+
   test("text round-trip (word=count sink format)") {
     val p = scratch("text")
     val counts = graft.operators.WordCount.counts(

@@ -41,6 +41,24 @@ class TokenizerSpec extends AnyFunSuite {
     assert(sparkTokens(samples) == samples.map(oracle))
   }
 
+  test("property: TokenizeExplode generator matches regex oracle") {
+    import spark.implicits._
+    val charGen = Gen.frequency(
+      (5, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', '\t', '\n', '_', '.', ',', '-')),
+      (1, Gen.choose(0x80.toChar, 0x2FFF.toChar)))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val samples = Gen.listOfN(40, strGen).sample.get.zipWithIndex
+    val df = samples.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.functions.TokenizeExplode.tokenize(spark, col("s")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val want = samples.map { case (s, i) => i.toLong -> oracle(s) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want)
+  }
+
   test("property: sum of counts equals token count; keys ascending") {
     val docs = Seq("a b a c b a", "x y", "", "a A 1 10 9")
     import spark.implicits._
