@@ -25,7 +25,7 @@ object Core extends QueryModule {
     // Top-k variant (reference lacks limits; SURVEY §2.2 "extended").
     "wordcount_topk" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(explode(Text.tokens(col("text"))).as("word"))
+        .select(graft.functions.TokenizeExplode.tokenize(s, col("text")).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
@@ -34,7 +34,7 @@ object Core extends QueryModule {
     // Grouped by document language (multi-key aggregation).
     "wordcount_by_lang" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+        .select(col("lang"), graft.functions.TokenizeExplode.tokenize(s, col("text")).as("word"))
         .groupBy("lang", "word")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "word")),
@@ -45,7 +45,7 @@ object Core extends QueryModule {
     // which is exactly what the shared oracle asserts.
     "wordcount_salted" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(explode(Text.tokens(col("text"))).as("word"),
+        .select(graft.functions.TokenizeExplode.tokenize(s, col("text")).as("word"),
           spark_partition_id().as("salt"))
         .groupBy("word", "salt")
         .agg(count(lit(1)).as("c1"))

@@ -108,7 +108,8 @@ object Dedup extends QueryModule {
     // -- SimHash (16-bit, md5-digit bit votes) ----------------------------
     "dedup_simhash" -> ((s, d) => {
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(Text.tokensLower(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          graft.functions.TokenizeExplode.tokenize(s, lower(col("text"))).as("tok"))
         .withColumn("h", md5(col("tok").cast("binary")))
       val bitSums = (1 to 16).map(j =>
         sum(expr(s"((instr('0123456789abcdef', substr(h, $j, 1)) - 1) % 2) * 2 - 1"))

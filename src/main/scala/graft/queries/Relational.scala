@@ -177,6 +177,18 @@ object Relational extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // -- window: distribution functions (ntile / percent_rank / cume_dist)
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey")) // unique -> deterministic
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // -- rollup -----------------------------------------------------------
     "q_rollup" -> ((s, d) =>
       li(s, d)
@@ -518,6 +530,15 @@ object Relational extends QueryModule {
                o_orderdate) AS days_since_prev
       FROM orders
       ORDER BY o_custkey, o_orderkey""",
+
+    "q_window_dist" -> """
+      SELECT o_orderkey, o_orderstatus,
+             (ntile(4) OVER w)::BIGINT AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
 
     "q_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
