@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import graft.functions.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *    corpus side; the window input is only (queries x k) candidates
   *    after the rank filter pushes through.
   *
-  *  - sim_ivf_topk: the scale path. A deterministic seeded IVF:
+  *  - sim_lsh_topk: LSH-bucketed scale path — 8 deterministic random
+  *    hyperplanes -> sign-bit bucket; candidates share the bucket.
+  *
+  *  - sim_ivf_topk: the seeded-IVF scale path:
   *    centroid per label = embedding of that label's min vec_id;
   *    every vector is assigned to its nearest centroid once (the
   *    "index build"); a query probes only nprobe=2 closest centroids'
@@ -30,6 +33,27 @@ object Similarity extends QueryModule {
   private val TOPK = 10
   private val NPROBE = 2
   private val IVFK = 5
+  private val NPLANES = 8 // LSH: hyperplanes -> 2^8 sign buckets
+  private val DIM = 64
+
+  /** Deterministic pseudo-random hyperplanes, derived from md5 so the
+    * SAME constants are inlined into both the Spark plan and the SQL
+    * oracle: component (j,i) = int64 of md5("j_i")'s first 12 hex
+    * digits, centered at 2^47. Integer dot products: exact everywhere.
+    */
+  private lazy val hyperplanes: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NPLANES).map { j =>
+      (0 until DIM).map { i =>
+        md.reset()
+        val d = md.digest(s"${j}_$i".getBytes("UTF-8"))
+        var h = 0L
+        var b = 0
+        while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h - (1L << 47)
+      }
+    }
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- brute-force exact top-k ------------------------------------------
@@ -45,6 +69,35 @@ object Similarity extends QueryModule {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TOPK)
         .select(col("q_id"), col("rk"), col("vec_id"), col("icos_e6"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // -- LSH-bucketed approximate top-k (random hyperplane signs) ---------
+    // Index: 8 deterministic hyperplanes -> 8-bit sign signature per
+    // vector -> candidates share the bucket. One shuffle on bucket id;
+    // scan pruned to |bucket| instead of the corpus.
+    "sim_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      def bucket(v: Column): Column = (0 until NPLANES).map { j =>
+        val hp = array(hyperplanes(j).map(lit): _*)
+        val dot = aggregate(
+          zip_with(v, hp, (x, h) => x.cast("double") * h.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = e.select(col("vec_id"), col("embedding"),
+        bucket(col("embedding")).as("bucket"))
+      val q = sigs.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"), col("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("icos_e6").desc, col("vec_id"))
+      sigs.join(broadcast(q), "bucket")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("bucket"),
+          Vectors.cosineScaled(s, col("q_v"), col("embedding")).as("icos_e6"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= IVFK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("bucket"), col("icos_e6"))
         .orderBy("q_id", "rk")
     }),
 
@@ -112,6 +165,34 @@ object Similarity extends QueryModule {
       SELECT q_id, rk, vec_id, icos_e6
       FROM ranked WHERE rk <= $TOPK
       ORDER BY q_id, rk""",
+
+    "sim_lsh_topk" -> {
+      val bucketExpr = (0 until NPLANES).map { j =>
+        val hpList = hyperplanes(j).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_aggregate(list_transform(range(1, ${DIM + 1}),
+             i -> v[i]::DOUBLE * ($hpList)[i]::DOUBLE), 'sum') > 0
+             THEN ${1L << j} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+           sigs AS (SELECT vec_id, v, ($bucketExpr)::BIGINT AS bucket FROM e),
+           q AS (SELECT vec_id AS q_id, v AS q_v, bucket FROM sigs
+                 WHERE vec_id < $NQUERIES),
+           cand AS (
+             SELECT q.q_id, s.vec_id, s.bucket,
+                    ${sqlCos.format("q.q_v", "s.v")} AS icos_e6
+             FROM sigs s JOIN q ON s.bucket = q.bucket
+             WHERE s.vec_id <> q.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, bucket, icos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY icos_e6 DESC, vec_id) AS rk
+             FROM cand)
+      SELECT q_id, rk, vec_id, bucket, icos_e6
+      FROM ranked WHERE rk <= $IVFK
+      ORDER BY q_id, rk"""
+    },
 
     "sim_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v

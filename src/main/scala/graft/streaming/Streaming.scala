@@ -51,6 +51,18 @@ object Streaming {
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within
+    * the watermark horizon — the unbounded-stream form of the batch
+    * `dedup_exact` operator. State holds one entry per key seen inside
+    * the watermark window and is evicted as event time advances
+    * (bounded memory on an unbounded stream; at-least-once sources
+    * become effectively-once downstream).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Custom stateful operator: running per-user event count + last-seen
     * timestamp, emitted on every update (flatMapGroupsWithState).
     * The KeyValueGroupedDataset state machine is the extension slot for

@@ -82,6 +82,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered keys within watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "event_id")
+    val q = Streaming.dedupStream(events, Seq("event_id"), "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:01:00"), 2L),
+        (ts("2024-01-01 00:02:00"), 1L)) // dup within batch
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:03:00"), 1L), // dup across batches
+        (ts("2024-01-01 00:04:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(1)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("events parquet replayed as a file-source stream") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_stream_in")
