@@ -132,7 +132,7 @@ object Dedup extends QueryModule {
       a.join(b, "label")
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("label"),
-          DedupOps.cosineScaled(col("a_v"), col("b_v")).as("icos_e6"))
+          graft.functions.Vectors.cosineScaled(s, col("a_v"), col("b_v")).as("icos_e6"))
         .orderBy(col("icos_e6").desc, col("a_id"), col("b_id"))
         .limit(20)
     })
