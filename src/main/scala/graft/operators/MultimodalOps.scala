@@ -17,6 +17,13 @@ case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
 /** One sampled frame reference: byte-range into the payload. */
 case class FrameRef(doc_id: Long, frame_idx: Long, byte_off: Long)
 
+/** Extracted feature vector (stub model output). */
+case class MediaFeatures(doc_id: Long, features: Seq[Long])
+
+/** Resize parameters: integer milli-scale factors to a target box. */
+case class ResizePlan(doc_id: Long, new_w: Long, new_h: Long,
+    scale_x_e3: Long, scale_y_e3: Long)
+
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed per-partition (the Scala analog of a batched
   * `mapInPandas` decode stage).
@@ -81,6 +88,42 @@ object MultimodalOps {
     meta.flatMap { m =>
       (0L until m.n_frames by step.toLong)
         .map(i => FrameRef(m.doc_id, i, i * 1000L))
+    }
+  }
+
+  /** Feature-extraction stage (STUB model): an 8-dim integer "embedding"
+    * per payload — component i = sum of payload bytes at positions
+    * congruent to i (mod 8). Deterministic, so the whole stage is
+    * value-checked by the oracle; a real deployment swaps the body for
+    * a model forward pass (the per-partition iterator shape is exactly
+    * where the model would be loaded once).
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { it =>
+      // (real impl: load model weights here, once per partition)
+      it.map { m =>
+        val f = new Array[Long](8)
+        var i = 0
+        while (i < m.payload.length) {
+          f(i % 8) += m.payload(i) & 0xffL
+          i += 1
+        }
+        MediaFeatures(m.doc_id, f.toSeq)
+      }
+    }
+  }
+
+  /** Resize planning (STUB codec): integer scale factors (x1000) to fit
+    * a 224x224 target from the fake-decoded dimensions.
+    */
+  def resizePlan(meta: Dataset[MediaMeta], target: Long = 224): Dataset[ResizePlan] = {
+    val sp = meta.sparkSession
+    import sp.implicits._
+    meta.map { m =>
+      ResizePlan(m.doc_id, target, target,
+        target * 1000L / m.width, target * 1000L / m.height)
     }
   }
 }

@@ -28,6 +28,21 @@ object Multimodal extends QueryModule {
         .toDF()
         .orderBy("doc_id", "frame_idx")),
 
+    // feature-extraction stage: 8-dim integer embedding per payload
+    "mm_features" -> ((s, d) =>
+      MultimodalOps.extractFeatures(MultimodalOps.toMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy("doc_id")),
+
+    // resize planning from decoded dims to a 224x224 target
+    "mm_resize" -> ((s, d) =>
+      MultimodalOps.resizePlan(
+        MultimodalOps.decode(MultimodalOps.toMedia(Tables.documents(s, d))))
+        .toDF()
+        .orderBy("doc_id")),
+
     // per-kind aggregate over decoded metadata
     "mm_kind_stats" -> ((s, d) =>
       MultimodalOps.decode(MultimodalOps.toMedia(Tables.documents(s, d)))
@@ -61,6 +76,25 @@ object Multimodal extends QueryModule {
              unnest(range(0, n_frames, 3)) * 1000 AS byte_off
       FROM ($sqlMeta)
       ORDER BY doc_id, frame_idx""",
+
+    "mm_features" -> {
+      val cols = (0 until 8).map(i =>
+        s"""list_aggregate(list_transform(range(1, length(text) + 1),
+              j -> CASE WHEN (j - 1) % 8 = $i THEN ord(text[j]) ELSE 0 END),
+              'sum')::BIGINT AS f$i""").mkString(",\n             ")
+      s"""
+      SELECT doc_id,
+             $cols
+      FROM documents
+      ORDER BY doc_id"""
+    },
+
+    "mm_resize" -> s"""
+      SELECT doc_id, 224::BIGINT AS new_w, 224::BIGINT AS new_h,
+             (224000 // width)::BIGINT AS scale_x_e3,
+             (224000 // height)::BIGINT AS scale_y_e3
+      FROM ($sqlMeta)
+      ORDER BY doc_id""",
 
     "mm_kind_stats" -> s"""
       SELECT kind, count(1) AS n,
