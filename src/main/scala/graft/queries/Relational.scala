@@ -268,6 +268,33 @@ object Relational extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // -- correlated scalar subquery (decorrelated by Catalyst to a join) --
+    "q_correlated_scalar" -> ((s, d) => {
+      cust(s, d).createOrReplaceTempView("graft_cust_cs")
+      ord(s, d).createOrReplaceTempView("graft_ord_cs")
+      s.sql("""
+        SELECT c_custkey,
+               (SELECT count(1) FROM graft_ord_cs WHERE o_custkey = c_custkey) AS n_orders,
+               (SELECT coalesce(max(o_orderkey), -1) FROM graft_ord_cs
+                WHERE o_custkey = c_custkey) AS last_order
+        FROM graft_cust_cs
+        ORDER BY c_custkey""")
+    }),
+
+    // -- window: RANGE frame (value-based, not row-based) -----------------
+    // For each order: count of same-customer orders within the preceding
+    // 90 days (inclusive). Day-granularity longs -> exact frame edges.
+    "q_window_range" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
+      val w = Window.partitionBy("o_custkey").orderBy("day_no")
+        .rangeBetween(-90, 0)
+      ord(s, d)
+        .withColumn("day_no", days)
+        .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+          count(lit(1)).over(w).as("n_90d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // -- multiset set ops: EXCEPT ALL / INTERSECT ALL ---------------------
     "q_setops_all" -> ((s, d) => {
       val o = ord(s, d)
@@ -600,6 +627,23 @@ object Relational extends QueryModule {
       FROM customer CROSS JOIN stats
       WHERE round(c_acctbal * 100)::BIGINT * n > sum_cents
       ORDER BY c_custkey""",
+
+    "q_correlated_scalar" -> """
+      SELECT c_custkey,
+             (SELECT count(1) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+             (SELECT coalesce(max(o_orderkey), -1) FROM orders
+              WHERE o_custkey = c_custkey) AS last_order
+      FROM customer
+      ORDER BY c_custkey""",
+
+    "q_window_range" -> """
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_no,
+             count(1) OVER (PARTITION BY o_custkey ORDER BY
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS n_90d
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
 
     "q_setops_all" -> """
       WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
