@@ -425,6 +425,17 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // -- deterministic sketch: KMV distinct-count (TypedImperativeAggregate,
+    //    oracle-exact unlike HLL — see functions/KmvDistinct.scala) -------
+    "q_kmv_distinct" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.KmvDistinct.kmv(s,
+            col("l_partkey").cast("string"), 16).as("kmv_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
     // -- approximate/sketch aggregates (no oracle: engine sketches differ;
     //    driver records the weaker rows-only check) -----------------------
     "q_approx_sketch" -> ((s, d) =>
@@ -748,6 +759,26 @@ object Relational extends QueryModule {
         FROM orders)
       WHERE rk <= 3
       ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q_kmv_distinct" -> """
+      WITH h AS (
+        SELECT DISTINCT l_returnflag,
+               ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+               count(1) OVER (PARTITION BY l_returnflag) AS n
+        FROM h)
+      SELECT r.l_returnflag,
+             CASE WHEN r.n < 16 THEN r.n::DOUBLE
+                  ELSE 15.0 * 281474976710656.0 / kth.h::DOUBLE END AS kmv_parts,
+             (SELECT count(DISTINCT l_partkey) FROM lineitem li
+              WHERE li.l_returnflag = r.l_returnflag) AS exact_parts
+      FROM (SELECT DISTINCT l_returnflag, n FROM ranked) r
+      LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
+        ON r.l_returnflag = kth.l_returnflag
+      ORDER BY r.l_returnflag""",
 
     "q_udaf_wavg" -> """
       SELECT l_returnflag,
