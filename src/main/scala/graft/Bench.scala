@@ -81,6 +81,7 @@ object Bench {
     // The reference binary's baseline (BASELINE.md) is a steady-state
     // measurement of a warmed process; report the matching steady-state
     // run here (min of two), keeping the cold number visible too.
+    System.gc() // shed the 26 queries' garbage before the throughput metric
     val refCold = timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath))
     val refWarm = timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath))
     val results = results0 ++ Seq(

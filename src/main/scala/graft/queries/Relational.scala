@@ -448,6 +448,23 @@ object Relational extends QueryModule {
             .as("approx_p50"))
         .orderBy("l_returnflag")),
 
+    // -- sampling (training-data pipelines; rows-only: RNG is
+    //    engine-specific, but seeded => stable within Spark) --------------
+    "q_sample" -> ((s, d) =>
+      li(s, d)
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("l_returnflag")),
+
+    "q_sample_stratified" -> ((s, d) =>
+      li(s, d)
+        .stat.sampleBy("l_returnflag",
+          Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.05), seed = 42L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("l_returnflag")),
+
     // -- statistical aggregates + exact median ----------------------------
     "q_stats_agg" -> ((s, d) =>
       li(s, d)

@@ -51,6 +51,26 @@ object Streaming {
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("user_id"), col("n_events"))
 
+  /** Stream-stream inner join with event-time bounds: match each left
+    * event to right events of the same user within the trailing
+    * `windowSpec` interval. Both sides carry watermarks so the join
+    * state for expired time ranges is dropped — the only way a
+    * stream-stream join stays bounded on unbounded inputs.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("r_ts") <= col("l_ts"))
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key within
     * the watermark horizon — the unbounded-stream form of the batch
     * `dedup_exact` operator. State holds one entry per key seen inside

@@ -82,6 +82,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_type"),
+      views.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      views.addData((1L, ts("2024-01-01 00:00:00"), "view"),
+        (1L, ts("2024-01-01 00:30:00"), "view"), // > 10 min before the click
+        (2L, ts("2024-01-01 00:58:00"), "view")) // right user, wrong key user 2
+      clicks.addData((1L, ts("2024-01-01 00:05:00"), "click"),
+        (1L, ts("2024-01-01 01:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getAs[Timestamp]("l_ts").toString,
+          r.getAs[Timestamp]("r_ts").toString)).toSet
+      // click@00:05 matches view@00:00 (within 10 min); click@01:00
+      // matches nothing for user 1 (00:30 is 30 min earlier); user-2
+      // view matches no click of user 1
+      assert(rows == Set((1L, "2024-01-01 00:05:00.0", "2024-01-01 00:00:00.0")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered keys within watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
