@@ -74,21 +74,32 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // -- language-ID heuristic: argmax of per-language stopword hits ------
+    // -- language-ID heuristic: argmax of per-language stopword hits.
+    // Scalable shape: ONE tokenize pass (fused generator) + conditional
+    // sums in a single codegen'd hash agg, left-joined back so empty
+    // docs keep their 'und' verdict. (The HOF formulation re-evaluated
+    // the interpreted token filter ~15x per row.)
     "txt_lang_id" -> ((s, d) => {
-      val lowToks = Text.tokensLower(col("text"))
-      val hits = langProfiles.map { case (lg, ws) =>
-        lg -> size(filter(lowToks, w => w.isin(ws: _*))).cast("long")
+      val docs = Tables.documents(s, d)
+      val hitAggs = langProfiles.map { case (lg, ws) =>
+        sum(when(col("w").isin(ws: _*), 1L).otherwise(0L)).as(s"n_$lg")
       }
-      val Seq(en, es, de, fr) = hits.map(_._2)
+      val hits = docs
+        .select(col("doc_id"),
+          graft.functions.TokenizeExplode.tokenize(s, lower(col("text"))).as("w"))
+        .groupBy("doc_id")
+        .agg(hitAggs.head, hitAggs.tail: _*)
+      val Seq(en, es, de, fr) =
+        langProfiles.map { case (lg, _) => coalesce(col(s"n_$lg"), lit(0L)) }
       val pred =
-        when(size(lowToks) === 0, "und")
+        when(col("n_en").isNull, "und") // no tokens at all
           .when(greatest(en, es, de, fr) === 0, "unk")
           .when(en >= greatest(es, de, fr), "en")
           .when(es >= greatest(de, fr), "es")
           .when(de >= fr, "de")
           .otherwise("fr")
-      Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"))
+        .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
           en.as("n_en"), es.as("n_es"), de.as("n_de"), fr.as("n_fr"))
         .orderBy("doc_id")
@@ -128,10 +139,10 @@ object TextAnalysis extends QueryModule {
             .cast("binary")).as("fingerprint"))
         .orderBy("doc_id")),
 
-    // -- n-gram mining: top bigrams corpus-wide ---------------------------
+    // -- n-gram mining: top bigrams corpus-wide (fused generator) ---------
     "txt_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(explode(Text.ngrams(toks, 2)).as("bigram"))
+        .select(graft.functions.NgramExplode.ngrams(s, col("text"), 2).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
