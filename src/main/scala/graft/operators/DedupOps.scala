@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Canonical content fingerprint: md5 of the lowercased token stream
-    * (whitespace/punct-insensitive, case-insensitive).
+    * (whitespace/punct-insensitive, case-insensitive). Canonical form is
+    * separator-runs -> single space + trim, which equals the tokens
+    * joined by spaces — one codegen'd regexp pass, no array
+    * materialization (the HOF token-array formulation is interpreted).
     */
   def fingerprint(textCol: Column): Column =
-    md5(array_join(Text.tokensLower(textCol), " ").cast("binary"))
+    md5(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")).cast("binary"))
 
   /** Distinct word n-shingles of a text column (MinHash input sets). */
   def shingles(textCol: Column, n: Int = 3): Column =

@@ -177,7 +177,7 @@ object Dedup extends QueryModule {
       ORDER BY text_hash""",
 
     "dedup_fingerprint" -> s"""
-      SELECT md5(array_to_string($sqlToksL, ' ')) AS fingerprint,
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
              min(doc_id) AS keeper, count(1) AS n_copies
       FROM documents
       GROUP BY 1

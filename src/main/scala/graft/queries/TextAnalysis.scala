@@ -135,7 +135,7 @@ object TextAnalysis extends QueryModule {
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          md5(array_join(Text.tokensLower(col("text")), " ")
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
             .cast("binary")).as("fingerprint"))
         .orderBy("doc_id")),
 
@@ -254,7 +254,7 @@ object TextAnalysis extends QueryModule {
 
     "txt_fingerprint" -> s"""
       SELECT doc_id,
-             md5(array_to_string($sqlToksLower, ' ')) AS fingerprint
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
       FROM documents
       ORDER BY doc_id""",
 
