@@ -135,6 +135,23 @@ object EventsTime extends QueryModule {
           col("user_id"), col("n_events"))
         .orderBy("user_id", "start_us")),
 
+    // -- MapType surface: build per-user type->count maps, extract back --
+    // (map construction + map_keys/element_at; scalar outputs so the
+    // oracle compares values, not engine-specific map encodings)
+    "ev_map_funcs" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+          .as("type_counts"))
+        .select(
+          col("user_id"),
+          size(map_keys(col("type_counts"))).cast("long").as("n_types"),
+          coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("type_counts"), "purchase"), lit(0L)).as("n_purchase"))
+        .orderBy("user_id")),
+
     // -- top-k users by activity ------------------------------------------
     "ev_topk_users" -> ((s, d) =>
       ev(s, d)
@@ -247,6 +264,15 @@ object EventsTime extends QueryModule {
       FROM sess
       GROUP BY user_id, sid
       ORDER BY user_id, start_us""",
+
+    "ev_map_funcs" -> """
+      SELECT user_id,
+             count(DISTINCT event_type) AS n_types,
+             coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)::BIGINT AS n_click,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)::BIGINT AS n_purchase
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     "ev_topk_users" -> """
       SELECT user_id, count(1) AS n

@@ -153,7 +153,8 @@ object TextAnalysis extends QueryModule {
       val docs = Tables.documents(s, d)
       val nDocs = docs.count() // tiny scalar; computed once at plan time
       val tf = docs
-        .select(col("doc_id"), explode(toks).as("term"))
+        .select(col("doc_id"),
+          graft.functions.TokenizeExplode.tokenize(s, col("text")).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
