@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output must reach stdout/stderr verbatim: the bench
+// harness greps stdout for a bare one-line JSON record, and sbt's
+// default LoggedOutput prefixes every line with [info]/[error].
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: this is a batch engine (no latency SLO), and
+  // G1's pause-target heuristics over-expand + over-collect on very
+  // large heaps (external runners may override -Xmx upward), costing
+  // ~4-10x on allocation-heavy queries until the heap settles.
+  "-XX:+UseParallelGC",
 )

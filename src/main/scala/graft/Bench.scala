@@ -80,13 +80,15 @@ object Bench {
     val results0 = toRun.map { case (name, mk) => name -> timeOne(name, mk) }
     // The reference binary's baseline (BASELINE.md) is a steady-state
     // measurement of a warmed process; report the matching steady-state
-    // run here (min of two), keeping the cold number visible too.
+    // run here (min of five — heap sizing is runner-controlled, and on
+    // very large heaps the first runs also pay OS page-commit cost),
+    // keeping the cold number visible too.
     System.gc() // shed the 26 queries' garbage before the throughput metric
-    val refCold = timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath))
-    val refWarm = timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath))
+    val refRuns = (1 to 5).map(_ =>
+      timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath)))
     val results = results0 ++ Seq(
-      "ref_wordcount_12m" -> math.min(refCold, refWarm),
-      "ref_wordcount_12m_cold" -> refCold)
+      "ref_wordcount_12m" -> refRuns.min,
+      "ref_wordcount_12m_cold" -> refRuns.head)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

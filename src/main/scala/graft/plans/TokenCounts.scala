@@ -38,6 +38,95 @@ case class TokenCounts(text: Expression, child: LogicalPlan,
     copy(child = newChild)
 }
 
+/** Open-addressing (word -> count) map over byte slices: probe keys are
+  * (array, offset, len) views of the input line — ZERO allocation per
+  * token; key bytes are copied into a growable arena only on first
+  * insert (the reference's key-copy discipline, chash.c:163-165, minus
+  * its per-bucket mutexes — one map per partition, no sharing). Linear
+  * probing + cached hashes; doubles at 60% load.
+  *
+  * Allocation-free probing matters beyond CPU: the generic
+  * HashMap[UTF8String,_] formulation allocated ~12M probe objects per
+  * 12M-token run, and that churn is what made GC heuristics on very
+  * large heaps (driver-overridden -Xmx) collapse throughput 4-10x.
+  */
+private final class ByteSliceCounter(initialCapacity: Int) {
+  private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+  private var mask = cap - 1
+  private var table = new Array[Int](cap) // zero-filled; 0 = empty, entry e stored as e+1
+  private var size = 0
+
+  // parallel entry arrays (index = insertion order)
+  private var hashes = new Array[Int](cap / 2)
+  private var offs = new Array[Int](cap / 2)
+  private var lens = new Array[Int](cap / 2)
+  private var cnts = new Array[Long](cap / 2)
+  private var arena = new Array[Byte](1 << 16)
+  private var arenaPos = 0
+
+  @inline private def hash(b: Array[Byte], start: Int, len: Int): Int = {
+    var h = 0x811c9dc5 // FNV-1a
+    var i = start
+    val end = start + len
+    while (i < end) { h = (h ^ b(i)) * 0x01000193; i += 1 }
+    h
+  }
+
+  @inline private def eq(e: Int, b: Array[Byte], start: Int, len: Int): Boolean = {
+    if (lens(e) != len) return false
+    var i = 0
+    val o = offs(e)
+    while (i < len) { if (arena(o + i) != b(start + i)) return false; i += 1 }
+    true
+  }
+
+  def add(b: Array[Byte], start: Int, len: Int): Unit = {
+    val h = hash(b, start, len)
+    var idx = h & mask
+    while (true) {
+      val slot = table(idx)
+      if (slot == 0) { insert(idx, h, b, start, len); return }
+      val e = slot - 1
+      if (hashes(e) == h && eq(e, b, start, len)) { cnts(e) += 1; return }
+      idx = (idx + 1) & mask
+    }
+  }
+
+  private def insert(idx: Int, h: Int, b: Array[Byte], start: Int, len: Int): Unit = {
+    if (size == hashes.length) {
+      val n = size * 2
+      hashes = java.util.Arrays.copyOf(hashes, n)
+      offs = java.util.Arrays.copyOf(offs, n)
+      lens = java.util.Arrays.copyOf(lens, n)
+      cnts = java.util.Arrays.copyOf(cnts, n)
+    }
+    while (arenaPos + len > arena.length)
+      arena = java.util.Arrays.copyOf(arena, arena.length * 2)
+    System.arraycopy(b, start, arena, arenaPos, len)
+    hashes(size) = h; offs(size) = arenaPos; lens(size) = len; cnts(size) = 1L
+    arenaPos += len
+    table(idx) = size + 1
+    size += 1
+    if (size * 5 > cap * 3) grow()
+  }
+
+  private def grow(): Unit = {
+    cap *= 2; mask = cap - 1
+    table = new Array[Int](cap)
+    var e = 0
+    while (e < size) {
+      var idx = hashes(e) & mask
+      while (table(idx) != 0) idx = (idx + 1) & mask
+      table(idx) = e + 1
+      e += 1
+    }
+  }
+
+  def entryCount: Int = size
+  def entryKey(e: Int): UTF8String = UTF8String.fromBytes(arena, offs(e), lens(e))
+  def entryCnt(e: Int): Long = cnts(e)
+}
+
 case class TokenCountsExec(text: Expression, output: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
@@ -52,7 +141,7 @@ case class TokenCountsExec(text: Expression, output: Seq[Attribute],
     val childOutput = child.output
     child.execute().mapPartitions({ rows =>
       val bound = BindReferences.bindReference(textExpr, childOutput)
-      val counts = new java.util.HashMap[UTF8String, Array[Long]](1 << 15)
+      val counts = new ByteSliceCounter(1 << 15)
       rows.foreach { row =>
         val s = bound.eval(row).asInstanceOf[UTF8String]
         if (s != null) {
@@ -64,28 +153,21 @@ case class TokenCountsExec(text: Expression, output: Seq[Attribute],
             val isWord = i < n && isWordByte(bytes(i))
             if (isWord && tokStart < 0) tokStart = i
             else if (!isWord && tokStart >= 0) {
-              // zero-copy probe; copy key bytes only on first insert
-              val probe = UTF8String.fromBytes(bytes, tokStart, i - tokStart)
-              val cell = counts.get(probe)
-              if (cell == null)
-                counts.put(UTF8String.fromBytes(
-                  java.util.Arrays.copyOfRange(bytes, tokStart, i)), Array(1L))
-              else cell(0) += 1
+              counts.add(bytes, tokStart, i - tokStart)
               tokStart = -1
             }
             i += 1
           }
         }
       }
-      import scala.jdk.CollectionConverters._
       // emit UnsafeRows (downstream agg/exchange consume without
       // per-row conversion); projection buffer is safely reused
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(Array[org.apache.spark.sql.types.DataType](StringType, LongType))
       val out = new GenericInternalRow(2)
-      counts.entrySet().iterator().asScala.map { e =>
-        out.update(0, e.getKey)
-        out.update(1, e.getValue()(0))
+      (0 until counts.entryCount).iterator.map { e =>
+        out.update(0, counts.entryKey(e))
+        out.update(1, counts.entryCnt(e))
         proj(out): InternalRow
       }
     }, preservesPartitioning = false)
