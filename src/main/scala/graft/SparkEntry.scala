@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.Similarity,
     graft.queries.Multimodal,
-    graft.queries.EventsTime)
+    graft.queries.EventsTime,
+    graft.queries.Io)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

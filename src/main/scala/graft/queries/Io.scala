@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage: every round-trip WRITES a table out in a
+  * non-parquet format (or a partitioned parquet layout), READS it back,
+  * and produces an oracle-checked result — so both directions of each
+  * connector are under the value-compare gate, not just "it didn't
+  * throw". The reference's only format is raw bytes in / stdout out
+  * (/root/reference/src/main.c:74-110,172-174); these are the
+  * `DataFrameReader`/`DataFrameWriter` family that replaces it.
+  *
+  * Scale notes: all reads go through the same FileSourceScanExec path
+  * as parquet (splittable line formats -> full core fan-out);
+  * `io_partitioned_prune` additionally proves partition-directory
+  * pruning (the scan's `PartitionFilters`), which at 100 TB is the
+  * difference between touching 1/k of the files and all of them.
+  *
+  * Round-trips read back with the source table's own schema (not
+  * inference): schema drift would silently weaken the value compare.
+  */
+object Io extends QueryModule {
+
+  /** Exact integer cents of a 2-decimal money double (Relational's idiom). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  private def scratch(s: SparkSession, name: String): String = {
+    // per-JVM scratch; safe under concurrent Verify/Bench processes
+    s"target/io_scratch/${name}_${java.lang.ProcessHandle.current().pid()}"
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV out + back: quoting (names/comments may carry delimiters),
+    // header handling, and double text-round-trip (Java/Spark print
+    // doubles with round-trip-exact digits).
+    "io_csv_roundtrip" -> ((s, d) => {
+      val src = Tables.customer(s, d)
+      val path = scratch(s, "csv_customer")
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(src.schema).option("header", "true").csv(path)
+        .orderBy("c_custkey")
+    }),
+
+    // JSON lines out + back (the interchange format of most
+    // web-crawl / training-data pipelines).
+    "io_json_roundtrip" -> ((s, d) => {
+      val src = Tables.nation(s, d)
+      val path = scratch(s, "json_nation")
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path).orderBy("n_nationkey")
+    }),
+
+    // ORC out + back, with a post-read filter+agg so ORC's own
+    // predicate pushdown path runs too.
+    "io_orc_roundtrip" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val path = scratch(s, "orc_lineitem")
+      src.write.mode("overwrite").orc(path)
+      s.read.schema(src.schema).orc(path)
+        .filter(col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Hive-style partitioned parquet: write orders bucketed into
+    // o_orderpriority=... directories, read back filtering on the
+    // partition column -> directory pruning (PartitionFilters in the
+    // scan; only 1 of 5 directories is listed/read).
+    "io_partitioned_prune" -> ((s, d) => {
+      val src = Tables.orders(s, d)
+      val path = scratch(s, "part_orders")
+      src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "io_csv_roundtrip" -> """
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey""",
+
+    "io_json_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey""",
+
+    "io_orc_roundtrip" -> """
+      SELECT l_returnflag, count(1) AS n,
+             sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_price
+      FROM lineitem
+      WHERE l_quantity >= 30
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "io_partitioned_prune" -> """
+      SELECT o_orderstatus, count(1) AS n,
+             sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
+  )
+}

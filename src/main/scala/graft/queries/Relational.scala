@@ -436,6 +436,32 @@ object Relational extends QueryModule {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // -- HLL distinct-count sketch (TypedImperativeAggregate; constant
+    //    4 KiB mergeable buffer — see functions/HllDistinct.scala).
+    //    Deterministic but not SQL-reproducible -> rows-only check;
+    //    accuracy gated by HllSpec against exact counts ------------------
+    "q_hll_distinct" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.HllDistinct.hll(s,
+            col("l_partkey").cast("string")).as("hll_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    // -- unpivot / melt: wide measure columns -> (measure, value) rows.
+    //    Spark's stack() generator; values in exact integer cents --------
+    "q_unpivot" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(3,
+            'quantity',  CAST(round(l_quantity * 100) AS BIGINT),
+            'price',     CAST(round(l_extendedprice * 100) AS BIGINT),
+            'discount',  CAST(round(l_discount * 100) AS BIGINT))
+            AS (measure, v_cents)"""))
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
     // -- approximate/sketch aggregates (no oracle: engine sketches differ;
     //    driver records the weaker rows-only check) -----------------------
     "q_approx_sketch" -> ((s, d) =>
@@ -796,6 +822,22 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, measure, v_cents
+      FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               round(l_quantity * 100)::BIGINT AS v_cents
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price',
+               round(l_extendedprice * 100)::BIGINT
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               round(l_discount * 100)::BIGINT
+        FROM lineitem WHERE l_orderkey <= 100)
+      ORDER BY l_orderkey, l_linenumber, measure""",
 
     "q_udaf_wavg" -> """
       SELECT l_returnflag,
