@@ -83,6 +83,50 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * batch dimension table. The static side is re-planned per batch (so
+    * it can be a view over slowly-refreshed files) and is broadcast
+    * when small — no streaming state at all, unlike stream-stream
+    * joins. This is the 100 TB pattern for attaching dimensions to an
+    * event firehose.
+    */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Stream-stream LEFT OUTER join with event-time bounds: like
+    * [[streamStreamJoin]], but a left event with no match emits
+    * null-padded output once the watermark passes its join window (the
+    * engine can only then prove no future match exists). Both
+    * watermarks + the time-range predicate are mandatory — they bound
+    * the state AND define when outer results materialize.
+    */
+  def streamStreamLeftOuter(left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("r_ts") <= col("l_ts"),
+      "leftOuter")
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
+  }
+
+  /** foreachBatch sink: run an arbitrary batch write per micro-batch.
+    * `batchId` is the exactly-once hook — a sink that records the last
+    * committed id (or writes to an idempotent location derived from it)
+    * deduplicates replayed batches after failure recovery.
+    */
+  def sinkForeachBatch(df: DataFrame)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      write(batch.toDF(), batchId)
+    }
+
   /** Custom stateful operator: running per-user event count + last-seen
     * timestamp, emitted on every update (flatMapGroupsWithState).
     * The KeyValueGroupedDataset state machine is the extension slot for

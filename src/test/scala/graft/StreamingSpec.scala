@@ -168,4 +168,73 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains((2L, 1L, 50L)))
     } finally q.stop()
   }
+
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "US"), (2L, "DE")).toDF("dim_user", "country")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamStaticEnrich(
+      in.toDF().toDF("user_id", "event_type"), dim, "user_id", "dim_user")
+      .select("user_id", "event_type", "country")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      in.addData((1L, "click"), (3L, "view")) // 3 has no dim row -> null
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, "click", Some("US")), (3L, "view", None)))
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join emits null-padded rows after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.streamStreamLeftOuter(
+      clicks.toDF().toDF("user_id", "ts", "event_type"),
+      views.toDF().toDF("user_id", "ts", "event_type"),
+      watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sslo_out").start()
+    try {
+      views.addData((1L, ts("2024-01-01 00:00:00"), "view"))
+      clicks.addData((1L, ts("2024-01-01 00:05:00"), "click"), // matches
+        (2L, ts("2024-01-01 00:06:00"), "click")) // never matches
+      q.processAllAvailable()
+      // advance both watermarks far past the unmatched click's window so
+      // the engine can prove no future match and emit the outer row
+      views.addData((9L, ts("2024-01-01 02:00:00"), "view"))
+      clicks.addData((9L, ts("2024-01-01 02:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sslo_out").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[Timestamp]("r_ts")).map(_.toString)))
+        .toSet
+      assert(rows.contains((1L, Some("2024-01-01 00:00:00.0"))))
+      assert(rows.contains((2L, None))) // outer row for the unmatched click
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink writes idempotently by batch id") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val in = MemoryStream[String]
+    val q = Streaming.sinkForeachBatch(in.toDF()) { (batch, id) =>
+      // idempotent location derived from batchId: a replayed batch
+      // overwrites its own output instead of duplicating it
+      batch.write.mode("overwrite").parquet(s"$tmp/batch_id=$id")
+    }.outputMode("append").start()
+    try {
+      in.addData("r1", "r2")
+      q.processAllAvailable()
+      in.addData("r3")
+      q.processAllAvailable()
+      val back = spark.read.parquet(tmp)
+      assert(back.count() == 3L)
+      assert(back.select("batch_id").distinct().count() == 2L)
+    } finally q.stop()
+  }
 }
