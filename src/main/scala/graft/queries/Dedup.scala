@@ -105,15 +105,21 @@ object Dedup extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
-    // -- SimHash (16-bit, md5-digit bit votes) ----------------------------
+    // -- SimHash (16-bit votes over the low bits of a 60-bit md5 slice).
+    //    One hex->long parse per token, then the 16 per-bit +-1 votes are
+    //    pure long bitwise ops inside whole-stage codegen (the earlier
+    //    per-hex-digit substr/instr formulation did 16 string ops per
+    //    token and dominated the profile) ----------------------------------
     "dedup_simhash" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.TokenizeExplode.tokenize(s, lower(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok").cast("binary")))
+        // 15 hex chars = 60 bits: fits signed 64-bit in both engines
+        .withColumn("h",
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
       val bitSums = (1 to 16).map(j =>
-        sum(expr(s"((instr('0123456789abcdef', substr(h, $j, 1)) - 1) % 2) * 2 - 1"))
-          .as(s"b$j"))
+        sum(shiftright(col("h"), j - 1).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
       val votes = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       val simhash = (1 to 16)
         .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
@@ -226,14 +232,14 @@ object Dedup extends QueryModule {
 
     "dedup_simhash" -> {
       val bitSums = (1 to 16).map(j =>
-        s"sum(((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) % 2) * 2 - 1) AS b$j")
+        s"sum((((h >> ${j - 1}) & 1) * 2 - 1)) AS b$j")
         .mkString(",\n               ")
       val hashExpr = (1 to 16).map(j =>
         s"(CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
         .mkString(" + ")
       s"""
       WITH tok AS (
-        SELECT doc_id, md5(t.tok) AS h
+        SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
         FROM (SELECT doc_id, unnest($sqlToksL) AS tok FROM documents) t),
       votes AS (
         SELECT doc_id,
