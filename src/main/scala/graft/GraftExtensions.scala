@@ -41,6 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName,
+        "graft_kmv_distinct"),
+      (exprs: Seq[Expression]) => graft.functions.KmvDistinct(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(classOf[graft.functions.HllDistinct].getName,
+        "graft_hll_distinct"),
+      (exprs: Seq[Expression]) => graft.functions.HllDistinct(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue()
+        else 12)))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -32,6 +32,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(t.toSeq == Seq("a", "b", "42"))
   }
 
+  test("sketch aggregates callable from SQL via extensions") {
+    graft.functions.KmvDistinct.register(spark)
+    graft.functions.HllDistinct.register(spark)
+    spark.range(0, 1000, 1, 4).createOrReplaceTempView("ext_ids")
+    val r = spark.sql("""
+      SELECT graft_hll_distinct(CAST(id AS STRING)) AS h,
+             graft_kmv_distinct(CAST(id AS STRING), 16) AS k
+      FROM ext_ids""").collect().head
+    assert(math.abs(r.getLong(0) - 1000L) < 30)
+    assert(r.getDouble(1) > 500.0) // KMV estimate in a sane band
+  }
+
   test("SimplifySelfCosine folds cosine(x, x) to 1.0 in the plan") {
     Vectors.register(spark)
     val v = array(lit(3.0f), lit(4.0f)) // non-nullable child
