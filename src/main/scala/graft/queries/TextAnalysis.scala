@@ -148,6 +148,74 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(30)),
 
+    // -- within-document repetition (Gopher/MassiveText-style quality
+    //    signal): duplicated-trigram fraction per doc. Generator pass ->
+    //    count + count-distinct per doc; docs shorter than one trigram
+    //    join back with zero counts ---------------------------------------
+    "txt_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tri = docs
+        .select(col("doc_id"),
+          graft.functions.NgramExplode.ngrams(s, lower(col("text")), 3).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"), countDistinct(col("g")).as("nd"))
+      docs.select(col("doc_id")).join(tri, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nt"), lit(0L)).as("n_trigrams"),
+          coalesce(col("nd"), lit(0L)).as("n_distinct"),
+          when(coalesce(col("nt"), lit(0L)) === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("nd").cast("double") / col("nt"))
+            .as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // -- PII-style normalization pass: count + redact emails, URLs and
+    //    digit runs (one regexp_count/replace chain, codegen'd; patterns
+    //    chosen to mean the same thing in Java regex and RE2) -------------
+    "txt_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ \\t\\n]+"
+      val num = "[0-9]+"
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          url, "<URL>"),
+        num, "<NUM>")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
+          regexp_count(col("text"), lit(num)).cast("long").as("n_nums"),
+          md5(redacted.cast("binary")).as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // -- end-to-end corpus curation (the composed pipeline a training-data
+    //    user actually runs): quality-filter -> fingerprint-dedup (keep
+    //    lowest doc_id) -> per-language corpus stats. One tokenize pass,
+    //    one dedup shuffle, one agg -----------------------------------------
+    "pipe_curation" -> ((s, d) => {
+      val nTok = size(toks).cast("long")
+      val nStop = stopCount(toks)
+      val nDist = size(array_distinct(toks)).cast("long")
+      val quality = (nStop.cast("double") / nTok) * 0.5 +
+        (nDist.cast("double") / nTok) * 0.3 +
+        when(nTok >= 50, 0.2).otherwise(0.0)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          nTok.as("n_tokens"), quality.as("q"))
+        .filter(col("q") >= 0.30)
+      val w = Window
+        .partitionBy(graft.operators.DedupOps.fingerprint(col("text")))
+        .orderBy("doc_id")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // -- TF-IDF: top terms per document (integer-scaled scores) -----------
     "txt_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -258,6 +326,60 @@ object TextAnalysis extends QueryModule {
              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
       FROM documents
       ORDER BY doc_id""",
+
+    "txt_repetition" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToksLower AS toks FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM t WHERE len(toks) >= 3),
+      agg AS (SELECT doc_id, count(1) AS nt, count(DISTINCT g) AS nd
+              FROM g GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(a.nt, 0) AS n_trigrams,
+             coalesce(a.nd, 0) AS n_distinct,
+             CASE WHEN coalesce(a.nt, 0) = 0 THEN 0.0
+                  ELSE 1.0 - a.nd::DOUBLE / a.nt END AS dup_ratio
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    "txt_redact" -> """
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ \t\n]+', '<URL>', 'g'),
+               '[0-9]+', '<NUM>', 'g')) AS redacted_hash
+      FROM documents
+      ORDER BY doc_id""",
+
+    "pipe_curation" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               len($sqlToks) AS n_tokens,
+               len(list_filter($sqlToks, t -> t IN ($stopwordsSql))) AS n_stop,
+               len(list_distinct($sqlToks)) AS n_dist
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, text, n_tokens,
+               (n_stop::DOUBLE / n_tokens) * 0.5
+                 + (n_dist::DOUBLE / n_tokens) * 0.3
+                 + (CASE WHEN n_tokens >= 50 THEN 0.2 ELSE 0.0 END) AS q
+        FROM t WHERE n_tokens > 0),
+      kept AS (
+        SELECT lang, n_tokens,
+               row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM scored WHERE q >= 0.30)
+      SELECT lang, count(1) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+      FROM kept WHERE rn = 1
+      GROUP BY lang
+      ORDER BY lang""",
 
     "txt_bigrams" -> s"""
       WITH t AS (SELECT $sqlToks AS toks FROM documents),
