@@ -48,6 +48,32 @@ object Bench {
   def refWordcount12m(spark: SparkSession, path: String): DataFrame =
     graft.operators.WordCount.counts(spark.read.text(path), col("value"))
 
+  /** Scaled dedup corpus: documents x20 (even replicas exact copies,
+    * odd replicas near-dups with one appended token) — at sf0.1 that's
+    * 100k docs / ~20M shingles, a real workout for the MinHash+LSH
+    * path, whose input table is otherwise tiny at test SFs. Written
+    * once (untimed); the timed query reads parquet like production.
+    */
+  def prepareScaledDocs(spark: SparkSession, sfDir: String): String = {
+    val path = "target/bench_scratch/docs_x20"
+    if (!new java.io.File(path).exists()) {
+      graft.Tables.documents(spark, sfDir)
+        .select(explode(sequence(lit(0), lit(19))).as("rep"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * 100 + col("rep")).as("doc_id"),
+          when(col("rep") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rep"),
+              col("rep").cast("string"))).as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  def scaledMinhash(spark: SparkSession, path: String): DataFrame =
+    graft.queries.Dedup.minhashPairsFrom(spark.read.parquet(path),
+      ordered = false)
+
   private def runOnce(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
@@ -100,15 +126,21 @@ object Bench {
     val refRuns = (1 to 5).map(_ =>
       timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath)))
     spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+    // Scaled dedup throughput: MinHash+LSH pairs over documents x20
+    // (exact + near dups), steady state of two runs.
+    val scaledPath = prepareScaledDocs(spark, sfDir)
+    val mh = (1 to 2).map(_ =>
+      timeOne("scaled_minhash_x20", () => scaledMinhash(spark, scaledPath)))
     val results = results0 ++ Seq(
       "ref_wordcount_12m" -> refRuns.min,
-      "ref_wordcount_12m_cold" -> refRuns.head)
+      "ref_wordcount_12m_cold" -> refRuns.head,
+      "scaled_minhash_x20" -> mh.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: the *_cold entry is informational
-    val total = results0.map(_._2).sum + refRuns.min
-    val totalCold = (cold.map(_._2) :+ refRuns.head).sum
+    val total = results0.map(_._2).sum + refRuns.min + mh.min
+    val totalCold = (cold.map(_._2) :+ refRuns.head :+ mh.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

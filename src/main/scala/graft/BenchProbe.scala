@@ -18,8 +18,90 @@ object BenchProbe {
       if (name == "ref") {
         val p = Bench.prepareRefCorpus(spark)
         Bench.refWordcount12m(spark, p)
+      } else if (name == "scaledmh") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        Bench.scaledMinhash(spark, p)
+      } else if (name == "scaledsig") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.operators.DedupOps.minhashSignatures(
+          spark.read.parquet(p), "doc_id", org.apache.spark.sql.functions.col("text"), 3, 16)
+      } else if (name == "scaledjoin") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        import org.apache.spark.sql.functions._
+        val base = graft.operators.DedupOps.minhashSignatures(
+          spark.read.parquet(p), "doc_id", col("text"), 3, 16)
+        val banded = base.select(col("doc_id"), col("sig"),
+            posexplode(graft.operators.DedupOps.bandKeys(col("sig"), 4, 4)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        val a = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
+        val b = banded.select(col("band"), col("bkey"), col("doc_id").as("b_id"), col("sig").as("b_sig"))
+        a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
       } else SparkEntry.queries(name)(spark, sfDir)
 
+    if (name == "scaledparts") {
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      import org.apache.spark.sql.functions._
+      val base = graft.operators.DedupOps.minhashSignatures(
+        spark.read.parquet(p), "doc_id", col("text"), 3, 16)
+      val banded = base.select(col("doc_id"), col("sig"),
+          posexplode(graft.operators.DedupOps.bandKeys(col("sig"), 4, 4)))
+        .select(col("doc_id"), col("sig"), xxhash64(col("pos"), col("col")).as("bh"))
+      val n = spark.sessionState.conf.numShufflePartitions
+      val a = banded.select(col("bh"), col("doc_id").as("a_id")).repartition(n, col("bh"))
+      val b = banded.select(col("bh"), col("doc_id").as("b_id")).repartition(n, col("bh"))
+      val pairs = a.join(b, Seq("bh")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      time("pairs+dedup only")(pairs)
+      val aSig = broadcast(base.select(col("doc_id").as("a_id"), col("sig").as("a_sig")))
+      val bSig = broadcast(base.select(col("doc_id").as("b_id"), col("sig").as("b_sig")))
+      time("pairs+dedup+joins")(pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
+        .select("a_id", "b_id"))
+      time("full incl est")(pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.operators.DedupOps.estJaccard(col("a_sig"), col("b_sig"), 16).as("e"))
+        .filter(col("e") >= 0.5))
+      spark.stop(); return
+    }
+    if (name == "scaledcount") {
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      import org.apache.spark.sql.functions._
+      val base = graft.operators.DedupOps.minhashSignatures(
+        spark.read.parquet(p), "doc_id", col("text"), 3, 16)
+      val banded = base.select(col("doc_id"), col("sig"),
+          posexplode(graft.operators.DedupOps.bandKeys(col("sig"), 4, 4)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val a = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+      val b = banded.select(col("band"), col("bkey"), col("doc_id").as("b_id"))
+      val raw = a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+      println(s"[probe] raw pairs: ${raw.count()}")
+      println(s"[probe] uniq pairs: ${raw.select("a_id", "b_id").distinct().count()}")
+      spark.stop(); return
+    }
+    if (name == "scaledstages") {
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+            f"dur=${ms.getOrElse(-1L)}%6d ms  in=${si.taskMetrics.inputMetrics.recordsRead}%10d " +
+            f"shufR=${si.taskMetrics.shuffleReadMetrics.recordsRead}%10d " +
+            f"shufW=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%10d  ${si.name.take(60)}")
+        }
+      })
+      val t0 = System.nanoTime()
+      Bench.scaledMinhash(spark, p).write.mode("overwrite").format("noop").save()
+      println(f"[probe] scaledmh total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      Thread.sleep(2000)
+      spark.stop(); return
+    }
     if (name == "refsweep") {
       // one JVM, alternating maxPartitionBytes: JIT/GC state is shared,
       // so differences are attributable to the scan split size

@@ -68,10 +68,15 @@ object DedupOps {
       array_join(slice(sigCol, b * rowsPer + 1, rowsPer).cast("array<string>"), "|")
     }: _*)
 
-  /** Estimated Jaccard from two k-signatures: matching fraction. */
+  /** Estimated Jaccard from two k-signatures: matching fraction.
+    * Unrolled to k element_at comparisons — Spark's array HOFs
+    * (aggregate/zip_with) are CodegenFallback, and on millions of
+    * candidate pairs the interpreted fold dominated the profile; the
+    * unrolled form stays inside whole-stage codegen.
+    */
   def estJaccard(a: Column, b: Column, k: Int): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / k.toDouble
+    (1 to k).map(i => when(element_at(a, i) === element_at(b, i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k.toDouble
 
   /** Exact Jaccard similarity of two pre-deduplicated string arrays. */
   def jaccard(a: Column, b: Column): Column =

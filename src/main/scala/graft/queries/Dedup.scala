@@ -23,6 +23,71 @@ object Dedup extends QueryModule {
   private val BANDS = 4
   private val ROWS = 4 // rows per band; BANDS*ROWS == K
 
+  /** The full MinHash+LSH near-dup pair pipeline over any (doc_id, text)
+    * frame — shared by the oracle query and the scaled bench workload.
+    *
+    * Pair generation is the classic LSH band-key SELF-JOIN, staged so
+    * every heavy step moves only primitive columns:
+    *  1. band join carries (band, bkey, doc_id) — no signatures — so a
+    *     clique-heavy corpus streams pairs through codegen'd SMJ with
+    *     AQE skew-splitting, ~24 bytes/row;
+    *  2. dropDuplicates((a,b)) on the two id longs (codegen
+    *     HashAggregate) BEFORE any scoring — each unique candidate is
+    *     scored once, not once per shared band;
+    *  3. signatures join back onto the deduped pairs (the signature
+    *     frame is |corpus|-sized, tiny next to the pair stream; at
+    *     broadcastable sizes AQE turns these into broadcast joins);
+    *  4. unrolled codegen'd estJaccard, threshold filter, total order.
+    * Earlier formulations — collect_list + interpreted nested-transform
+    * combos (quadratic per bucket, interpreted), then a join carrying
+    * both 16-long signatures through the pair dedup (GB-scale shuffle +
+    * non-codegen first(array) aggregate) — collapsed on corpora with
+    * large duplicate cliques: 75-128 s where this takes seconds.
+    */
+  def minhashPairsFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val base = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 3, K)
+    // Bucket key = xxhash64(band index, band values): a single long the
+    // join sorts/compares ~10x cheaper than the multi-hash strings. A
+    // 2^-64 key collision can only ADD a candidate pair, and candidates
+    // are gated by est_jaccard >= 0.5 downstream — semantics preserved.
+    val banded = base
+      .select(col("doc_id"), col("sig"),
+        posexplode(DedupOps.bandKeys(col("sig"), BANDS, ROWS)))
+      .select(col("doc_id"), col("sig"),
+        xxhash64(col("pos"), col("col")).as("bh"))
+    // explicit co-partitioning at FIXED width: the pair-generating join
+    // must run across all shuffle partitions — sized by its quadratic
+    // OUTPUT, which AQE cannot see coming. Both a column-only
+    // repartition and plain ENSURE_REQUIREMENTS exchanges get coalesced
+    // down to a handful of tasks by the tiny input size, and the pair
+    // stream inherits that narrow parallelism.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val a = banded.select(col("bh"), col("doc_id").as("a_id"))
+      .repartition(nPart, col("bh"))
+    val b = banded.select(col("bh"), col("doc_id").as("b_id"))
+      .repartition(nPart, col("bh"))
+    val pairs = a.join(b, Seq("bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    // signatures re-attach via explicit broadcast of the |corpus|-sized
+    // frame — NEVER the pair stream (AQE, estimating only the deduped
+    // row count, otherwise collects millions of pairs to the driver as
+    // a broadcast table). At corpus sizes past broadcast reach, drop
+    // the hint and these become doc_id shuffle joins.
+    val aSig = broadcast(base.select(col("doc_id").as("a_id"), col("sig").as("a_sig")))
+    val bSig = broadcast(base.select(col("doc_id").as("b_id"), col("sig").as("b_sig")))
+    val scored = pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        DedupOps.estJaccard(col("a_sig"), col("b_sig"), K).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+    // global sort is for the deterministic oracle compare; a production
+    // pipeline writes the pair set unsorted — and a range exchange runs
+    // its child TWICE (bounds sampling + shuffle), so the bench variant
+    // skips it
+    if (ordered) scored.orderBy("a_id", "b_id") else scored
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup over raw text (with injected duplicates) -------------
     "dedup_exact" -> ((s, d) => {
@@ -55,39 +120,11 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")),
 
     // -- MinHash + LSH candidate pairs with estimated Jaccard -------------
-    // Pair generation is bucket-local: band keys -> ONE shuffle grouping
-    // (doc, sig) per bucket -> in-bucket pair explosion. The signature
-    // pipeline runs exactly once (a self-join would recompute it per
-    // side), and the cross-product is bounded by bucket size — the only
-    // O(n^2) anywhere is within an LSH collision bucket, which is the
-    // whole point of banding. (Production guard for adversarial skew:
-    // cap bucket size before exploding.)
-    "dedup_minhash_pairs" -> ((s, d) => {
-      val base = DedupOps.minhashSignatures(
-        Tables.documents(s, d), "doc_id", col("text"), 3, K)
-      val banded = base
-        .select(col("doc_id"), col("sig"),
-          posexplode(DedupOps.bandKeys(col("sig"), BANDS, ROWS)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bkey")
-      val buckets = banded.groupBy("band", "bkey")
-        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
-        .filter(size(col("ms")) > 1)
-      // ordered index pairs (i < j) within each bucket
-      val combos = flatten(transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        transform(sequence(i + 1, size(col("ms")) - 1), j =>
-          struct(element_at(col("ms"), i + 1).as("x"),
-            element_at(col("ms"), j + 1).as("y")))))
-      val norm = when(col("p.x.doc_id") < col("p.y.doc_id"), col("p"))
-        .otherwise(struct(col("p.y").as("x"), col("p.x").as("y")))
-      buckets.select(explode(combos).as("p"))
-        .select(norm.as("p"))
-        .select(col("p.x.doc_id").as("a_id"), col("p.y.doc_id").as("b_id"),
-          DedupOps.estJaccard(col("p.x.sig"), col("p.y.sig"), K).as("est_jaccard"))
-        .distinct()
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy("a_id", "b_id")
-    }),
+    // See minhashPairsFrom for the staged scale shape (hashed band-key
+    // self-join at fixed width -> id-only pair dedup -> broadcast
+    // signature re-attach -> codegen'd Jaccard estimate).
+    "dedup_minhash_pairs" -> ((s, d) =>
+      minhashPairsFrom(Tables.documents(s, d))),
 
     // -- exact n-gram Jaccard over prefix-blocked candidates --------------
     "dedup_jaccard_pairs" -> ((s, d) => {
