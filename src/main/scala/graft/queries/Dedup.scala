@@ -88,6 +88,47 @@ object Dedup extends QueryModule {
     if (ordered) scored.orderBy("a_id", "b_id") else scored
   }
 
+  /** Connected components over the near-dup pair graph: every document
+    * labeled with the smallest doc_id reachable through minhash-LSH
+    * pair edges — i.e. the dedup CLUSTER representative (singletons
+    * label themselves). This is the step that turns pairwise dedup
+    * output into keep/drop decisions.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels, until a round
+    * changes nothing (<= graph diameter rounds; near-dup clusters are
+    * clique-ish, so 2-4 in practice). This is the standard shuffle-based
+    * large-graph CC shape (one edges-labels join + min-agg per round —
+    * cf. Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"); `localCheckpoint` truncates lineage so the loop's plan
+    * stays flat instead of growing by one join per round.
+    */
+  def clustersFrom(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairsFrom(docs, ordered = false).select("a_id", "b_id")
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy("src").agg(min("label").as("nbr_min"))
+      val next = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("next_label"))
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("id"), col("next_label").as("label"))
+        .localCheckpoint()
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup over raw text (with injected duplicates) -------------
     "dedup_exact" -> ((s, d) => {
@@ -125,6 +166,10 @@ object Dedup extends QueryModule {
     // signature re-attach -> codegen'd Jaccard estimate).
     "dedup_minhash_pairs" -> ((s, d) =>
       minhashPairsFrom(Tables.documents(s, d))),
+
+    // -- dedup clustering: pair graph -> connected components -------------
+    "dedup_clusters" -> ((s, d) =>
+      clustersFrom(Tables.documents(s, d))),
 
     // -- exact n-gram Jaccard over prefix-blocked candidates --------------
     "dedup_jaccard_pairs" -> ((s, d) => {
@@ -208,6 +253,30 @@ object Dedup extends QueryModule {
            sg AS (SELECT doc_id, $mins AS sig FROM hh GROUP BY doc_id)"""
   }
 
+  /** The MinHash+LSH pair oracle, optionally without its final total
+    * order so it can embed as a derived table (dedup_clusters).
+    */
+  private def minhashPairsSql(ordered: Boolean): String = s"""
+      WITH $sqlSigCtes,
+           bands AS (
+             SELECT doc_id, sig, bb.b AS band,
+                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
+             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.sig AS a_sig, b.sig AS b_sig
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+             list_aggregate(list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+               / $K.0 AS est_jaccard
+      FROM cand
+      WHERE list_aggregate(list_transform(range(1, ${K + 1}),
+              i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+              / $K.0 >= 0.5
+      ${if (ordered) "ORDER BY a_id, b_id" else ""}"""
+
   override def oracles: Map[String, String] = Map(
     "dedup_exact" -> """
       WITH all_docs AS (
@@ -233,26 +302,22 @@ object Dedup extends QueryModule {
       FROM sg
       ORDER BY doc_id""",
 
-    "dedup_minhash_pairs" -> s"""
-      WITH $sqlSigCtes,
-           bands AS (
-             SELECT doc_id, sig, bb.b AS band,
-                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
-             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
-           cand AS (
-             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-                    a.sig AS a_sig, b.sig AS b_sig
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-      SELECT a_id, b_id,
-             list_aggregate(list_transform(range(1, ${K + 1}),
-               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
-               / $K.0 AS est_jaccard
-      FROM cand
-      WHERE list_aggregate(list_transform(range(1, ${K + 1}),
-              i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
-              / $K.0 >= 0.5
-      ORDER BY a_id, b_id""",
+    "dedup_minhash_pairs" -> minhashPairsSql(ordered = true),
+
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE
+        p AS (SELECT a_id, b_id FROM (${minhashPairsSql(ordered = false)}) mp),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst FROM p),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src)
+      SELECT id AS doc_id, min(r) AS cluster
+      FROM reach
+      GROUP BY id
+      ORDER BY doc_id""",
 
     "dedup_jaccard_pairs" -> s"""
       WITH t AS (
