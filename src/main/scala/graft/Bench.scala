@@ -48,6 +48,30 @@ object Bench {
   def refWordcount12m(spark: SparkSession, path: String): DataFrame =
     graft.operators.WordCount.counts(spark.read.text(path), col("value"))
 
+  /** BASELINE.md workload B equivalent: ~2M tokens from a 24-word
+    * vocabulary with mixed separators (~12 MB). The extreme-skew
+    * counterpoint to workload A: map-side partial aggregation collapses
+    * every partition to <= 24 rows, so the shuffle is O(partitions),
+    * not O(tokens) — the case the reference's 5000-bucket shared map
+    * handles with ~20-deep chains and mutex contention.
+    */
+  def prepareRefCorpusB(spark: SparkSession): String = {
+    val path = "target/bench_scratch/ref_corpus_2m"
+    if (!new java.io.File(path).exists()) {
+      val vocab = array((0 until 24).map(i => lit(s"word$i")): _*)
+      val seps = array(lit(" "), lit("  "), lit("\t"), lit(", "), lit(". "))
+      val pieces = (0 until 10).flatMap { i =>
+        val w = element_at(vocab, pmod(hash(col("id") * 10 + i), lit(24)) + 1)
+        val sp = element_at(seps, pmod(hash(col("id") * 10 + i, lit(7)), lit(5)) + 1)
+        Seq(w, sp)
+      }
+      spark.range(0, 200000L, 1, 32)
+        .select(concat(pieces: _*).as("value"))
+        .write.mode("overwrite").text(path)
+    }
+    path
+  }
+
   /** Scaled dedup corpus: documents x20 (even replicas exact copies,
     * odd replicas near-dups with one appended token) — at sf0.1 that's
     * 100k docs / ~20M shingles, a real workout for the MinHash+LSH
@@ -125,6 +149,10 @@ object Bench {
     spark.conf.set("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
     val refRuns = (1 to 5).map(_ =>
       timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath)))
+    val refBPath = prepareRefCorpusB(spark)
+    val refBRuns = (1 to 5).map(_ =>
+      timeOne("ref_wordcount_2m_skew",
+        () => refWordcount12m(spark, refBPath)))
     spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
     // Scaled dedup throughput: MinHash+LSH pairs over documents x20
     // (exact + near dups), steady state of two runs.
@@ -134,13 +162,14 @@ object Bench {
     val results = results0 ++ Seq(
       "ref_wordcount_12m" -> refRuns.min,
       "ref_wordcount_12m_cold" -> refRuns.head,
+      "ref_wordcount_2m_skew" -> refBRuns.min,
       "scaled_minhash_x20" -> mh.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: the *_cold entry is informational
-    val total = results0.map(_._2).sum + refRuns.min + mh.min
-    val totalCold = (cold.map(_._2) :+ refRuns.head :+ mh.head).sum
+    val total = results0.map(_._2).sum + refRuns.min + refBRuns.min + mh.min
+    val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+ mh.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

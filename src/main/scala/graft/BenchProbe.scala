@@ -18,6 +18,9 @@ object BenchProbe {
       if (name == "ref") {
         val p = Bench.prepareRefCorpus(spark)
         Bench.refWordcount12m(spark, p)
+      } else if (name == "refb") {
+        val p = Bench.prepareRefCorpusB(spark)
+        Bench.refWordcount12m(spark, p)
       } else if (name == "scaledmh") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.scaledMinhash(spark, p)

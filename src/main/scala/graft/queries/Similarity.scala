@@ -33,7 +33,9 @@ object Similarity extends QueryModule {
   private val TOPK = 10
   private val NPROBE = 2
   private val IVFK = 5
-  private val NPLANES = 8 // LSH: hyperplanes -> 2^8 sign buckets
+  private val NPLANES = 8 // deterministic hyperplane pool (shared by LSH tables)
+  private val LSH_TABLES = 2 // multi-table LSH: independent signatures
+  private val LSH_PLANES_PER = 4 // planes per table -> 2^4 buckets each
   private val DIM = 64
 
   /** Deterministic pseudo-random hyperplanes, derived from md5 so the
@@ -72,32 +74,43 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
-    // -- LSH-bucketed approximate top-k (random hyperplane signs) ---------
-    // Index: 8 deterministic hyperplanes -> 8-bit sign signature per
-    // vector -> candidates share the bucket. One shuffle on bucket id;
-    // scan pruned to |bucket| instead of the corpus.
+    // -- multi-table LSH approximate top-k (random hyperplane signs) ------
+    // Index: NTABLES independent 4-plane sign signatures per vector
+    // (planes [4t, 4t+4) of the shared deterministic set); a candidate
+    // shares ANY table's bucket with the query. Multi-table is the
+    // published recall lever for sign-LSH — a single fine signature
+    // (2^8 buckets over a corpus of hundreds) left every bucket nearly
+    // empty and recall@5 at ~0 (caught by AnnRecallSpec, which gates
+    // recall against sim_brute_topk). Candidates are deduped across
+    // tables BEFORE ranking so each pair is scored once.
     "sim_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      def bucket(v: Column): Column = (0 until NPLANES).map { j =>
-        val hp = array(hyperplanes(j).map(lit): _*)
+      def bucketT(v: Column, t: Int): Column = (0 until LSH_PLANES_PER).map { jj =>
+        val hp = array(hyperplanes(t * LSH_PLANES_PER + jj).map(lit): _*)
         val dot = aggregate(
           zip_with(v, hp, (x, h) => x.cast("double") * h.cast("double")),
           lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+        when(dot > 0, lit(1L << jj)).otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = e.select(col("vec_id"), col("embedding"),
-        bucket(col("embedding")).as("bucket"))
+        posexplode(array((0 until LSH_TABLES).map(t =>
+          bucketT(col("embedding"), t)): _*)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
       val q = sigs.filter(col("vec_id") < NQUERIES)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"), col("bucket"))
+        .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
+          col("vec_id").as("q_id"), col("embedding").as("q_v"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("icos_e6").desc, col("vec_id"))
-      sigs.join(broadcast(q), "bucket")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("bucket"),
+      sigs.join(broadcast(q),
+          col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
           Vectors.cosineScaled(s, col("q_v"), col("embedding")).as("icos_e6"))
+        .dropDuplicates("q_id", "vec_id")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= IVFK)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("bucket"), col("icos_e6"))
+        .select(col("q_id"), col("rk"), col("vec_id"), col("icos_e6"))
         .orderBy("q_id", "rk")
     }),
 
@@ -167,29 +180,32 @@ object Similarity extends QueryModule {
       ORDER BY q_id, rk""",
 
     "sim_lsh_topk" -> {
-      val bucketExpr = (0 until NPLANES).map { j =>
-        val hpList = hyperplanes(j).mkString("[", ", ", "]")
+      def bucketExpr(t: Int) = (0 until LSH_PLANES_PER).map { jj =>
+        val hpList = hyperplanes(t * LSH_PLANES_PER + jj).mkString("[", ", ", "]")
         s"""(CASE WHEN list_aggregate(list_transform(range(1, ${DIM + 1}),
              i -> v[i]::DOUBLE * ($hpList)[i]::DOUBLE), 'sum') > 0
-             THEN ${1L << j} ELSE 0 END)"""
+             THEN ${1L << jj} ELSE 0 END)"""
       }.mkString(" + ")
+      val tables = (0 until LSH_TABLES).map(t =>
+        s"SELECT vec_id, v, $t AS tbl, (${bucketExpr(t)})::BIGINT AS bucket FROM e")
+        .mkString("\n           UNION ALL\n           ")
       s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                  FROM embeddings),
-           sigs AS (SELECT vec_id, v, ($bucketExpr)::BIGINT AS bucket FROM e),
-           q AS (SELECT vec_id AS q_id, v AS q_v, bucket FROM sigs
+           sigs AS ($tables),
+           q AS (SELECT tbl, bucket, vec_id AS q_id, v AS q_v FROM sigs
                  WHERE vec_id < $NQUERIES),
            cand AS (
-             SELECT q.q_id, s.vec_id, s.bucket,
+             SELECT DISTINCT q.q_id, s.vec_id,
                     ${sqlCos.format("q.q_v", "s.v")} AS icos_e6
-             FROM sigs s JOIN q ON s.bucket = q.bucket
+             FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket
              WHERE s.vec_id <> q.q_id),
            ranked AS (
-             SELECT q_id, vec_id, bucket, icos_e6,
+             SELECT q_id, vec_id, icos_e6,
                     row_number() OVER (PARTITION BY q_id
                                        ORDER BY icos_e6 DESC, vec_id) AS rk
              FROM cand)
-      SELECT q_id, rk, vec_id, bucket, icos_e6
+      SELECT q_id, rk, vec_id, icos_e6
       FROM ranked WHERE rk <= $IVFK
       ORDER BY q_id, rk"""
     },

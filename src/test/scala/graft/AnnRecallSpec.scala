@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall gate for the approximate similarity-search paths: the oracle
+  * proves they compute THEIR OWN definition exactly; this spec proves
+  * that definition is a useful ANN — each approximate method must
+  * recover a floor fraction of the exact brute-force neighbors.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  /** (q_id, rk, vec_id, ...) result -> q_id -> top-k vec_id set */
+  private def byQuery(name: String, k: Int): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Number]("rk").intValue(),
+        r.getAs[Long]("vec_id")))
+      .filter(_._2 <= k)
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(_._3).toSet }
+
+  private def recallAt(k: Int, approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("IVF nprobe=2 recovers most exact top-5 neighbors") {
+    val exact = byQuery("sim_brute_topk", 5)
+    val ivf = byQuery("sim_ivf_topk", 5)
+    val r = recallAt(5, ivf, exact)
+    assert(r >= 0.5, s"IVF recall@5 = $r")
+  }
+
+  test("LSH buckets recover a useful fraction of exact top-5") {
+    val exact = byQuery("sim_brute_topk", 5)
+    val lsh = byQuery("sim_lsh_topk", 5)
+    val r = recallAt(5, lsh, exact)
+    // single-table 8-plane LSH is the cheap/recall-light end by design
+    assert(r >= 0.15, s"LSH recall@5 = $r")
+  }
+
+  test("brute force is self-consistent: 5 queries x full top-10") {
+    val exact = byQuery("sim_brute_topk", 10)
+    assert(exact.size == 5 && exact.values.forall(_.size == 10))
+  }
+}
