@@ -62,4 +62,66 @@ object AsofJoin {
           outNames.map(o => last(col(o), ignoreNulls = true).over(w).as(o)): _*)
     filled.filter(col("_tag") === 1).drop("_tag")
   }
+
+  /** Forward as-of join: attach the payload of the EARLIEST right row
+    * with the same key and `right.ts >= left.ts` (ties match). Mirror
+    * image of [[asofBackward]]: left rows sort before right rows at
+    * equal ts (so same-ts rights are in frame), and the running window
+    * looks forward with `first(payload, ignoreNulls)`. Same single
+    * shuffle + sort cost shape.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String],
+      rename: Map[String, String]): DataFrame = {
+    val outNames = payload.map(p => rename.getOrElse(p, p))
+    val leftCols = left.columns.filterNot(c => c == key || c == ts).toSeq
+
+    val taggedRight = right.select(
+      Seq(col(key), col(ts), lit(1).as("_tag")) ++
+        payload.zip(outNames).map { case (p, o) => col(p).as(o) } ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(ts), lit(0).as("_tag")) ++
+        payload.zip(outNames).map { case (p, o) =>
+          lit(null).cast(right.schema(p).dataType).as(o)
+        } ++
+        leftCols.map(col): _*)
+
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = taggedRight.unionByName(taggedLeft)
+      .select(
+        Seq(col(key), col(ts), col("_tag")) ++
+          leftCols.map(col) ++
+          outNames.map(o => first(col(o), ignoreNulls = true).over(w).as(o)): _*)
+    filled.filter(col("_tag") === 0).drop("_tag")
+  }
+
+  /** Backward as-of join with a maximum lookback: matches further than
+    * `toleranceUs` behind the left timestamp are nulled out (the
+    * standard as-of tolerance knob; `ts` must be numeric, e.g. epoch
+    * micros). Composes [[asofBackward]]: the matched right timestamp
+    * rides along as an extra payload and gates every output column.
+    */
+  def asofBackwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String],
+      rename: Map[String, String],
+      toleranceUs: Long): DataFrame = {
+    val rts = "_asof_rts"
+    val joined = asofBackward(left, right.withColumn(rts, col(ts)),
+      key, ts, payload :+ rts, rename)
+    val outNames = payload.map(p => rename.getOrElse(p, p))
+    outNames.foldLeft(joined) { (df, o) =>
+      // no-match (rts null) keeps null via three-valued logic
+      df.withColumn(o, when(col(ts) - col(rts) <= toleranceUs, col(o)))
+    }.drop(rts)
+  }
 }

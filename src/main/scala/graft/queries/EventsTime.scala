@@ -101,6 +101,34 @@ object EventsTime extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // -- forward as-of: next purchase at-or-after each event --------------
+    "ev_asof_forward" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("user_id"), us.as("us"))
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("us"), valE2.as("pval"))
+      AsofJoin.asofForward(
+        e, purchases, key = "user_id", ts = "us",
+        payload = Seq("us", "pval"),
+        rename = Map("us" -> "next_purchase_us", "pval" -> "next_purchase_e2"))
+        .select(col("event_id"), col("user_id"),
+          col("next_purchase_us"), col("next_purchase_e2"))
+        .orderBy("event_id")
+    }),
+
+    // -- backward as-of with 1 h lookback tolerance -----------------------
+    "ev_asof_tolerance" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("user_id"), us.as("us"))
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("us"), valE2.as("pval"))
+      AsofJoin.asofBackwardWithin(
+        e, purchases, key = "user_id", ts = "us",
+        payload = Seq("pval"),
+        rename = Map("pval" -> "recent_purchase_e2"),
+        toleranceUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("recent_purchase_e2"))
+        .orderBy("event_id")
+    }),
+
     // -- range join: clicks in the 10 min before each error ---------------
     // Bucketed equi-join formulation: theta-join -> equi-join on
     // (user, time bucket) + residual filter. Scales as a hash join on a
@@ -232,6 +260,28 @@ object EventsTime extends QueryModule {
       SELECT e.event_id, e.user_id,
              p.us AS prev_purchase_us,
              p.pval AS prev_purchase_e2
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.us
+      ORDER BY event_id""",
+
+    "ev_asof_forward" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+           p AS (SELECT user_id, epoch_us(ts) AS us,
+                        round(value * 100)::BIGINT AS pval
+                 FROM events WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id,
+             p.us AS next_purchase_us,
+             p.pval AS next_purchase_e2
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us <= p.us
+      ORDER BY event_id""",
+
+    "ev_asof_tolerance" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+           p AS (SELECT user_id, epoch_us(ts) AS us,
+                        round(value * 100)::BIGINT AS pval
+                 FROM events WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id,
+             CASE WHEN e.us - p.us <= 3600000000 THEN p.pval END
+               AS recent_purchase_e2
       FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.us
       ORDER BY event_id""",
 
