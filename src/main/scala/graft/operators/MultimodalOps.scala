@@ -24,6 +24,12 @@ case class MediaFeatures(doc_id: Long, features: Seq[Long])
 case class ResizePlan(doc_id: Long, new_w: Long, new_h: Long,
     scale_x_e3: Long, scale_y_e3: Long)
 
+/** Stub model output: one embedding per item + the size of the batch
+  * it was inferred in (batch bookkeeping for tests; excluded from
+  * oracle-checked output because it depends on partitioning).
+  */
+case class MediaEmbedding(doc_id: Long, emb: Seq[Long], batch_size: Long)
+
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed per-partition (the Scala analog of a batched
   * `mapInPandas` decode stage).
@@ -124,6 +130,36 @@ object MultimodalOps {
     meta.map { m =>
       ResizePlan(m.doc_id, target, target,
         target * 1000L / m.width, target * 1000L / m.height)
+    }
+  }
+
+  /** Batched inference (STUB model): items flow through the "model" in
+    * fixed-size batches via `grouped(batchSize)` — the batch-shape
+    * plumbing of a real GPU embedding stage (one forward pass per
+    * group, weights loaded once per partition; this is the Scala analog
+    * of `mapInPandas` with a batch size). The stub embedding is
+    * deterministic per item — dim j = signed 16-bit from md5(payload)
+    * byte pair j — so the VALUES are oracle-checkable even though batch
+    * composition depends on partitioning (batch_size is bookkeeping for
+    * MultimodalSpec, not part of the checked output).
+    */
+  def batchEmbed(media: Dataset[MediaRecord], batchSize: Int = 32): Dataset[MediaEmbedding] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { it =>
+      // (real impl: load model weights here, once per partition)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        // (real impl: ONE forward pass over the whole batch here)
+        batch.map { m =>
+          md.reset()
+          val d = md.digest(m.payload)
+          val emb = (0 until 8).map { j =>
+            (((d(2 * j) & 0xffL) << 8) | (d(2 * j + 1) & 0xffL)) - 32768L
+          }
+          MediaEmbedding(m.doc_id, emb, batch.size.toLong)
+        }
+      }
     }
   }
 }

@@ -36,6 +36,16 @@ object Multimodal extends QueryModule {
           (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy("doc_id")),
 
+    // batched stub inference: fixed-size batches through the "model";
+    // values oracle-checked, batch composition checked in MultimodalSpec
+    "mm_batch_embed" -> ((s, d) =>
+      MultimodalOps.batchEmbed(
+        MultimodalOps.toMedia(Tables.documents(s, d)), batchSize = 32)
+        .toDF()
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
+        .orderBy("doc_id")),
+
     // resize planning from decoded dims to a 224x224 target
     "mm_resize" -> ((s, d) =>
       MultimodalOps.resizePlan(
@@ -82,6 +92,17 @@ object Multimodal extends QueryModule {
         s"""list_aggregate(list_transform(range(1, length(text) + 1),
               j -> CASE WHEN (j - 1) % 8 = $i THEN ord(text[j]) ELSE 0 END),
               'sum')::BIGINT AS f$i""").mkString(",\n             ")
+      s"""
+      SELECT doc_id,
+             $cols
+      FROM documents
+      ORDER BY doc_id"""
+    },
+
+    "mm_batch_embed" -> {
+      val cols = (0 until 8).map(i =>
+        s"(('0x' || substr(md5(text), ${4 * i + 1}, 4))::BIGINT - 32768) AS e$i")
+        .mkString(",\n             ")
       s"""
       SELECT doc_id,
              $cols
