@@ -75,6 +75,43 @@ object EventsTime extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // -- interval-overlap join: sessions x incident windows ---------------
+    // True interval x interval overlap (vs ev_range_join's point-in-
+    // window): each user session [s_start, s_end] against each error's
+    // trailing 10-min incident window. Scalable shape: both interval
+    // sets explode into coarse time buckets -> equi-join on
+    // (user, bucket) -> residual overlap predicate -> dedup (a pair can
+    // co-occur in several buckets). No nested-loop over intervals.
+    "ev_interval_join" -> ((s, d) => {
+      val B = 3600000000L // 1 h buckets
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev(s, d)
+        .select(col("user_id"), col("event_id"), us.as("us"))
+        .withColumn("prev", lag("us", 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > GAP_US, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(min("us").as("s_start"), max("us").as("s_end"))
+      val inc = ev(s, d).filter(col("event_type") === "error")
+        .select(col("event_id").as("inc_id"), col("user_id").as("i_user"),
+          (us - W_US).as("i_start"), us.as("i_end"))
+      val sessB = sess.select(col("user_id"), col("sid"),
+        col("s_start"), col("s_end"),
+        explode(sequence(expr(s"s_start div $B"), expr(s"s_end div $B"))).as("bkt"))
+      val incB = inc.select(col("inc_id"), col("i_user"),
+        col("i_start"), col("i_end"),
+        explode(sequence(expr(s"i_start div $B"), expr(s"i_end div $B"))).as("bkt"))
+      sessB.join(incB,
+          col("user_id") === col("i_user") && sessB("bkt") === incB("bkt") &&
+          col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+        .select(col("inc_id"), col("user_id"), col("sid"),
+          col("s_start").as("s_start_us"), col("s_end").as("s_end_us"))
+        .dropDuplicates("inc_id", "user_id", "sid")
+        .orderBy("inc_id", "user_id", "sid")
+    }),
+
     // -- pivot: event_type counts per day (conditional aggregation) -------
     "ev_pivot" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -239,6 +276,34 @@ object EventsTime extends QueryModule {
       FROM per_sess
       GROUP BY user_id
       ORDER BY user_id""",
+
+    "ev_interval_join" -> s"""
+      WITH e AS (SELECT user_id, event_id, us FROM
+                   (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)),
+           flagged AS (
+             SELECT user_id, event_id, us,
+                    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $GAP_US
+                         THEN 1 ELSE 0 END AS new_s
+             FROM e),
+           sids AS (
+             SELECT user_id, us,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM flagged),
+           sess AS (
+             SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+             FROM sids GROUP BY user_id, sid),
+           inc AS (
+             SELECT event_id AS inc_id, user_id,
+                    epoch_us(ts) - $W_US AS i_start, epoch_us(ts) AS i_end
+             FROM events WHERE event_type = 'error')
+      SELECT i.inc_id, s.user_id, s.sid::BIGINT AS sid,
+             s.s_start AS s_start_us, s.s_end AS s_end_us
+      FROM sess s JOIN inc i
+        ON s.user_id = i.user_id
+       AND s.s_start <= i.i_end AND i.i_start <= s.s_end
+      ORDER BY inc_id, s.user_id, sid""",
 
     "ev_pivot" -> """
       SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
