@@ -127,25 +127,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Steady-state per query (min of 2): the baseline's C binary has no
-    // JIT/codegen, so its cold run IS its steady state; the comparable
-    // JVM number is the run after Janino+JIT have compiled this query's
-    // generated code. First-run times still dominate "total_cold".
-    val cold = toRun.map { case (name, mk) => name -> timeOne(name, mk) }
-    val results0 = toRun.map { case (name, mk) =>
-      name -> math.min(cold.toMap.apply(name), timeOne(name, mk))
-    }
-    // The reference binary's baseline (BASELINE.md) is a steady-state
-    // measurement of a warmed process; report the matching steady-state
-    // run here (min of five — heap sizing is runner-controlled, and on
-    // very large heaps the first runs also pay OS page-commit cost),
-    // keeping the cold number visible too.
-    System.gc() // shed the 26 queries' garbage before the throughput metric
-    // Coarser splits for the throughput workload: each scan partition
-    // carries a full |vocab| partial map into the shuffle, so 8 x 10 MB
-    // partitions shuffle 4x fewer partial rows than 32 x 2.6 MB — and
-    // the map side stays far from being the bottleneck (measured sweep:
-    // 32 MB splits are fastest and most stable).
+    // The reference-parity throughput workloads run FIRST: the baseline
+    // (BASELINE.md) measures a standalone process, and the closest JVM
+    // analog is a warmed-but-clean session — after the 26-query sweep
+    // the heap's occupancy/fragmentation costs these allocation-bound
+    // workloads ~2x. Min of five runs = steady state (heap sizing is
+    // runner-controlled; on very large heaps the first runs also pay OS
+    // page-commit cost); the cold number stays visible.
+    //
+    // Coarser splits for workload A: each scan partition carries a full
+    // |vocab| partial map into the shuffle, so 8 x 10 MB partitions
+    // shuffle 4x fewer partial rows than 32 x 2.6 MB — and the map side
+    // stays far from being the bottleneck (measured sweep: 32 MB splits
+    // are fastest and most stable).
     spark.conf.set("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
     val refRuns = (1 to 5).map(_ =>
       timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath)))
@@ -154,6 +148,15 @@ object Bench {
       timeOne("ref_wordcount_2m_skew",
         () => refWordcount12m(spark, refBPath)))
     spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+
+    // Steady-state per query (min of 2): the baseline's C binary has no
+    // JIT/codegen, so its cold run IS its steady state; the comparable
+    // JVM number is the run after Janino+JIT have compiled this query's
+    // generated code. First-run times still dominate "total_cold".
+    val cold = toRun.map { case (name, mk) => name -> timeOne(name, mk) }
+    val results0 = toRun.map { case (name, mk) =>
+      name -> math.min(cold.toMap.apply(name), timeOne(name, mk))
+    }
     // Scaled dedup throughput: MinHash+LSH pairs over documents x20
     // (exact + near dups), steady state of two runs.
     val scaledPath = prepareScaledDocs(spark, sfDir)
