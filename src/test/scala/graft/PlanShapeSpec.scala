@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard on PHYSICAL PLAN properties — the scale behaviors
+  * (pushdown, pruning, broadcast direction, custom operators, shuffle
+  * count) that row-level value checks can't see. A refactor that keeps
+  * results identical but, say, un-broadcasts a dimension or drops a
+  * partition filter fails here, not at 100 TB.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2_filter pushes predicates and prunes columns at the scan") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // projection pruning: untouched wide columns never leave the scan
+    assert(!p.contains("l_partkey"), "unused column not pruned:\n" + p)
+  }
+
+  test("io_partitioned_prune prunes partition directories") {
+    val p = plan("io_partitioned_prune")
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.contains("o_orderpriority"), p)
+  }
+
+  test("q5_multijoin broadcasts every dimension") {
+    val p = plan("q5_multijoin")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "fact-side shuffle join crept into the star join:\n" + p)
+  }
+
+  test("wordcount runs the fused TokenCounts operator with minimal shuffles") {
+    val p = plan("wordcount")
+    assert(p.contains("TokenCounts"), p)
+    // tree lines read "Exchange (7)"; detail sections "(7) Exchange" —
+    // count tree occurrences only
+    val nExchange = "Exchange \\(\\d+\\)".r.findAllIn(p).size
+    // one hash exchange (merge agg) + one range exchange (total order)
+    assert(nExchange == 2, s"expected 2 exchanges, got $nExchange:\n$p")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("minhash pairs: fixed-width co-partition kept, signatures broadcast") {
+    val p = plan("dedup_minhash_pairs")
+    // the explicit fixed-width repartition must survive optimization —
+    // it is what stops AQE coalescing the quadratic pair join narrow
+    // (at tiny SF the band join itself may legitimately broadcast;
+    // on real corpora Catalyst picks SMJ over these exchanges)
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "explicit co-partitioning was optimized away:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "signature re-attach must broadcast the corpus-sized frame:\n" + p)
+  }
+
+  test("topk_per_key uses the heap operator, no SortExec before it") {
+    val p = plan("q_topk_per_key")
+    assert(p.contains("TopKPerKey"), p)
+  }
+}

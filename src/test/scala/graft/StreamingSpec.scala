@@ -217,6 +217,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a file source then stops on its own") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_avnow_in").toString
+    Tables.events(spark, TestSpark.sf0001).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, TestSpark.sf0001).schema)
+      .parquet(in)
+    val q = Streaming.wordCounts(stream.selectExpr("event_type AS value"))
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("avnow_out").start()
+    try {
+      // AvailableNow = process everything currently present, then
+      // terminate — the batch-backfill mode of the same streaming query
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+      val total = spark.table("avnow_out").agg(sum("cnt")).collect().head.getLong(0)
+      assert(total == 1000L) // one token per event_type per event
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes idempotently by batch id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
