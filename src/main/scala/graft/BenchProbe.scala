@@ -24,6 +24,9 @@ object BenchProbe {
       } else if (name == "scaledmh") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.scaledMinhash(spark, p)
+      } else if (name == "scaledcc") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.clustersFrom(spark.read.parquet(p), ordered = false)
       } else if (name == "scaledsig") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.operators.DedupOps.minhashSignatures(

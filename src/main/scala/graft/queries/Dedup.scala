@@ -103,7 +103,7 @@ object Dedup extends QueryModule {
     * Beyond"); `localCheckpoint` truncates lineage so the loop's plan
     * stays flat instead of growing by one join per round.
     */
-  def clustersFrom(docs: DataFrame): DataFrame = {
+  def clustersFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val pairs = minhashPairsFrom(docs, ordered = false).select("a_id", "b_id")
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -113,20 +113,27 @@ object Dedup extends QueryModule {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
+      // label frame is |corpus| keys — broadcast it into the edge scan
+      // (same broadcast-reach argument as the signature re-attach); the
+      // EDGE set, |pairs|-sized, must never be the build side
       val nbr = edges
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .join(broadcast(labels.withColumnRenamed("id", "nid")),
+          col("dst") === col("nid"))
         .groupBy("src").agg(min("label").as("nbr_min"))
-      val next = labels.join(nbr, col("id") === col("src"), "left")
-        .select(col("id"), col("label"),
+      // ONE materialization per round: checkpoint carries old + new
+      // label, so the convergence count reads the checkpoint instead of
+      // re-executing the join
+      val next = labels.join(broadcast(nbr), col("id") === col("src"), "left")
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("next_label"))
-      changed = next.filter(col("next_label") < col("label")).count()
-      labels = next.select(col("id"), col("next_label").as("label"))
+            .as("label"))
         .localCheckpoint()
+      changed = next.filter(col("label") < col("old_label")).count()
+      labels = next.select("id", "label")
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
-      .orderBy("doc_id")
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
