@@ -112,6 +112,45 @@ object EventsTime extends QueryModule {
         .orderBy("inc_id", "user_id", "sid")
     }),
 
+    // -- funnel analysis: signup -> click -> purchase, strictly ordered ---
+    // Stage timestamps chain through three window passes over ONE
+    // user-partitioned shuffle (t2 = first click at-or-after t1, etc.);
+    // integer epoch-us comparisons keep it engine-exact.
+    "ev_funnel" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      ev(s, d).select(col("user_id"), col("event_type"), us.as("us"))
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("us"))).over(wu))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("us") >= col("t1"),
+            col("us"))).over(wu))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("us") >= col("t2"),
+            col("us"))).over(wu))
+        .groupBy("user_id")
+        .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_signup_click"),
+          sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
+    }),
+
+    // -- cohort retention: users active N days after their first day ------
+    "ev_retention" -> ((s, d) => {
+      val DAY_US = 86400000000L
+      val days = ev(s, d)
+        .select(col("user_id"), us.as("us"))
+        .select(col("user_id"), expr(s"us div $DAY_US").as("day"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min("day").as("d0"))
+      days.join(cohort, "user_id")
+        .groupBy(col("d0").as("cohort_day"), (col("day") - col("d0")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .filter(col("day_offset") <= 7)
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // -- pivot: event_type counts per day (conditional aggregation) -------
     "ev_pivot" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -276,6 +315,35 @@ object EventsTime extends QueryModule {
       FROM per_sess
       GROUP BY user_id
       ORDER BY user_id""",
+
+    "ev_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+                              OVER (PARTITION BY user_id) AS t1 FROM e),
+           w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= t1 THEN us END)
+                              OVER (PARTITION BY user_id) AS t2 FROM w1),
+           w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= t2 THEN us END)
+                              OVER (PARTITION BY user_id) AS t3 FROM w2),
+           per_user AS (
+             SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+                    any_value(t3) AS t3
+             FROM w3 GROUP BY user_id)
+      SELECT count(1) AS n_users,
+             sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+             sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_signup_click,
+             sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+      FROM per_user""",
+
+    "ev_retention" -> """
+      WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                 FROM events),
+           c AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id)
+      SELECT c.d0 AS cohort_day, (d.day - c.d0) AS day_offset,
+             count(DISTINCT d.user_id) AS n_active
+      FROM d JOIN c ON d.user_id = c.user_id
+      WHERE d.day - c.d0 <= 7
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
 
     "ev_interval_join" -> s"""
       WITH e AS (SELECT user_id, event_id, us FROM
