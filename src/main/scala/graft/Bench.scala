@@ -79,7 +79,8 @@ object Bench {
     * once (untimed); the timed query reads parquet like production.
     */
   def prepareScaledDocs(spark: SparkSession, sfDir: String): String = {
-    val path = "target/bench_scratch/docs_x20"
+    // corpus content depends on the SF dir -> key the cache by it
+    val path = s"target/bench_scratch/docs_x20_${new java.io.File(sfDir).getName}"
     if (!new java.io.File(path).exists()) {
       graft.Tables.documents(spark, sfDir)
         .select(explode(sequence(lit(0), lit(19))).as("rep"),
