@@ -216,6 +216,24 @@ object Dedup extends QueryModule {
       votes.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
     }),
 
+    // -- edit-distance near-dup: levenshtein over prefix-blocked pairs ----
+    // Same blocking discipline as dedup_jaccard_pairs (first-3-token
+    // block key bounds the quadratic comparison to within-block); the
+    // O(|a|*|b|) distance runs only on surviving candidates.
+    "dedup_levenshtein" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
+      val a = t.select(col("doc_id").as("a_id"), col("text").as("a_text"), col("blk"))
+      val b = t.select(col("doc_id").as("b_id"), col("text").as("b_text"), col("blk"))
+      a.join(b, "blk")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 50)
+        .orderBy("a_id", "b_id")
+    }),
+
     // -- embedding near-dup: top-20 within-label pairs by cosine ----------
     "dedup_embedding_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -337,6 +355,17 @@ object Dedup extends QueryModule {
       FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
               / len(list_distinct(a.ts || b.ts))::DOUBLE >= 0.5
+      ORDER BY a_id, b_id""",
+
+    "dedup_levenshtein" -> s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               array_to_string(($sqlToksL)[1:3], ' ') AS blk
+        FROM documents)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             levenshtein(a.text, b.text)::BIGINT AS edit_dist
+      FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.text, b.text) <= 50
       ORDER BY a_id, b_id""",
 
     "dedup_simhash" -> {

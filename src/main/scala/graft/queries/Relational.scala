@@ -177,6 +177,19 @@ object Relational extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // -- window: navigation functions (first/last/nth over a full frame) --
+    "q_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(cents(col("o_totalprice"))).over(wFull).as("first_price_c"),
+          last(cents(col("o_totalprice"))).over(wFull).as("last_price_c"),
+          nth_value(cents(col("o_totalprice")), 2).over(wFull).as("second_price_c"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // -- window: distribution functions (ntile / percent_rank / cume_dist)
     "q_window_dist" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
@@ -610,6 +623,16 @@ object Relational extends QueryModule {
                                          ORDER BY o_orderdate, o_orderkey),
                o_orderdate) AS days_since_prev
       FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q_window_nav" -> """
+      SELECT o_custkey, o_orderkey,
+             first_value(round(o_totalprice * 100)::BIGINT) OVER w AS first_price_c,
+             last_value(round(o_totalprice * 100)::BIGINT) OVER w AS last_price_c,
+             nth_value(round(o_totalprice * 100)::BIGINT, 2) OVER w AS second_price_c
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_custkey, o_orderkey""",
 
     "q_window_dist" -> """
