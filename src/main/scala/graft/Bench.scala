@@ -163,17 +163,24 @@ object Bench {
     val scaledPath = prepareScaledDocs(spark, sfDir)
     val mh = (1 to 2).map(_ =>
       timeOne("scaled_minhash_x20", () => scaledMinhash(spark, scaledPath)))
+    // dedup clustering over the same x20 pair graph: the iterative
+    // (frontier label-propagation) workload; one timed run — the loop's
+    // per-round actions make it the longest single entry
+    val cc = timeOne("scaled_cc_x20", () =>
+      graft.queries.Dedup.clustersFrom(
+        spark.read.parquet(scaledPath), ordered = false))
     val results = results0 ++ Seq(
       "ref_wordcount_12m" -> refRuns.min,
       "ref_wordcount_12m_cold" -> refRuns.head,
       "ref_wordcount_2m_skew" -> refBRuns.min,
-      "scaled_minhash_x20" -> mh.min)
+      "scaled_minhash_x20" -> mh.min,
+      "scaled_cc_x20" -> cc)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: the *_cold entry is informational
-    val total = results0.map(_._2).sum + refRuns.min + refBRuns.min + mh.min
-    val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+ mh.head).sum
+    val total = results0.map(_._2).sum + refRuns.min + refBRuns.min + mh.min + cc
+    val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+ mh.head :+ cc).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -110,25 +110,31 @@ object Dedup extends QueryModule {
       .localCheckpoint()
     var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
       .localCheckpoint()
+    // frontier = nodes whose label changed last round: only THEIR labels
+    // can improve a neighbor this round, so later rounds join the edge
+    // set against a shrinking frame instead of the whole corpus (the
+    // BFS-frontier refinement of label propagation)
+    var frontier = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      // label frame is |corpus| keys — broadcast it into the edge scan
-      // (same broadcast-reach argument as the signature re-attach); the
-      // EDGE set, |pairs|-sized, must never be the build side
+      // label frames are <= |corpus| keys — broadcast them into the edge
+      // scan (same broadcast-reach argument as the signature re-attach);
+      // the EDGE set, |pairs|-sized, must never be the build side
       val nbr = edges
-        .join(broadcast(labels.withColumnRenamed("id", "nid")),
+        .join(broadcast(frontier.withColumnRenamed("id", "nid")),
           col("dst") === col("nid"))
         .groupBy("src").agg(min("label").as("nbr_min"))
       // ONE materialization per round: checkpoint carries old + new
-      // label, so the convergence count reads the checkpoint instead of
-      // re-executing the join
+      // label, so the convergence count and the next frontier read the
+      // checkpoint instead of re-executing the join
       val next = labels.join(broadcast(nbr), col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint()
-      changed = next.filter(col("label") < col("old_label")).count()
+      frontier = next.filter(col("label") < col("old_label")).select("id", "label")
+      changed = frontier.count()
       labels = next.select("id", "label")
       rounds += 1
     }
