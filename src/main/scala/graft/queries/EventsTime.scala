@@ -112,6 +112,31 @@ object EventsTime extends QueryModule {
         .orderBy("inc_id", "user_id", "sid")
     }),
 
+    // -- typed per-group imperative logic (Dataset mapGroups slot) --------
+    // Longest gap between consecutive events per user, computed by
+    // sorting each group's timestamps imperatively — the API shape for
+    // per-key logic that window functions can't express (here they
+    // could, which is exactly what makes it oracle-checkable).
+    "ev_typed_gaps" -> ((s, d) => {
+      import s.implicits._
+      ev(s, d).select(col("user_id"), us.as("us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, rows) =>
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var maxGap = 0L
+          var i = 1
+          while (i < ts.length) {
+            if (ts(i) - ts(i - 1) > maxGap) maxGap = ts(i) - ts(i - 1)
+            i += 1
+          }
+          (uid, ts.length.toLong, maxGap)
+        }
+        .toDF("user_id", "n_events", "max_gap_us")
+        .orderBy("user_id")
+    }),
+
     // -- funnel analysis: signup -> click -> purchase, strictly ordered ---
     // Stage timestamps chain through three window passes over ONE
     // user-partitioned shuffle (t2 = first click at-or-after t1, etc.);
@@ -313,6 +338,17 @@ object EventsTime extends QueryModule {
              max(n_ev) AS max_session_events,
              max(span_us) AS max_session_span_us
       FROM per_sess
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "ev_typed_gaps" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+           g AS (SELECT user_id,
+                        us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+                 FROM e)
+      SELECT user_id, count(1) AS n_events,
+             coalesce(max(gap), 0)::BIGINT AS max_gap_us
+      FROM g
       GROUP BY user_id
       ORDER BY user_id""",
 

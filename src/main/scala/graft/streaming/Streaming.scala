@@ -127,6 +127,49 @@ object Streaming {
       write(batch.toDF(), batchId)
     }
 
+  /** Event-time-timeout sessionizer: sessions accumulate in state and
+    * EMIT only when the watermark passes session end + gap — i.e. the
+    * engine proves no more events can join. This is the
+    * flatMapGroupsWithState + EventTimeTimeout pattern for "emit once,
+    * on close" semantics that `session_window` (which emits via the
+    * output mode's timing) can't customize: the state carries whatever
+    * the close handler needs, and timed-out state is removed (bounded
+    * memory on an unbounded stream).
+    */
+  case class SessState(startUs: Long, endUs: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  def timedOutSessions(events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.startUs, s.endUs, s.n))
+          } else {
+            val us = rows.map(_._2.getTime * 1000L).toArray
+            val merged = state.getOption match {
+              case Some(p) => SessState(math.min(p.startUs, us.min),
+                math.max(p.endUs, us.max), p.n + us.length)
+              case None => SessState(us.min, us.max, us.length.toLong)
+            }
+            state.update(merged)
+            // close when event time passes session end + gap
+            state.setTimeoutTimestamp(merged.endUs / 1000L + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom stateful operator: running per-user event count + last-seen
     * timestamp, emitted on every update (flatMapGroupsWithState).
     * The KeyValueGroupedDataset state machine is the extension slot for

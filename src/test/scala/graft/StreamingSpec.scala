@@ -217,6 +217,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time timeout emits a session only after watermark passes end+gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = Streaming.timedOutSessions(
+      in.toDF().toDF("user_id", "ts"),
+      gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_out").start()
+    try {
+      in.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout_out").count() == 0) // still open
+      // watermark jumps past 00:35 (end + 30 min gap) -> session closes
+      in.addData((2L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      in.addData((2L, ts("2024-01-01 02:01:00"))) // extra batch fires the timeout
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(rows.contains((1L, 2L)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a file source then stops on its own") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("graft_avnow_in").toString
