@@ -238,6 +238,33 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id", "rk")
     }),
 
+    // -- character-class entropy (quality signal: gibberish and
+    //    boilerplate sit at the distribution's extremes). Two-step
+    //    select: 36 per-class counts (one replace each), then the
+    //    Shannon sum folded in FIXED a..z0..9 order — both engines
+    //    evaluate the identical expression tree left-to-right, so the
+    //    1e6-scaled result is stable (same argument as the ln-based
+    //    TF-IDF scores, see module scaladoc) -------------------------------
+    "txt_entropy" -> ((s, d) => {
+      val classes = ('a' to 'z') ++ ('0' to '9')
+      val lt = lower(col("text"))
+      val counted = Tables.documents(s, d).select(
+        col("doc_id") +: classes.map(c =>
+          (length(lt) - length(replace(lt, lit(c.toString), lit(""))))
+            .cast("long").as(s"c_$c")): _*)
+      val total = classes.map(c => col(s"c_$c")).reduce(_ + _)
+      val ent = classes.map { c =>
+        val p = col(s"c_$c").cast("double") / col("n_alnum")
+        when(col(s"c_$c") > 0, -(p * log(p))).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      counted
+        .withColumn("n_alnum", total)
+        .select(col("doc_id"), col("n_alnum"),
+          when(col("n_alnum") === 0, 0L)
+            .otherwise(round(ent * 1e6).cast("long")).as("entropy_e6"))
+        .orderBy("doc_id")
+    }),
+
     // -- length histogram -------------------------------------------------
     "txt_length_hist" -> ((s, d) =>
       Tables.documents(s, d)
@@ -380,6 +407,28 @@ object TextAnalysis extends QueryModule {
       FROM kept WHERE rn = 1
       GROUP BY lang
       ORDER BY lang""",
+
+    "txt_entropy" -> {
+      val classes = ('a' to 'z') ++ ('0' to '9')
+      val cnts = classes.map(c =>
+        s"(length(lower(text)) - length(replace(lower(text), '$c', '')))::BIGINT AS c_$c")
+        .mkString(",\n               ")
+      val total = classes.map(c => s"c_$c").mkString(" + ")
+      val ent = classes.map(c =>
+        s"(CASE WHEN c_$c > 0 THEN -((c_$c::DOUBLE / n_alnum) * ln(c_$c::DOUBLE / n_alnum)) ELSE 0.0 END)")
+        .mkString("\n               + ")
+      s"""
+      WITH counted AS (
+        SELECT doc_id,
+               $cnts
+        FROM documents),
+      tot AS (SELECT *, ($total)::BIGINT AS n_alnum FROM counted)
+      SELECT doc_id, n_alnum,
+             CASE WHEN n_alnum = 0 THEN 0
+                  ELSE round(($ent) * 1e6)::BIGINT END AS entropy_e6
+      FROM tot
+      ORDER BY doc_id"""
+    },
 
     "txt_bigrams" -> s"""
       WITH t AS (SELECT $sqlToks AS toks FROM documents),
