@@ -59,6 +59,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == sample.filter(col("c_acctbal") > 0).count())
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    val p = scratch("dynpart")
+    val day1 = Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day")
+    day1.write.partitionBy("day").mode("overwrite").parquet(p)
+    // backfill d2 only: with dynamic mode, d1 must survive
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((30L, "d2"), (31L, "d2")).toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(p)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val back = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("day"))).toSet
+    assert(back == Set((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2")))
+  }
+
+  test("cached dimension is served from InMemoryRelation") {
+    val dim = Tables.nation(spark, TestSpark.sf0001)
+    dim.createOrReplaceTempView("nation_cached")
+    spark.catalog.cacheTable("nation_cached")
+    try {
+      val q = spark.table("nation_cached").filter(col("n_regionkey") === 1)
+      q.count() // materialize the cache
+      assert(q.queryExecution.executedPlan.toString.contains("InMemoryRelation"),
+        q.queryExecution.executedPlan.toString)
+    } finally spark.catalog.uncacheTable("nation_cached")
+  }
+
   test("text round-trip (word=count sink format)") {
     val p = scratch("text")
     val counts = graft.operators.WordCount.counts(
