@@ -188,6 +188,19 @@ object EventsTime extends QueryModule {
         .orderBy("day")
     }),
 
+    // -- dynamic pivot: RelationalGroupedDataset.pivot discovers the
+    //    spread values itself (two-pass: distinct scan, then pivot agg) ----
+    "ev_pivot_dynamic" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type")
+        .agg(sum(valE2))
+        .withColumnsRenamed(
+          Seq("click", "error", "purchase", "signup", "view")
+            .map(t => t -> s"v_$t").toMap)
+        .na.fill(0L)
+        .orderBy("day")),
+
     // -- as-of join: latest purchase at or before each event --------------
     "ev_asof_join" -> ((s, d) => {
       val e = ev(s, d).select(col("event_id"), col("user_id"), us.as("us"))
@@ -420,6 +433,18 @@ object EventsTime extends QueryModule {
       FROM events
       GROUP BY 1
       ORDER BY day""",
+
+    "ev_pivot_dynamic" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"coalesce(sum(CASE WHEN event_type = '$t' THEN round(value * 100)::BIGINT END), 0)::BIGINT AS v_$t")
+        .mkString(",\n             ")
+      s"""
+      SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+             $cols
+      FROM events
+      GROUP BY 1
+      ORDER BY day"""
+    },
 
     "ev_asof_join" -> """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
