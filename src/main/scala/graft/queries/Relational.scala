@@ -449,6 +449,31 @@ object Relational extends QueryModule {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // -- boolean / bitwise aggregates (exact integer+bool semantics) ------
+    "q_misc_aggs" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_bulk"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+          bit_and(col("l_partkey")).as("pk_and"),
+          bit_or(col("l_partkey")).as("pk_or"),
+          bit_xor(col("l_partkey")).as("pk_xor"))
+        .orderBy("l_returnflag")),
+
+    // -- try_* error-handling family: malformed input -> NULL, not
+    //    failure (the semantics batch pipelines need on dirty data) -------
+    "q_try_funcs" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_quantity - l_quantity)").as("div0"),
+          expr("try_divide(round(l_extendedprice * 100), 7)").as("div7"),
+          expr("try_cast(l_returnflag AS INT)").as("bad_int"),
+          expr("try_cast(round(l_quantity) AS INT)").cast("long").as("ok_int"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // -- HLL distinct-count sketch (TypedImperativeAggregate; constant
     //    4 KiB mergeable buffer — see functions/HllDistinct.scala).
     //    Deterministic but not SQL-reproducible -> rows-only check;
@@ -845,6 +870,28 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    "q_misc_aggs" -> """
+      SELECT l_returnflag,
+             count(CASE WHEN l_quantity > 25 THEN 1 END)::BIGINT AS n_bulk,
+             bool_and(l_quantity > 0) AS all_positive,
+             bool_or(l_discount > 0.09) AS any_deep_discount,
+             bit_and(l_partkey)::BIGINT AS pk_and,
+             bit_or(l_partkey)::BIGINT AS pk_or,
+             bit_xor(l_partkey)::BIGINT AS pk_xor
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_try_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(NULL AS DOUBLE) AS div0,
+             round(l_extendedprice * 100) / 7 AS div7,
+             TRY_CAST(l_returnflag AS INTEGER) AS bad_int,
+             round(l_quantity)::BIGINT AS ok_int
+      FROM lineitem
+      WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber""",
 
     "q_unpivot" -> """
       SELECT l_orderkey, l_linenumber, measure, v_cents
