@@ -449,6 +449,22 @@ object Relational extends QueryModule {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // -- calendar functions round 2: quarter / ISO weekday / ISO week /
+    //    month arithmetic / month-end (all integer-or-date exact;
+    //    weekday numbering normalized to ISO Mon=1 on both engines) -------
+    "q_date_funcs2" -> ((s, d) =>
+      ord(s, d)
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+        .select(col("o_orderkey"), col("od"),
+          quarter(col("od")).cast("long").as("qtr"),
+          (expr("weekday(od)") + 1).cast("long").as("isodow"),
+          weekofyear(col("od")).cast("long").as("iso_week"),
+          add_months(col("od"), 3).as("plus_3m"),
+          last_day(col("od")).as("month_end"))
+        .orderBy("o_orderkey")),
+
     // -- boolean / bitwise aggregates (exact integer+bool semantics) ------
     "q_misc_aggs" -> ((s, d) =>
       li(s, d)
@@ -870,6 +886,17 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    "q_date_funcs2" -> """
+      SELECT o_orderkey, o_orderdate::DATE AS od,
+             quarter(o_orderdate::DATE)::BIGINT AS qtr,
+             isodow(o_orderdate::DATE)::BIGINT AS isodow,
+             weekofyear(o_orderdate::DATE)::BIGINT AS iso_week,
+             (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus_3m,
+             last_day(o_orderdate::DATE) AS month_end
+      FROM orders
+      WHERE o_orderkey <= 500
+      ORDER BY o_orderkey""",
 
     "q_misc_aggs" -> """
       SELECT l_returnflag,
