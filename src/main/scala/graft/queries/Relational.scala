@@ -449,6 +449,17 @@ object Relational extends QueryModule {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // -- explicit null ordering: customers without orders sort under
+    //    NULLS LAST / NULLS FIRST control (left-join-produced nulls) ------
+    "q_null_order" -> ((s, d) => {
+      val spend = ord(s, d).groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("spend_c"))
+      cust(s, d)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("spend_c"))
+        .orderBy(col("spend_c").desc_nulls_last, col("c_custkey"))
+    }),
+
     // -- calendar functions round 2: quarter / ISO weekday / ISO week /
     //    month arithmetic / month-end (all integer-or-date exact;
     //    weekday numbering normalized to ISO Mon=1 on both engines) -------
@@ -886,6 +897,14 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    "q_null_order" -> """
+      WITH spend AS (
+        SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS spend_c
+        FROM orders GROUP BY o_custkey)
+      SELECT c_custkey, spend_c
+      FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+      ORDER BY spend_c DESC NULLS LAST, c_custkey""",
 
     "q_date_funcs2" -> """
       SELECT o_orderkey, o_orderdate::DATE AS od,
