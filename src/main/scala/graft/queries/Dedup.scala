@@ -23,6 +23,27 @@ object Dedup extends QueryModule {
   private val BANDS = 4
   private val ROWS = 4 // rows per band; BANDS*ROWS == K
 
+  /** 16-bit SimHash per document: one hex->long parse per token, then
+    * the 16 per-bit +-1 votes are pure long bitwise ops inside
+    * whole-stage codegen (15 hex chars = 60 bits fits signed 64-bit in
+    * both engines). Unordered — callers add their own sort.
+    */
+  def simhashFrom(s: SparkSession, docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        graft.functions.TokenizeExplode.tokenize(s, lower(col("text"))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val bitSums = (1 to 16).map(j =>
+      sum(shiftright(col("h"), j - 1).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    val votes = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (1 to 16)
+      .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
   /** The full MinHash+LSH near-dup pair pipeline over any (doc_id, text)
     * frame — shared by the oracle query and the scaled bench workload.
     *
@@ -205,21 +226,32 @@ object Dedup extends QueryModule {
     //    pure long bitwise ops inside whole-stage codegen (the earlier
     //    per-hex-digit substr/instr formulation did 16 string ops per
     //    token and dominated the profile) ----------------------------------
-    "dedup_simhash" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.TokenizeExplode.tokenize(s, lower(col("text"))).as("tok"))
-        // 15 hex chars = 60 bits: fits signed 64-bit in both engines
-        .withColumn("h",
-          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-            .cast("long"))
-      val bitSums = (1 to 16).map(j =>
-        sum(shiftright(col("h"), j - 1).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
-      val votes = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (1 to 16)
-        .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
-        .reduce(_ + _)
-      votes.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    "dedup_simhash" -> ((s, d) =>
+      simhashFrom(s, Tables.documents(s, d)).orderBy("doc_id")),
+
+    // -- SimHash near-dup pairs: Hamming-distance LSH over the 16-bit
+    //    hashes. 4 blocks of 4 bits: by pigeonhole, any pair within
+    //    Hamming distance 3 agrees exactly on >= 1 block, so blocking on
+    //    each block finds ALL such pairs (complete, not approximate);
+    //    candidates verify with a codegen'd popcount on the XOR ----------
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sims = simhashFrom(s, Tables.documents(s, d))
+      val blocks = sims.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+        .withColumnRenamed("pos", "blk")
+        .withColumnRenamed("col", "blk_val")
+      val a = blocks.select(col("blk"), col("blk_val"),
+        col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      val b = blocks.select(col("blk"), col("blk_val"),
+        col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      a.join(b, Seq("blk", "blk_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+        .dropDuplicates("a_id", "b_id")
+        .filter(col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
     }),
 
     // -- edit-distance near-dup: levenshtein over prefix-blocked pairs ----
@@ -308,6 +340,26 @@ object Dedup extends QueryModule {
               / $K.0 >= 0.5
       ${if (ordered) "ORDER BY a_id, b_id" else ""}"""
 
+  /** SimHash oracle (mirrors [[simhashFrom]]), unordered for embedding. */
+  private def simhashSql: String = {
+    val bitSums = (1 to 16).map(j =>
+      s"sum((((h >> ${j - 1}) & 1) * 2 - 1)) AS b$j")
+      .mkString(",\n               ")
+    val hashExpr = (1 to 16).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest($sqlToksL) AS tok FROM documents) t),
+      votes AS (
+        SELECT doc_id,
+               $bitSums
+        FROM tok GROUP BY doc_id)
+      SELECT doc_id, ($hashExpr)::BIGINT AS simhash
+      FROM votes"""
+  }
+
   override def oracles: Map[String, String] = Map(
     "dedup_exact" -> """
       WITH all_docs AS (
@@ -374,25 +426,20 @@ object Dedup extends QueryModule {
       WHERE levenshtein(a.text, b.text) <= 50
       ORDER BY a_id, b_id""",
 
-    "dedup_simhash" -> {
-      val bitSums = (1 to 16).map(j =>
-        s"sum((((h >> ${j - 1}) & 1) * 2 - 1)) AS b$j")
-        .mkString(",\n               ")
-      val hashExpr = (1 to 16).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
-        .mkString(" + ")
-      s"""
-      WITH tok AS (
-        SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
-        FROM (SELECT doc_id, unnest($sqlToksL) AS tok FROM documents) t),
-      votes AS (
-        SELECT doc_id,
-               $bitSums
-        FROM tok GROUP BY doc_id)
-      SELECT doc_id, ($hashExpr)::BIGINT AS simhash
-      FROM votes
-      ORDER BY doc_id"""
-    },
+    "dedup_simhash" -> (simhashSql + "\n      ORDER BY doc_id"),
+
+    "dedup_simhash_pairs" -> s"""
+      WITH sh AS ($simhashSql),
+      blocks AS (
+        SELECT doc_id, simhash, bb.b AS blk,
+               (simhash >> (bb.b * 4)) & 15 AS blk_val
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb)
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY a_id, b_id""",
 
     "dedup_embedding_topk" -> """
       WITH e AS (SELECT vec_id, label,
