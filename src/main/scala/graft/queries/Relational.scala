@@ -449,6 +449,17 @@ object Relational extends QueryModule {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // -- binary encodings: base64 / hex round-trips (payload plumbing) ----
+    "q_encode_funcs" -> ((s, d) =>
+      cust(s, d)
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          base64(col("c_name").cast("binary")).as("name_b64"),
+          hex(col("c_name").cast("binary")).as("name_hex"),
+          decode(unbase64(base64(col("c_name").cast("binary"))), "UTF-8")
+            .as("name_roundtrip"))
+        .orderBy("c_custkey")),
+
     // -- explicit null ordering: customers without orders sort under
     //    NULLS LAST / NULLS FIRST control (left-join-produced nulls) ------
     "q_null_order" -> ((s, d) => {
@@ -897,6 +908,15 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    "q_encode_funcs" -> """
+      SELECT c_custkey,
+             base64(c_name::BLOB) AS name_b64,
+             hex(c_name::BLOB) AS name_hex,
+             c_name AS name_roundtrip
+      FROM customer
+      WHERE c_custkey <= 100
+      ORDER BY c_custkey""",
 
     "q_null_order" -> """
       WITH spend AS (
