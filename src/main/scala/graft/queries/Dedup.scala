@@ -23,11 +23,18 @@ object Dedup extends QueryModule {
   private val BANDS = 4
   private val ROWS = 4 // rows per band; BANDS*ROWS == K
 
-  /** 16-bit SimHash per document: one hex->long parse per token, then
-    * the 16 per-bit +-1 votes are pure long bitwise ops inside
+  /** 60-bit SimHash per document: one hex->long parse per token, then
+    * the 60 per-bit +-1 votes are pure long bitwise ops inside
     * whole-stage codegen (15 hex chars = 60 bits fits signed 64-bit in
-    * both engines). Unordered — callers add their own sort.
+    * both engines). 60 bits matter for the PAIRING step: the Hamming
+    * LSH blocks below are 15 bits wide, so block buckets stay sparse on
+    * large corpora (a 16-bit hash with 4-bit blocks has only 64
+    * distinct block keys — its block join would go quadratic at scale).
+    * Unordered — callers add their own sort.
     */
+  val SIMHASH_BITS = 60
+  val SIMHASH_BLOCKS = 4 // 15-bit blocks; complete for Hamming <= 3
+
   def simhashFrom(s: SparkSession, docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
@@ -35,10 +42,10 @@ object Dedup extends QueryModule {
       .withColumn("h",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
           .cast("long"))
-    val bitSums = (1 to 16).map(j =>
+    val bitSums = (1 to SIMHASH_BITS).map(j =>
       sum(shiftright(col("h"), j - 1).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
     val votes = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (1 to 16)
+    val simhash = (1 to SIMHASH_BITS)
       .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), simhash.as("simhash"))
@@ -229,16 +236,17 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> ((s, d) =>
       simhashFrom(s, Tables.documents(s, d)).orderBy("doc_id")),
 
-    // -- SimHash near-dup pairs: Hamming-distance LSH over the 16-bit
-    //    hashes. 4 blocks of 4 bits: by pigeonhole, any pair within
+    // -- SimHash near-dup pairs: Hamming-distance LSH over the 60-bit
+    //    hashes. 4 blocks of 15 bits: by pigeonhole, any pair within
     //    Hamming distance 3 agrees exactly on >= 1 block, so blocking on
     //    each block finds ALL such pairs (complete, not approximate);
-    //    candidates verify with a codegen'd popcount on the XOR ----------
+    //    candidates verify with a codegen'd popcount on the XOR. 15-bit
+    //    block keys keep buckets sparse at corpus scale ------------------
     "dedup_simhash_pairs" -> ((s, d) => {
       val sims = simhashFrom(s, Tables.documents(s, d))
       val blocks = sims.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+        posexplode(array((0 until SIMHASH_BLOCKS).map(b =>
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
         .withColumnRenamed("pos", "blk")
         .withColumnRenamed("col", "blk_val")
       val a = blocks.select(col("blk"), col("blk_val"),
@@ -342,10 +350,10 @@ object Dedup extends QueryModule {
 
   /** SimHash oracle (mirrors [[simhashFrom]]), unordered for embedding. */
   private def simhashSql: String = {
-    val bitSums = (1 to 16).map(j =>
+    val bitSums = (1 to SIMHASH_BITS).map(j =>
       s"sum((((h >> ${j - 1}) & 1) * 2 - 1)) AS b$j")
       .mkString(",\n               ")
-    val hashExpr = (1 to 16).map(j =>
+    val hashExpr = (1 to SIMHASH_BITS).map(j =>
       s"(CASE WHEN b$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
       .mkString(" + ")
     s"""
@@ -432,7 +440,7 @@ object Dedup extends QueryModule {
       WITH sh AS ($simhashSql),
       blocks AS (
         SELECT doc_id, simhash, bb.b AS blk,
-               (simhash >> (bb.b * 4)) & 15 AS blk_val
+               (simhash >> (bb.b * 15)) & 32767 AS blk_val
         FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb)
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
              bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
