@@ -24,6 +24,24 @@ object BenchProbe {
       } else if (name == "scaledmh") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.scaledMinhash(spark, p)
+      } else if (name == "scaledsimhash") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        import org.apache.spark.sql.functions._
+        val sims = graft.queries.Dedup.simhashFrom(spark, spark.read.parquet(p))
+        val blocks = sims.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until graft.queries.Dedup.SIMHASH_BLOCKS).map(b =>
+            shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+          .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blk_val")
+        val a = blocks.select(col("blk"), col("blk_val"),
+          col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+        val b = blocks.select(col("blk"), col("blk_val"),
+          col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+        a.join(b, Seq("blk", "blk_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+          .dropDuplicates("a_id", "b_id")
+          .filter(col("hamming") <= 3)
       } else if (name == "scaledcc") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Dedup.clustersFrom(spark.read.parquet(p), ordered = false)

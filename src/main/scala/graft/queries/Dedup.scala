@@ -42,9 +42,15 @@ object Dedup extends QueryModule {
       .withColumn("h",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
           .cast("long"))
+    // collapse token multiplicity FIRST with a cheap single-count agg
+    // (natural text repeats tokens ~5x), then weight each distinct
+    // (doc, hash) row's +-1 votes by its count — identical result, and
+    // the 60-column vote aggregate reads 4-5x fewer rows
+    val counted = tok.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val bitSums = (1 to SIMHASH_BITS).map(j =>
-      sum(shiftright(col("h"), j - 1).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
-    val votes = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      sum(col("c") * (shiftright(col("h"), j - 1).bitwiseAND(lit(1L)) * 2 - 1))
+        .as(s"b$j"))
+    val votes = counted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val simhash = (1 to SIMHASH_BITS)
       .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
