@@ -449,6 +449,20 @@ object Relational extends QueryModule {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // -- scalar comparison + regex group extraction -----------------------
+    "q_scalar_misc" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          greatest(cents(col("l_extendedprice")), cents(col("l_quantity")) * 100)
+            .as("hi_c"),
+          least(cents(col("l_discount")), cents(col("l_tax"))).as("lo_c"),
+          regexp_extract(col("l_shipdate").cast("string"),
+            "^(\\d{4})-(\\d{2})", 1).as("ship_year"),
+          regexp_extract(col("l_shipdate").cast("string"),
+            "^(\\d{4})-(\\d{2})", 2).as("ship_month"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // -- binary encodings: base64 / hex round-trips (payload plumbing) ----
     "q_encode_funcs" -> ((s, d) =>
       cust(s, d)
@@ -908,6 +922,18 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    "q_scalar_misc" -> """
+      SELECT l_orderkey, l_linenumber,
+             greatest(round(l_extendedprice * 100)::BIGINT,
+                      round(l_quantity * 100)::BIGINT * 100) AS hi_c,
+             least(round(l_discount * 100)::BIGINT,
+                   round(l_tax * 100)::BIGINT) AS lo_c,
+             regexp_extract(l_shipdate::VARCHAR, '^(\d{4})-(\d{2})', 1) AS ship_year,
+             regexp_extract(l_shipdate::VARCHAR, '^(\d{4})-(\d{2})', 2) AS ship_month
+      FROM lineitem
+      WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber""",
 
     "q_encode_funcs" -> """
       SELECT c_custkey,
