@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *  - MinHash:  word-shingles -> k seeded min-hashes -> LSH band keys;
   *              candidate pairs come from a single shuffle on band key
   *              (no O(n^2) compare — the scale path for 100 TB corpora)
-  *  - SimHash:  per-token hash bit votes -> 16-bit locality hash
+  *  - SimHash:  per-token hash bit votes -> 60-bit locality hash
   *  - n-gram Jaccard: exact set overlap for candidate verification
   *
   * Hash function choice: md5 (not Spark's murmur/xxhash) so signatures
@@ -43,7 +43,14 @@ object DedupOps {
     *
     * Returns (idCol, sig: array<long>[k]); docs with no shingles drop.
     */
-  def minhashSignatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+  /** [[minhashSignatures]] with the signature as k FLAT long columns
+    * `_m0.._m{k-1}` instead of one array column. The flat shape is what
+    * the pair pipeline wants: fixed-length UnsafeRows through the
+    * re-attach join (no per-row array header decode + variable-length
+    * copy — measured ~4x on the scoring stage), and the signature
+    * agreement count is k codegen'd long compares on direct columns.
+    */
+  def minhashSignaturesFlat(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: Column, n: Int = 3, k: Int = 16): org.apache.spark.sql.DataFrame = {
     // Fused generator: lowercased text -> (h1, h2) per n-gram shingle,
     // one digest each, no intermediate arrays (see ShingleHashes).
@@ -53,11 +60,14 @@ object DedupOps {
         .shingleHashes(df.sparkSession, lower(textCol), n).as(Seq("h1", "h2")))
     val mins = (0 until k).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"_m$i"))
-    hashed.groupBy(idCol)
-      .agg(mins.head, mins.tail: _*)
+    hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
+  def minhashSignatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: Column, n: Int = 3, k: Int = 16): org.apache.spark.sql.DataFrame =
+    minhashSignaturesFlat(df, idCol, textCol, n, k)
       .select(col(idCol),
         array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
-  }
 
   /** LSH band keys: split the k-signature into `bands` groups of
     * `rowsPer`; the group's joined values are the bucket key. Docs
@@ -83,18 +93,28 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Cosine similarity of two float-array embeddings, computed in
-    * double with left-to-right accumulation; `*1e6` integer scaling at
-    * call sites makes results engine-exact.
+  /** Whether |corpus|-derived side frames (minhash signatures, CC label
+    * frames — one short row per document) are within broadcast reach, so
+    * the dedup pipelines can pick broadcast vs shuffle joins as a code
+    * path rather than a hard-wired hint. Gated on the SOURCE frame's
+    * optimizer size estimate: a parquet scan's stats are file-size
+    * accurate, while the derived aggregates inherit inflated guesses —
+    * and the derived frames (~100 B/doc) are strictly smaller than the
+    * text they summarize. The cap is deliberately conservative: at
+    * 100 TB the corpus estimate exceeds any cap and every dedup join
+    * degrades gracefully to a doc_id shuffle join.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def broadcastReach(docs: org.apache.spark.sql.DataFrame): Boolean = {
+    val cap = docs.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCorpusBytes", (256L << 20).toString)
+      .toLong
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
   }
 
-  /** Cosine scaled to an exact integer (1e-6 resolution). */
-  def cosineScaled(a: Column, b: Column): Column =
-    round(cosine(a, b) * 1e6).cast("long")
+  /** The broadcast hint as a size-derived function: identity (shuffle
+    * join) past broadcast reach of the source corpus.
+    */
+  def sizeHint(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    if (broadcastReach(docs)) broadcast else identity
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryModule, Tables}
 import graft.functions.Text
 import graft.operators.DedupOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication query surface over `documents` / `embeddings`:
@@ -79,16 +79,24 @@ object Dedup extends QueryModule {
     * large duplicate cliques: 75-128 s where this takes seconds.
     */
   def minhashPairsFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
-    val base = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 3, K)
+    // Signatures stay as k FLAT long columns through this pipeline:
+    // fixed-length UnsafeRows through the re-attach joins, and the
+    // match-count is k direct long compares — the array form cost ~4x
+    // on the scoring stage (header decode + variable-length row copy
+    // per pair, measured on the x20 corpus).
+    val base = DedupOps.minhashSignaturesFlat(docs, "doc_id", col("text"), 3, K)
     // Bucket key = xxhash64(band index, band values): a single long the
     // join sorts/compares ~10x cheaper than the multi-hash strings. A
     // 2^-64 key collision can only ADD a candidate pair, and candidates
     // are gated by est_jaccard >= 0.5 downstream — semantics preserved.
+    // (Band values enter the hash as the same '|'-joined decimal string
+    // the array formulation used, so bucketing semantics are unchanged.)
+    def bandKey(b: Int): Column =
+      xxhash64(lit(b), concat_ws("|",
+        (0 until ROWS).map(r => col(s"_m${b * ROWS + r}").cast("string")): _*))
     val banded = base
-      .select(col("doc_id"), col("sig"),
-        posexplode(DedupOps.bandKeys(col("sig"), BANDS, ROWS)))
-      .select(col("doc_id"), col("sig"),
-        xxhash64(col("pos"), col("col")).as("bh"))
+      .select(col("doc_id"),
+        explode(array((0 until BANDS).map(bandKey): _*)).as("bh"))
     // explicit co-partitioning at FIXED width: the pair-generating join
     // must run across all shuffle partitions — sized by its quadratic
     // OUTPUT, which AQE cannot see coming. Both a column-only
@@ -104,16 +112,23 @@ object Dedup extends QueryModule {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    // signatures re-attach via explicit broadcast of the |corpus|-sized
-    // frame — NEVER the pair stream (AQE, estimating only the deduped
-    // row count, otherwise collects millions of pairs to the driver as
-    // a broadcast table). At corpus sizes past broadcast reach, drop
-    // the hint and these become doc_id shuffle joins.
-    val aSig = broadcast(base.select(col("doc_id").as("a_id"), col("sig").as("a_sig")))
-    val bSig = broadcast(base.select(col("doc_id").as("b_id"), col("sig").as("b_sig")))
+    // signatures re-attach via broadcast of the |corpus|-sized frame —
+    // NEVER the pair stream (AQE, estimating only the deduped row count,
+    // otherwise collects millions of pairs to the driver as a broadcast
+    // table). The hint is size-GATED (DedupOps.broadcastReach): past
+    // broadcast reach the signature frames re-attach as doc_id shuffle
+    // joins instead — the 100 TB path is a code path, not a comment.
+    val hint = DedupOps.sizeHint(docs)
+    val aSig = hint(base.select(col("doc_id").as("a_id") +:
+      (0 until K).map(i => col(s"_m$i").as(s"a_m$i")): _*))
+    val bSig = hint(base.select(col("doc_id").as("b_id") +:
+      (0 until K).map(i => col(s"_m$i").as(s"b_m$i")): _*))
+    val matches = (0 until K)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
     val scored = pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        DedupOps.estJaccard(col("a_sig"), col("b_sig"), K).as("est_jaccard"))
+        (matches.cast("double") / K.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
     // global sort is for the deterministic oracle compare; a production
     // pipeline writes the pair set unsorted — and a range exchange runs
@@ -138,31 +153,43 @@ object Dedup extends QueryModule {
     * stays flat instead of growing by one join per round.
     */
   def clustersFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    // label frames are <= |corpus| keys — broadcast them into the edge
+    // scan when the corpus is within broadcast reach (size-gated, same
+    // policy as the signature re-attach); the EDGE set, |pairs|-sized,
+    // must never be the build side. Past reach the hint drops away and
+    // every loop join runs as a key shuffle.
+    val hint = DedupOps.sizeHint(docs)
     val pairs = minhashPairsFrom(docs, ordered = false).select("a_id", "b_id")
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+    // Round 1 collapsed into a join-free aggregation: with labels
+    // initialized to ids, min neighbor LABEL == min neighbor ID, so the
+    // heaviest round (every node active) is one groupBy over the edge
+    // list instead of an edges-x-labels join.
+    val nbr0 = edges.groupBy("src").agg(min("dst").as("nbr_min"))
+    var labels = docs.select(col("doc_id").as("id"))
+      .join(hint(nbr0), col("id") === col("src"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
       .localCheckpoint()
     // frontier = nodes whose label changed last round: only THEIR labels
     // can improve a neighbor this round, so later rounds join the edge
     // set against a shrinking frame instead of the whole corpus (the
     // BFS-frontier refinement of label propagation)
-    var frontier = labels
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      // label frames are <= |corpus| keys — broadcast them into the edge
-      // scan (same broadcast-reach argument as the signature re-attach);
-      // the EDGE set, |pairs|-sized, must never be the build side
+    var frontier = labels.filter(col("label") < col("id")).select("id", "label")
+    var changed = frontier.count()
+    var rounds = 1
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val nbr = edges
-        .join(broadcast(frontier.withColumnRenamed("id", "nid")),
+        .join(hint(frontier.withColumnRenamed("id", "nid")),
           col("dst") === col("nid"))
         .groupBy("src").agg(min("label").as("nbr_min"))
       // ONE materialization per round: checkpoint carries old + new
       // label, so the convergence count and the next frontier read the
       // checkpoint instead of re-executing the join
-      val next = labels.join(broadcast(nbr), col("id") === col("src"), "left")
+      val next = labels.join(hint(nbr), col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
@@ -172,8 +199,66 @@ object Dedup extends QueryModule {
       labels = next.select("id", "label")
       rounds += 1
     }
+    // The cap exists to bound a pathological input (diameter > 50 means
+    // chains of thousands of near-identical docs, not dedup cliques);
+    // returning silently-unconverged labels would diverge from the
+    // transitive-closure semantics, so fail loudly instead.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clustersFrom: label propagation not converged after $maxRounds " +
+          s"rounds ($changed labels still improving); pair-graph diameter " +
+          "exceeds the cap — raise it or pre-contract the long chains")
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster"))
     if (ordered) out.orderBy("doc_id") else out
+  }
+
+  /** Prefix-block size cap for the verification-grade pair ops
+    * ([[jaccardPairsFrom]], [[levenshteinPairsFrom]]): a block whose
+    * membership exceeds this is a boilerplate prefix ("terms of
+    * service ..."), and its within-block cross product is quadratic in
+    * the corpus — the one shape prefix blocking cannot bound. Such
+    * blocks are dropped: these ops are verification passes (the
+    * recall-bearing candidate generator is MinHash/SimHash LSH, whose
+    * buckets stay sparse by construction), so skipping a degenerate
+    * block trades bounded recall loss for a bounded join.
+    */
+  val MAX_BLOCK = 64
+
+  /** Blocks `docs` on its `blk` column, drops blocks over [[MAX_BLOCK]],
+    * and returns the deduped a<b within-block pair stream.
+    */
+  private def blockedPairs(t: DataFrame): DataFrame = {
+    val ok = t.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MAX_BLOCK).select("blk")
+    val tc = t.join(ok, Seq("blk"), "left_semi")
+    val a = tc.select((tc.columns.map(c => col(c).as(s"a_$c")).toSeq :+ col("blk")): _*)
+      .drop("a_blk")
+    val b = tc.select((tc.columns.map(c => col(c).as(s"b_$c")).toSeq :+ col("blk")): _*)
+      .drop("b_blk")
+    a.join(b, "blk").filter(col("a_doc_id") < col("b_doc_id"))
+  }
+
+  /** Exact n-gram Jaccard over prefix-blocked candidate pairs. */
+  def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      array_distinct(Text.tokensLower(col("text"))).as("ts"),
+      array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
+    blockedPairs(t)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        DedupOps.jaccard(col("a_ts"), col("b_ts")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Edit-distance near-dup over prefix-blocked candidate pairs. */
+  def levenshteinPairsFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"),
+      array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
+    blockedPairs(t)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 50)
+      .orderBy("a_id", "b_id")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,26 +304,16 @@ object Dedup extends QueryModule {
       clustersFrom(Tables.documents(s, d))),
 
     // -- exact n-gram Jaccard over prefix-blocked candidates --------------
-    "dedup_jaccard_pairs" -> ((s, d) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"),
-          array_distinct(Text.tokensLower(col("text"))).as("ts"),
-          array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
-      val a = t.select(col("doc_id").as("a_id"), col("ts").as("a_ts"), col("blk"))
-      val b = t.select(col("doc_id").as("b_id"), col("ts").as("b_ts"), col("blk"))
-      a.join(b, "blk")
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          DedupOps.jaccard(col("a_ts"), col("b_ts")).as("jac"))
-        .filter(col("jac") >= 0.5)
-        .orderBy("a_id", "b_id")
-    }),
+    // Blocks over MAX_BLOCK members are dropped (boilerplate-prefix
+    // guard — see blockedPairs); the oracle mirrors the cap.
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      jaccardPairsFrom(Tables.documents(s, d))),
 
-    // -- SimHash (16-bit votes over the low bits of a 60-bit md5 slice).
-    //    One hex->long parse per token, then the 16 per-bit +-1 votes are
+    // -- SimHash (60-bit, paired with 4x15-bit Hamming-LSH blocks below).
+    //    One hex->long parse per token, then the 60 per-bit +-1 votes are
     //    pure long bitwise ops inside whole-stage codegen (the earlier
-    //    per-hex-digit substr/instr formulation did 16 string ops per
-    //    token and dominated the profile) ----------------------------------
+    //    per-hex-digit substr/instr formulation did one string op per
+    //    bit per token and dominated the profile) --------------------------
     "dedup_simhash" -> ((s, d) =>
       simhashFrom(s, Tables.documents(s, d)).orderBy("doc_id")),
 
@@ -269,22 +344,10 @@ object Dedup extends QueryModule {
     }),
 
     // -- edit-distance near-dup: levenshtein over prefix-blocked pairs ----
-    // Same blocking discipline as dedup_jaccard_pairs (first-3-token
-    // block key bounds the quadratic comparison to within-block); the
+    // Same blocking + MAX_BLOCK discipline as dedup_jaccard_pairs; the
     // O(|a|*|b|) distance runs only on surviving candidates.
-    "dedup_levenshtein" -> ((s, d) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
-      val a = t.select(col("doc_id").as("a_id"), col("text").as("a_text"), col("blk"))
-      val b = t.select(col("doc_id").as("b_id"), col("text").as("b_text"), col("blk"))
-      a.join(b, "blk")
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
-        .filter(col("edit_dist") <= 50)
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_levenshtein" -> ((s, d) =>
+      levenshteinPairsFrom(Tables.documents(s, d))),
 
     // -- embedding near-dup: top-20 within-label pairs by cosine ----------
     "dedup_embedding_topk" -> ((s, d) => {
@@ -420,12 +483,14 @@ object Dedup extends QueryModule {
       WITH t AS (
         SELECT doc_id, list_distinct($sqlToksL) AS ts,
                array_to_string(($sqlToksL)[1:3], ' ') AS blk
-        FROM documents)
+        FROM documents),
+      ok AS (SELECT blk FROM t GROUP BY blk HAVING count(1) <= $MAX_BLOCK)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              len(list_intersect(a.ts, b.ts))::DOUBLE
                / len(list_distinct(a.ts || b.ts))::DOUBLE AS jac
       FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+      WHERE a.blk IN (SELECT blk FROM ok)
+        AND len(list_intersect(a.ts, b.ts))::DOUBLE
               / len(list_distinct(a.ts || b.ts))::DOUBLE >= 0.5
       ORDER BY a_id, b_id""",
 
@@ -433,11 +498,13 @@ object Dedup extends QueryModule {
       WITH t AS (
         SELECT doc_id, text,
                array_to_string(($sqlToksL)[1:3], ' ') AS blk
-        FROM documents)
+        FROM documents),
+      ok AS (SELECT blk FROM t GROUP BY blk HAVING count(1) <= $MAX_BLOCK)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              levenshtein(a.text, b.text)::BIGINT AS edit_dist
       FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.text, b.text) <= 50
+      WHERE a.blk IN (SELECT blk FROM ok)
+        AND levenshtein(a.text, b.text) <= 50
       ORDER BY a_id, b_id""",
 
     "dedup_simhash" -> (simhashSql + "\n      ORDER BY doc_id"),
