@@ -39,16 +39,21 @@ object WordCount {
 
   /** Reference parity: counts for a text file at `path`.
     *
+    * Reads through [[graft.sources.ChunkedTextSource]] — byte-range
+    * splits realigned at token boundaries, the reference's exact split
+    * model (main.c:96-108, 202-229) — so ANY byte layout parallelizes,
+    * including a file with no newlines at all (spark.read.text would
+    * have to hold such a file as one unsplittable row).
+    *
     * `minPartitions` maps the reference's `num_threads` CLI knob onto
-    * Spark's split planning; output is partition-count invariant
-    * (SURVEY §1.4 determinism).
+    * split planning; output is partition-count invariant (SURVEY §1.4
+    * determinism).
     */
   def fromFile(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
+    val reader = spark.read.format("graft.sources.ChunkedTextSource")
     val lines =
-      if (minPartitions > 0)
-        spark.createDataset(spark.sparkContext.textFile(path, minPartitions))(
-          org.apache.spark.sql.Encoders.STRING).toDF("value")
-      else spark.read.text(path)
+      (if (minPartitions > 0) reader.option("minChunks", minPartitions.toString)
+       else reader).load(path)
     counts(lines, col("value"))
   }
 
@@ -77,33 +82,53 @@ object WordCountCli {
     m.map(_.toLong).getOrElse(0L)
   }
 
-  /** Returns process exit code; prints to stdout like the reference. */
+  /** Returns process exit code; prints to stdout like the reference.
+    *
+    * Beyond the reference's two positional args, `--write-out <dir>`
+    * streams the sorted result to text files instead of collecting the
+    * whole vocabulary to the driver — the engine-surface sink for
+    * corpora whose vocabulary exceeds driver memory.
+    */
   def run(args: Array[String], spark: () => SparkSession): Int = {
-    if (args.length != 2) {
+    val (pos, writeOut) = args.indexOf("--write-out") match {
+      case -1 => (args, None)
+      case i if i == args.length - 1 =>
+        println("Usage: wordcount <filename> <num_partitions> [--write-out <dir>]")
+        return 1
+      case i => (args.patch(i, Nil, 2), Some(args(i + 1)))
+    }
+    if (pos.length != 2) {
       println("Usage: wordcount <filename> <num_partitions>")
       return 1
     }
-    val n = strtol(args(1))
+    val n = strtol(pos(1))
     if (n <= 0) {
-      println(s"Error: num_partitions must be a positive integer, got '${args(1)}'")
+      println(s"Error: num_partitions must be a positive integer, got '${pos(1)}'")
       return 1
     }
-    val f = new java.io.File(args(0))
+    val f = new java.io.File(pos(0))
     if (!f.isFile || !f.canRead) {
-      println(s"Error: cannot open file '${args(0)}'")
+      println(s"Error: cannot open file '${pos(0)}'")
       return 1
     }
     if (f.length() == 0) {
-      println(s"Error: file '${args(0)}' does not contain any valid text data")
+      println(s"Error: file '${pos(0)}' does not contain any valid text data")
       return 1
     }
-    // Reference clamps num_threads to file size (main.c:120-124); partitions
-    // beyond one byte each are equally meaningless, so mirror the clamp.
+    // Reference clamps num_threads to file size with a notice
+    // (main.c:120-124, byte-exact: first printf has no newline);
+    // partitions beyond one byte each are equally meaningless.
+    if (n > f.length()) {
+      println("input text file size > num_threads specified, reducing " +
+        s"num_threads to match...num_threads = ${f.length()}")
+    }
     val parts = math.min(n, f.length()).toInt
     val s = spark()
-    WordCount.formatted(WordCount.fromFile(s, args(0), parts))
-      .collect()
-      .foreach(println)
+    val result = WordCount.formatted(WordCount.fromFile(s, pos(0), parts))
+    writeOut match {
+      case Some(dir) => result.write.mode("overwrite").text(dir)
+      case None      => result.collect().foreach(println)
+    }
     0
   }
 

@@ -50,6 +50,16 @@ object Relational extends QueryModule {
   private val revUnits: Column =
     cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
 
+  /** Engine-portable per-mille bucket of a row key in [0, 1000): the
+    * first 48 bits of md5 over the '|'-joined key columns, mod 1000.
+    * md5 (not xxhash64/murmur) so the DuckDB oracle reproduces the
+    * exact sample; 48 bits so the value is exact in a signed long in
+    * both engines.
+    */
+  private def sampleMille(keys: Column*): Column =
+    conv(substring(md5(concat_ws("|", keys: _*).cast("binary")), 1, 12), 16, 10)
+      .cast("long") % 1000
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- TPC-H Q1-style pricing summary: scan + filter + hash agg ---------
     "q1_agg" -> ((s, d) =>
@@ -564,19 +574,25 @@ object Relational extends QueryModule {
             .as("approx_p50"))
         .orderBy("l_returnflag")),
 
-    // -- sampling (training-data pipelines; rows-only: RNG is
-    //    engine-specific, but seeded => stable within Spark) --------------
+    // -- sampling (training-data pipelines). Hash-mod sampling on the
+    //    row key instead of engine RNG: md5(key) per-mille under a
+    //    threshold. Deterministic in ANY engine (the DuckDB oracle
+    //    recomputes it bit-for-bit), stable under retries and
+    //    re-partitioning — the property a reproducible training-data
+    //    pipeline needs that RNG TABLESAMPLE cannot give — and still
+    //    uniform per key. ---------------------------------------------------
     "q_sample" -> ((s, d) =>
       li(s, d)
-        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .filter(sampleMille(col("l_orderkey"), col("l_linenumber")) < 100) // 10%
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("l_returnflag")),
 
+    // per-stratum rates: N at 20%, A/R at 5%
     "q_sample_stratified" -> ((s, d) =>
       li(s, d)
-        .stat.sampleBy("l_returnflag",
-          Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.05), seed = 42L)
+        .filter(sampleMille(col("l_orderkey"), col("l_linenumber")) <
+          when(col("l_returnflag") === "N", 200).otherwise(50))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("l_returnflag")),
@@ -595,7 +611,25 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag"))
   )
 
+  /** DuckDB mirror of [[sampleMille]] over the lineitem row key. */
+  private val sampleMilleSql =
+    "('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 12))::BIGINT % 1000"
+
   override def oracles: Map[String, String] = Map(
+    "q_sample" -> s"""
+      SELECT l_returnflag, count(1) AS n_sampled
+      FROM lineitem
+      WHERE $sampleMilleSql < 100
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_sample_stratified" -> s"""
+      SELECT l_returnflag, count(1) AS n_sampled
+      FROM lineitem
+      WHERE $sampleMilleSql < CASE WHEN l_returnflag = 'N' THEN 200 ELSE 50 END
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guards on the dedup pair generators: corpora engineered to
+  * break naive blocking must stay bounded.
+  */
+class DedupGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prefix-block cap drops a boilerplate-prefix block instead of going quadratic") {
+    // 2,000 docs that all open with the same three tokens: unguarded
+    // first-3-token blocking would emit ~2M candidate pairs from this
+    // one block. The MAX_BLOCK cap must drop the block entirely.
+    val boiler = (0 until 2000)
+      .map(i => (i.toLong, s"terms of service apply uniquely to document number $i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairsFrom(boiler).count() === 0L)
+    assert(Dedup.levenshteinPairsFrom(boiler).count() === 0L)
+  }
+
+  test("prefix-block cap keeps small blocks intact") {
+    // Two near-identical docs sharing a distinct prefix: a block of 2 is
+    // far under the cap, and the pair must survive with jac >= 0.5.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different text about unrelated things entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsFrom(docs).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    val lev = Dedup.levenshteinPairsFrom(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(lev.toSeq === Seq((1L, 2L)))
+  }
+
+  test("cluster labels equal transitive closure on a chain within the round cap") {
+    // a-b, b-c near-dup chain: c must inherit a's label through two hops.
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again"),
+      (99L, "completely unrelated content with no overlap whatsoever at all here")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.clustersFrom(docs).as[(Long, Long)].collect().toMap
+    assert(labels(10L) === 10L)
+    assert(labels(99L) === 99L)
+    // all three near-dups collapse to the min id
+    assert(labels(11L) === 10L && labels(12L) === 10L)
+  }
+}

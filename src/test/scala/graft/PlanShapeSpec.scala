@@ -67,6 +67,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "signature re-attach must broadcast the corpus-sized frame:\n" + p)
   }
 
+  test("minhash pairs past broadcast reach: re-attach degrades to shuffle join") {
+    // Force the size gate shut (cap = 0 bytes) and disable Spark's own
+    // stats-based broadcast pick: the signature re-attach must plan as a
+    // non-broadcast join — the exact shape a 100 TB corpus gets.
+    val conf = spark.conf
+    val prevCap = conf.getOption("spark.graft.dedup.broadcastCorpusBytes")
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.graft.dedup.broadcastCorpusBytes", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("dedup_minhash_pairs")
+      assert(!p.contains("BroadcastHashJoin"),
+        "size gate shut but a broadcast join still planned:\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected shuffle joins for the signature re-attach:\n" + p)
+    } finally {
+      prevCap.fold(conf.unset("spark.graft.dedup.broadcastCorpusBytes"))(
+        conf.set("spark.graft.dedup.broadcastCorpusBytes", _))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("topk_per_key uses the heap operator, no SortExec before it") {
     val p = plan("q_topk_per_key")
     assert(p.contains("TopKPerKey"), p)

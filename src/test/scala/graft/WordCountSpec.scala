@@ -89,4 +89,26 @@ class WordCountSpec extends AnyFunSuite {
   test("cli: happy path returns 0, clamps partitions to file size") {
     assert(WordCountCli.run(Array("/root/reference/test_input1", "100"), () => spark) == 0)
   }
+
+  test("cli: clamp prints the reference's notice line (main.c:120-124)") {
+    val fileLen = new java.io.File("/root/reference/test_input1").length()
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out)) {
+      WordCountCli.run(Array("/root/reference/test_input1", "100"), () => spark)
+    }
+    assert(rc == 0)
+    val first = out.toString.linesIterator.next()
+    assert(first == "input text file size > num_threads specified, " +
+      s"reducing num_threads to match...num_threads = $fileLen")
+  }
+
+  test("cli: --write-out streams the result to files, no driver collect") {
+    val dir = "target/tmp/cli_out"
+    val rc = WordCountCli.run(
+      Array("/root/reference/test_input1", "4", "--write-out", dir), () => spark)
+    assert(rc == 0)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("4=1", "dsfg=1", "w3=2", "w6=1",
+      "word1=3", "word2=1", "word5=1"))
+  }
 }
