@@ -93,6 +93,17 @@ case class HllDistinct(child: Expression, p: Int = 12,
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "graft_hll_distinct"
 
+  // SQL-exposed (GraftExtensions): reject non-string args at analysis
+  // time instead of a ClassCastException at executor runtime.
+  // (ExpectsInputTypes is unusable outside org.apache.spark.sql —
+  // AbstractDataType is private[sql] — so check directly.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
   override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =

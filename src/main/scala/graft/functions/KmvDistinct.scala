@@ -94,6 +94,15 @@ case class KmvDistinct(child: Expression, k: Int,
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "graft_kmv_distinct"
 
+  // same analysis-time guard as HllDistinct: SQL-exposed, so a
+  // non-string arg must fail analysis, not the executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** Backward as-of join — an operator Spark lacks natively.
   *
   * For each left row, attach the payload of the latest right row with
-  * the same key and `right.ts <= left.ts` (ties match).
+  * the same key and `right.ts <= left.ts` (ties match). Duplicate
+  * right rows on (key, ts) resolve deterministically: the greatest
+  * payload tuple wins backward, the smallest forward.
   *
   * Implementation is the scalable union-tag formulation, not a range
   * join: tag both inputs, union, then one `last(payload, ignoreNulls)`
@@ -53,7 +55,12 @@ object AsofJoin {
         } ++
         leftCols.map(col): _*)
 
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
+    // payload columns as final tie-breakers: duplicate right (key, ts)
+    // rows would otherwise make the pick nondeterministic (partition-
+    // layout dependent); with them, the GREATEST payload tuple wins —
+    // defined semantics, stable across runs and engines
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col("_tag") +: outNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = taggedRight.unionByName(taggedLeft)
       .select(
@@ -91,7 +98,10 @@ object AsofJoin {
         } ++
         leftCols.map(col): _*)
 
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
+    // tie-breaker mirror of asofBackward: among duplicate right
+    // (key, ts) rows the SMALLEST payload tuple wins (deterministic)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col("_tag") +: outNames.map(col): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = taggedRight.unionByName(taggedLeft)
       .select(

@@ -25,7 +25,43 @@ object EventsTime extends QueryModule {
   private val GAP_US = 1800000000L // 30 min session gap
   private val W_US = 600000000L // 10 min range-join window
 
+  /** The events table REPLAYED through the real Structured Streaming
+    * plan: file stream -> watermark -> tumbling window -> APPEND-mode
+    * memory sink, driven to completion by Trigger.AvailableNow. Append
+    * mode emits exactly the windows the final watermark (max event time
+    * minus the 30-minute delay) has closed — so the oracle mirrors the
+    * watermark rule itself, which puts late-data semantics under the
+    * driver's value-compare rather than only under ScalaTest.
+    */
+  def streamReplay(s: SparkSession, d: String): DataFrame = {
+    val batch = Tables.events(s, d)
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_replay_" + new java.io.File(d).getName).getPath
+    // one micros-typed scratch copy per SF dir (the raw table is
+    // TIMESTAMP(NANOS), which a schema-pinned file stream can't read)
+    if (!new java.io.File(scratch, "_SUCCESS").exists())
+      batch.write.mode("overwrite").parquet(scratch)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val agg = graft.streaming.Streaming
+      .windowedTypeCounts(stream, "1 hour", "1 hour", "30 minutes")
+    val sink = "ev_stream_replay_" + System.nanoTime()
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+      .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- watermark semantics, driver-checked (see streamReplay) -----------
+    "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
+
     // -- tumbling window (batch twin of streaming groupBy(window)) --------
     "ev_tumbling" -> ((s, d) =>
       ev(s, d)
@@ -304,6 +340,18 @@ object EventsTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // append-mode emission rule in SQL: a tumbling window materializes
+    // iff the final watermark (max ts - 30 min) passed its end
+    "ev_stream_replay" -> """
+      WITH m AS (SELECT max(ts) AS mx FROM events)
+      SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
+             event_type, count(1) AS n
+      FROM events, m
+      GROUP BY date_trunc('hour', ts::TIMESTAMP), event_type, mx
+      HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
+               <= mx - INTERVAL 30 MINUTE
+      ORDER BY hour, event_type""",
+
     "ev_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
              event_type, count(1) AS n,

@@ -156,15 +156,24 @@ object Streaming {
             state.remove()
             Iterator(SessionOut(uid, s.startUs, s.endUs, s.n))
           } else {
-            val us = rows.map(_._2.getTime * 1000L).toArray
+            // full microsecond precision: Timestamp.getTime is ms, the
+            // sub-ms micros live in getNanos
+            val us = rows.map { case (_, t) =>
+              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            }.toArray
             val merged = state.getOption match {
               case Some(p) => SessState(math.min(p.startUs, us.min),
                 math.max(p.endUs, us.max), p.n + us.length)
               case None => SessState(us.min, us.max, us.length.toLong)
             }
             state.update(merged)
-            // close when event time passes session end + gap
-            state.setTimeoutTimestamp(merged.endUs / 1000L + gapMs)
+            // close when event time passes session end + gap — clamped
+            // above the current watermark: setTimeoutTimestamp THROWS on
+            // a timestamp at/behind it (possible when this batch's data
+            // is already older than watermark - gap), which would kill
+            // the query instead of closing the session next batch
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, merged.endUs / 1000L + gapMs))
             Iterator.empty
           }
       }

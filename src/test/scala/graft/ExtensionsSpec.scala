@@ -44,6 +44,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) > 500.0) // KMV estimate in a sane band
   }
 
+  test("sketch aggregates reject non-string args at analysis time") {
+    graft.functions.KmvDistinct.register(spark)
+    graft.functions.HllDistinct.register(spark)
+    spark.range(0, 10).createOrReplaceTempView("ext_ids_typed")
+    for (fn <- Seq("graft_hll_distinct(id)", "graft_kmv_distinct(id, 16)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn FROM ext_ids_typed").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
+    }
+  }
+
   test("SimplifySelfCosine folds cosine(x, x) to 1.0 in the plan") {
     Vectors.register(spark)
     val v = array(lit(3.0f), lit(4.0f)) // non-nullable child
