@@ -26,6 +26,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
     "sim_brute_topk", "sim_ivf_topk",
     "ev_sessionize", "ev_asof_join", "ev_range_join", "ev_sliding",
+    "ev_gap_fill", "dedup_contamination",
     "mm_meta")
 
   /** BASELINE.md workload A equivalent: 1.2M lines x 10 words from a
@@ -176,6 +177,13 @@ object Bench {
     val cc = (1 to 2).map(_ => timeOne("scaled_cc_x20", () =>
       graft.queries.Dedup.clustersFrom(
         spark.read.parquet(scaledPath), ordered = false)))
+    // decontamination at x20: the shingle join against a 1-in-50
+    // benchmark slice, 100k docs / ~20M shingles
+    val contam = (1 to 2).map(_ => timeOne("scaled_contam_x20", () => {
+      val docs = spark.read.parquet(scaledPath)
+      graft.queries.Dedup.contaminationFrom(
+        docs, docs.filter(col("doc_id") % 50 === 0))
+    }))
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
@@ -197,13 +205,16 @@ object Bench {
       "ref_wordcount_2m_skew" -> refBRuns.min,
       "ref_wordcount_2m_skew_median" -> median(refBRuns),
       "scaled_minhash_x20" -> mh.min,
-      "scaled_cc_x20" -> cc.min)
+      "scaled_cc_x20" -> cc.min,
+      "scaled_contam_x20" -> contam.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: *_cold/*_median are informational
-    val total = results0.map(_._2).sum + refRuns.min + refBRuns.min + mh.min + cc.min
-    val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+ mh.head :+ cc.head).sum
+    val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
+      mh.min + cc.min + contam.min
+    val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
+      mh.head :+ cc.head :+ contam.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

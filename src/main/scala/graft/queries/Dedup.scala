@@ -227,10 +227,15 @@ object Dedup extends QueryModule {
   /** Blocks `docs` on its `blk` column, drops blocks over [[MAX_BLOCK]],
     * and returns the deduped a<b within-block pair stream.
     */
-  private def blockedPairs(t: DataFrame): DataFrame = {
-    val ok = t.groupBy("blk").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MAX_BLOCK).select("blk")
-    val tc = t.join(ok, Seq("blk"), "left_semi")
+  private def blockedPairs(t: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
+    // guard against the OVER-cap block list (anti join), not the
+    // under-cap one: degenerate blocks are <= n/MAX_BLOCK keys — a tiny
+    // frame that broadcasts within corpus reach (`hint`), so the guard
+    // costs one blk-only aggregate instead of re-shuffling `t`
+    val bad = t.select("blk").groupBy("blk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > MAX_BLOCK).select("blk")
+    val tc = t.join(hint(bad), Seq("blk"), "left_anti")
     val a = tc.select((tc.columns.map(c => col(c).as(s"a_$c")).toSeq :+ col("blk")): _*)
       .drop("a_blk")
     val b = tc.select((tc.columns.map(c => col(c).as(s"b_$c")).toSeq :+ col("blk")): _*)
@@ -238,12 +243,35 @@ object Dedup extends QueryModule {
     a.join(b, "blk").filter(col("a_doc_id") < col("b_doc_id"))
   }
 
+  /** Benchmark decontamination: flag corpus docs whose trigram shingles
+    * overlap the benchmark/eval set — the op that keeps eval data out
+    * of a training corpus. Scale shape: one shuffle on shingle (the
+    * benchmark side is distinct-deduped and dimension-sized, so it
+    * broadcasts at production scale), one count agg per doc; integer
+    * per-mille overlap keeps the compare engine-exact.
+    */
+  def contaminationFrom(docs: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(DedupOps.shingles(col("text"), 3)).as("sh"))
+    val benchSh = benchDocs
+      .select(explode(DedupOps.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = sh.join(benchSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        expr("(n_hit * 1000) DIV n_sh").as("mille"))
+      .filter(col("n_hit") >= 3)
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard over prefix-blocked candidate pairs. */
   def jaccardPairsFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"),
       array_distinct(Text.tokensLower(col("text"))).as("ts"),
       array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
-    blockedPairs(t)
+    blockedPairs(t, DedupOps.sizeHint(docs))
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         DedupOps.jaccard(col("a_ts"), col("b_ts")).as("jac"))
       .filter(col("jac") >= 0.5)
@@ -254,7 +282,7 @@ object Dedup extends QueryModule {
   def levenshteinPairsFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"),
       array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
-    blockedPairs(t)
+    blockedPairs(t, DedupOps.sizeHint(docs))
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= 50)
@@ -302,6 +330,12 @@ object Dedup extends QueryModule {
     // -- dedup clustering: pair graph -> connected components -------------
     "dedup_clusters" -> ((s, d) =>
       clustersFrom(Tables.documents(s, d))),
+
+    // -- benchmark decontamination (see contaminationFrom) ----------------
+    "dedup_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminationFrom(docs, docs.filter(col("doc_id") % 50 === 0))
+    }),
 
     // -- exact n-gram Jaccard over prefix-blocked candidates --------------
     // Blocks over MAX_BLOCK members are dropped (boilerplate-prefix
@@ -478,6 +512,19 @@ object Dedup extends QueryModule {
       FROM reach
       GROUP BY id
       ORDER BY doc_id""",
+
+    "dedup_contamination" -> s"""
+      WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS sh
+                  FROM documents),
+           bsh AS (SELECT DISTINCT unnest(${sqlShingles(sqlToksL)}) AS sh
+                   FROM documents WHERE doc_id % 50 = 0),
+           tot AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
+           hit AS (SELECT s.doc_id, count(1) AS n_hit
+                   FROM sh s JOIN bsh b ON s.sh = b.sh GROUP BY 1)
+      SELECT t.doc_id AS doc_id, n_sh, n_hit, (n_hit * 1000) // n_sh AS mille
+      FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+      WHERE n_hit >= 3
+      ORDER BY t.doc_id""",
 
     "dedup_jaccard_pairs" -> s"""
       WITH t AS (

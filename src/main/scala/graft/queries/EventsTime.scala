@@ -62,6 +62,30 @@ object EventsTime extends QueryModule {
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
 
+    // -- gap fill / densification: every (hour, event_type) bucket in the
+    //    observed time range, zero-filled where no events landed. The
+    //    grid is DIMENSION-sized (range x type cardinality, independent
+    //    of |events|), built from a 1-row bounds aggregate + sequence()
+    //    + a distinct-types frame, then left-joined against the real
+    //    per-bucket counts — at 100 TB the grid stays tiny and
+    //    broadcasts while the counts side is one hash agg over the scan.
+    "ev_gap_fill" -> ((s, d) => {
+      val e = ev(s, d)
+      val hours = e
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(
+          sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val grid = hours.crossJoin(e.select("event_type").distinct())
+      val counts = e
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      grid.join(counts, Seq("h", "event_type"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy("hour", "event_type")
+    }),
+
     // -- tumbling window (batch twin of streaming groupBy(window)) --------
     "ev_tumbling" -> ((s, d) =>
       ev(s, d)
@@ -351,6 +375,22 @@ object EventsTime extends QueryModule {
       HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
                <= mx - INTERVAL 30 MINUTE
       ORDER BY hour, event_type""",
+
+    "ev_gap_fill" -> """
+      WITH b AS (SELECT date_trunc('hour', min(ts)::TIMESTAMP) AS lo,
+                        date_trunc('hour', max(ts)::TIMESTAMP) AS hi
+                 FROM events),
+           h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                 FROM b),
+           t AS (SELECT DISTINCT event_type FROM events),
+           c AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type,
+                        count(1) AS cnt
+                 FROM events GROUP BY 1, 2)
+      SELECT strftime(h.h, '%Y-%m-%d %H') AS hour,
+             t.event_type AS event_type, coalesce(c.cnt, 0) AS n
+      FROM h CROSS JOIN t
+      LEFT JOIN c ON c.h = h.h AND c.event_type = t.event_type
+      ORDER BY hour, t.event_type""",
 
     "ev_tumbling" -> """
       SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
