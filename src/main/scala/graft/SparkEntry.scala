@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Similarity,
     graft.queries.Multimodal,
     graft.queries.EventsTime,
-    graft.queries.Io)
+    graft.queries.Io,
+    graft.queries.Sql)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
