@@ -245,21 +245,31 @@ object Dedup extends QueryModule {
 
   /** Benchmark decontamination: flag corpus docs whose trigram shingles
     * overlap the benchmark/eval set — the op that keeps eval data out
-    * of a training corpus. Scale shape: one shuffle on shingle (the
-    * benchmark side is distinct-deduped and dimension-sized, so it
-    * broadcasts at production scale), one count agg per doc; integer
-    * per-mille overlap keeps the compare engine-exact.
+    * of a training corpus.
+    *
+    * Shingles travel as their md5 halves (h1, h2) from the fused
+    * [[graft.functions.ShingleHashes]] generator — the same engine-
+    * portable hashing the minhash path uses (the string-array HOF
+    * formulation is CodegenFallback and collapsed ~10x on the x20
+    * corpus), and a 96-bit key the join compares as two longs. Single
+    * pass over the corpus shingles: one LEFT join against the
+    * distinct-deduped benchmark keys (dimension-sized -> broadcasts at
+    * production scale), then ONE agg produces both the per-doc shingle
+    * count and the hit count; integer per-mille overlap keeps the
+    * compare engine-exact.
     */
   def contaminationFrom(docs: DataFrame, benchDocs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(DedupOps.shingles(col("text"), 3)).as("sh"))
-    val benchSh = benchDocs
-      .select(explode(DedupOps.shingles(col("text"), 3)).as("sh"))
-      .distinct()
-    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val hits = sh.join(benchSh, "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    tot.join(hits, Seq("doc_id"))
+    val ss = docs.sparkSession
+    def shingleKeys(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.ShingleHashes
+        .shingleHashes(ss, lower(col("text")), 3).as(Seq("h1", "h2")))
+      .dropDuplicates("doc_id", "h1", "h2")
+    val sh = shingleKeys(docs)
+    val benchSh = shingleKeys(benchDocs).select("h1", "h2").distinct()
+      .withColumn("_hit", lit(1))
+    sh.join(benchSh, Seq("h1", "h2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("_hit")).as("n_hit"))
       .select(col("doc_id"), col("n_sh"), col("n_hit"),
         expr("(n_hit * 1000) DIV n_sh").as("mille"))
       .filter(col("n_hit") >= 3)
@@ -514,17 +524,22 @@ object Dedup extends QueryModule {
       ORDER BY doc_id""",
 
     "dedup_contamination" -> s"""
-      WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS sh
+      WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s
                   FROM documents),
-           bsh AS (SELECT DISTINCT unnest(${sqlShingles(sqlToksL)}) AS sh
-                   FROM documents WHERE doc_id % 50 = 0),
-           tot AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
-           hit AS (SELECT s.doc_id, count(1) AS n_hit
-                   FROM sh s JOIN bsh b ON s.sh = b.sh GROUP BY 1)
-      SELECT t.doc_id AS doc_id, n_sh, n_hit, (n_hit * 1000) // n_sh AS mille
-      FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+           hh AS (SELECT doc_id,
+                         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+                         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+                  FROM sh),
+           bh AS (SELECT DISTINCT h1, h2 FROM hh WHERE doc_id % 50 = 0),
+           agg AS (SELECT hh.doc_id AS doc_id, count(1) AS n_sh,
+                          count(bh.h1) AS n_hit
+                   FROM hh LEFT JOIN bh
+                     ON hh.h1 = bh.h1 AND hh.h2 = bh.h2
+                   GROUP BY hh.doc_id)
+      SELECT doc_id, n_sh, n_hit, (n_hit * 1000) // n_sh AS mille
+      FROM agg
       WHERE n_hit >= 3
-      ORDER BY t.doc_id""",
+      ORDER BY doc_id""",
 
     "dedup_jaccard_pairs" -> s"""
       WITH t AS (

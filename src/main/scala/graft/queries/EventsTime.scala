@@ -58,9 +58,41 @@ object EventsTime extends QueryModule {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming dedup under the oracle gate: the events table replayed
+    * through `dropDuplicatesWithinWatermark` (real streaming state +
+    * eviction), then batch-aggregated to a deterministic per-user
+    * distinct-type count — the dedup emits an arbitrary representative
+    * row per key, so the gate compares the key set, not the payload.
+    */
+  def streamDedupReplay(s: SparkSession, d: String): DataFrame = {
+    val batch = Tables.events(s, d)
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_replay_" + new java.io.File(d).getName).getPath
+    if (!new java.io.File(scratch, "_SUCCESS").exists())
+      batch.write.mode("overwrite").parquet(scratch)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val deduped = graft.streaming.Streaming
+      .dedupStream(stream, Seq("user_id", "event_type"), "30 minutes")
+    val sink = "ev_stream_dedup_" + System.nanoTime()
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
+
+    // -- streaming dedup, driver-checked (see streamDedupReplay) ----------
+    "ev_stream_dedup" -> ((s, d) => streamDedupReplay(s, d)),
 
     // -- gap fill / densification: every (hour, event_type) bucket in the
     //    observed time range, zero-filled where no events landed. The
@@ -375,6 +407,15 @@ object EventsTime extends QueryModule {
       HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
                <= mx - INTERVAL 30 MINUTE
       ORDER BY hour, event_type""",
+
+    // single-replay dedup keeps every first-seen (user, type) pair, so
+    // the surviving key set equals the batch distinct — per-user
+    // distinct-type counts are the deterministic compare
+    "ev_stream_dedup" -> """
+      SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     "ev_gap_fill" -> """
       WITH b AS (SELECT date_trunc('hour', min(ts)::TIMESTAMP) AS lo,
