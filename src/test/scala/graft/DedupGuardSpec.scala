@@ -38,6 +38,21 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(lev.toSeq === Seq((1L, 2L)))
   }
 
+  test("contamination flags benchmark-overlapping docs only") {
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, benchText), // the benchmark doc itself: full overlap
+      (2L, benchText + " with a small unique suffix appended here"), // partial
+      (3L, "completely unrelated content speaking of other matters entirely today")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1L)
+    val out = Dedup.contaminationFrom(docs, bench)
+      .select("doc_id", "mille").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1000L) // self-overlap is total
+    assert(out.contains(2L) && out(2L) > 500L && out(2L) < 1000L)
+    assert(!out.contains(3L))
+  }
+
   test("cluster labels equal transitive closure on a chain within the round cap") {
     // a-b, b-c near-dup chain: c must inherit a's label through two hops.
     val docs = Seq(
