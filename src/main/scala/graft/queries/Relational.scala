@@ -597,6 +597,21 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("l_returnflag")),
 
+    // -- regression / correlation aggregates ------------------------------
+    //    (built-in corr/covar/regr_*; the 3-decimal tie-mode-free
+    //    rounding absorbs the last-ulp differences of each engine's
+    //    co-moment summation order)
+    "q_regr_stats" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          rnd(corr(col("l_quantity"), col("l_extendedprice")), 3).as("r_qty_price"),
+          rnd(covar_samp(col("l_quantity"), col("l_discount")), 3).as("cov_qty_disc"),
+          rnd(expr("regr_slope(l_extendedprice, l_quantity)"), 3).as("slope"),
+          rnd(expr("regr_intercept(l_extendedprice, l_quantity)"), 3).as("icept"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy("l_returnflag")),
+
     // -- statistical aggregates + exact median ----------------------------
     "q_stats_agg" -> ((s, d) =>
       li(s, d)
@@ -616,6 +631,21 @@ object Relational extends QueryModule {
     "('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 12))::BIGINT % 1000"
 
   override def oracles: Map[String, String] = Map(
+    "q_regr_stats" -> """
+      SELECT l_returnflag,
+             floor(corr(l_quantity, l_extendedprice) * 1000 + 0.5) / 1000
+               AS r_qty_price,
+             floor(covar_samp(l_quantity, l_discount) * 1000 + 0.5) / 1000
+               AS cov_qty_disc,
+             floor(regr_slope(l_extendedprice, l_quantity) * 1000 + 0.5) / 1000
+               AS slope,
+             floor(regr_intercept(l_extendedprice, l_quantity) * 1000 + 0.5) / 1000
+               AS icept,
+             regr_count(l_extendedprice, l_quantity) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "q_sample" -> s"""
       SELECT l_returnflag, count(1) AS n_sampled
       FROM lineitem
