@@ -58,6 +58,27 @@ class ChunkedTextSpec extends AnyFunSuite {
     assert(fine === single)
   }
 
+  test("property: random byte layouts count identically at any chunk width") {
+    // fuzz the realignment: arbitrary bytes (token runs, separators,
+    // multibyte fragments, NULs) must count the same whether the file
+    // is one chunk or split every 13 bytes
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val n = 2000 + rnd.nextInt(3000)
+      val bytes = new Array[Byte](n)
+      rnd.nextBytes(bytes)
+      val path = writeTemp(s"fuzz_$round.bin", bytes)
+      def at(width: String) = WordCount.counts(
+        spark.read.format("graft.sources.ChunkedTextSource")
+          .option("chunkBytes", width).load(path),
+        org.apache.spark.sql.functions.col("value"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val whole = at((n + 1).toString)
+      val fine = at("13")
+      assert(fine === whole, s"round $round diverged (n=$n)")
+    }
+  }
+
   test("newline files read identically to spark.read.text") {
     val text = (1 to 5000).map(i => s"alpha beta w$i").mkString("\n")
     val path = writeTemp("lines.txt", text.getBytes(StandardCharsets.UTF_8))
