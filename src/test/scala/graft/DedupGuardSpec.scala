@@ -53,6 +53,22 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("empty and singleton corpora flow through every dedup pipeline") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((7L, "just one document with a handful of words inside")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairsFrom(empty).count() === 0L)
+    assert(Dedup.minhashPairsFrom(one).count() === 0L)
+    assert(Dedup.clustersFrom(empty).count() === 0L)
+    // a singleton clusters to itself
+    assert(Dedup.clustersFrom(one).as[(Long, Long)].collect().toSeq === Seq((7L, 7L)))
+    assert(Dedup.jaccardPairsFrom(empty).count() === 0L)
+    assert(Dedup.levenshteinPairsFrom(one).count() === 0L)
+    assert(Dedup.contaminationFrom(empty, one).count() === 0L)
+    // benchmark empty -> nothing can be contaminated
+    assert(Dedup.contaminationFrom(one, empty).count() === 0L)
+    assert(Dedup.simhashFrom(spark, one).count() === 1L)
+  }
+
   test("cluster labels equal transitive closure on a chain within the round cap") {
     // a-b, b-c near-dup chain: c must inherit a's label through two hops.
     val docs = Seq(
