@@ -57,7 +57,57 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** Distributed Lloyd's k-means over the embedding space (K=4, two
+    * update rounds + final assignment) — embedding-space clustering for
+    * corpus curation, computed BIT-EXACTLY in any engine:
+    *
+    *  - vectors enter as integer-scaled longs (floor(x*1e6 + 0.5) —
+    *    tie-mode-free), so squared distances are exact integer sums;
+    *  - seeds are the K vecs with the smallest md5(vec_id) — a
+    *    deterministic, engine-portable init;
+    *  - assignment = argmin distance with centroid index as the tie
+    *    breaker (row_number over (dist, c));
+    *  - centroid update = floor(sum/count) — one IEEE division + floor,
+    *    identical in both engines.
+    *
+    * Scale shape: vectors live in long form (vec_id, dim, v) — one
+    * corpus-sized frame, never collected; centroids are a K*DIM frame
+    * broadcast into each assignment join; each round = one broadcast
+    * join + two hash aggs. The rounds are unrolled (fixed 2), matching
+    * the SQL oracle's CTE chain.
+    */
+  def kmeansFrom(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "fv")))
+      .select(col("vec_id"), col("d"),
+        floor(col("fv").cast("double") * 1e6 + 0.5).cast("long").as("v"))
+    val seeds = emb.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy("h").limit(k)
+      .select(col("vec_id"), (row_number().over(Window.orderBy("h")) - 1).as("c"))
+    def assign(cent: DataFrame): DataFrame = {
+      val dist = e.join(broadcast(cent), "d")
+        .groupBy("vec_id", "c")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      dist.withColumn("rk",
+          row_number().over(Window.partitionBy("vec_id").orderBy("dist", "c")))
+        .filter(col("rk") === 1).select("vec_id", "c")
+    }
+    def update(a: DataFrame): DataFrame =
+      e.join(a, "vec_id").groupBy("c", "d")
+        .agg(floor(sum(col("v")) / count(lit(1)).cast("double")).cast("long").as("cv"))
+    var cent = e.join(seeds, "vec_id").select(col("c"), col("d"), col("v").as("cv"))
+    (1 to rounds).foreach(_ => cent = update(assign(cent)))
+    assign(cent).groupBy("c")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"),
+        sum("vec_id").as("id_sum"))
+      .orderBy("c")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- k-means clustering (see kmeansFrom) ------------------------------
+    "sim_kmeans" -> ((s, d) => kmeansFrom(Tables.embeddings(s, d))),
+
     // -- brute-force exact top-k ------------------------------------------
     "sim_brute_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -160,7 +210,49 @@ object Similarity extends QueryModule {
 
   private val sqlCos = "round(list_cosine_similarity(%s, %s) * 1e6)::BIGINT"
 
+  /** One Lloyd round as two oracle CTEs (distance agg + argmin assign). */
+  private def kmeansRoundSql(n: Int): String = s"""
+           d$n AS (SELECT e.vec_id, c.c, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+                   FROM e JOIN cent$n c ON e.d = c.d
+                   GROUP BY e.vec_id, c.c),
+           a$n AS (SELECT vec_id, c FROM (
+                     SELECT vec_id, c,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dist, c) AS rk
+                     FROM d$n)
+                   WHERE rk = 1)"""
+
   override def oracles: Map[String, String] = Map(
+    "sim_kmeans" -> s"""
+      WITH e AS (
+             SELECT vec_id, ii.i AS d,
+                    floor(embedding[ii.i]::DOUBLE * 1e6 + 0.5)::BIGINT AS v
+             FROM embeddings
+             CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) ii),
+           seeds AS (
+             SELECT vec_id,
+                    row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS c
+             FROM embeddings
+             ORDER BY md5(vec_id::VARCHAR) LIMIT 4),
+           cent0 AS (SELECT s.c, e.d, e.v AS cv
+                     FROM e JOIN seeds s ON e.vec_id = s.vec_id),
+           ${kmeansRoundSql(0)},
+           cent1 AS (SELECT a.c, e.d,
+                            floor(sum(e.v) / count(1)::DOUBLE)::BIGINT AS cv
+                     FROM e JOIN a0 a ON e.vec_id = a.vec_id
+                     GROUP BY a.c, e.d),
+           ${kmeansRoundSql(1)},
+           cent2 AS (SELECT a.c, e.d,
+                            floor(sum(e.v) / count(1)::DOUBLE)::BIGINT AS cv
+                     FROM e JOIN a1 a ON e.vec_id = a.vec_id
+                     GROUP BY a.c, e.d),
+           ${kmeansRoundSql(2)}
+      SELECT c, count(1) AS n, min(vec_id) AS min_vec,
+             CAST(sum(vec_id) AS BIGINT) AS id_sum
+      FROM a2
+      GROUP BY c
+      ORDER BY c""",
+
     "sim_brute_topk" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                  FROM embeddings),
