@@ -341,6 +341,20 @@ object Dedup extends QueryModule {
     "dedup_clusters" -> ((s, d) =>
       clustersFrom(Tables.documents(s, d))),
 
+    // -- pair-graph degree histogram: how duplicated is the corpus? ------
+    //    degree(node) over the near-dup pair graph, then the histogram
+    //    of degrees — the shape analysts read to size dedup impact
+    //    (clique-heavy vs chain-heavy). Two hash aggs over the pair
+    //    stream; no joins.
+    "dedup_pair_degrees" -> ((s, d) => {
+      val pairs = minhashPairsFrom(Tables.documents(s, d), ordered = false)
+      val deg = pairs.select(col("a_id").as("id"))
+        .union(pairs.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -522,6 +536,18 @@ object Dedup extends QueryModule {
       FROM reach
       GROUP BY id
       ORDER BY doc_id""",
+
+    "dedup_pair_degrees" -> s"""
+      WITH mp AS (${minhashPairsSql(ordered = false)}),
+           deg AS (SELECT id, count(1) AS degree FROM (
+                     SELECT a_id AS id FROM mp
+                     UNION ALL
+                     SELECT b_id AS id FROM mp)
+                   GROUP BY id)
+      SELECT degree, count(1) AS n_nodes
+      FROM deg
+      GROUP BY degree
+      ORDER BY degree""",
 
     "dedup_contamination" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s

@@ -54,4 +54,44 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Compact a directory of small parquet files into
+    * ceil(totalBytes / targetBytes) files of ~targetBytes each — the
+    * operational answer to the small-files problem (a 100 TB pipeline
+    * writing per-micro-batch or per-partition files degrades every
+    * downstream scan's split planning and NameNode/listing cost).
+    *
+    * Uses `coalesce` (narrow — no shuffle: each output task
+    * concatenates input splits) unless the caller asks to
+    * `sortBy` first, in which case the rewrite pays one range shuffle
+    * and buys data-skipping locality (min/max pruning) on the sort key.
+    * Returns the compacted file count.
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20, sortBy: Seq[String] = Nil): Int = {
+    val src = new java.io.File(dir)
+    val totalBytes = Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nOut = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val out =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nOut, sortBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+      else df.coalesce(nOut)
+    val tmp = dir.stripSuffix("/") + "_compacted_tmp"
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: replace the directory only after a full write
+    val tmpFile = new java.io.File(tmp)
+    val bak = new java.io.File(dir.stripSuffix("/") + "_precompact")
+    if (bak.exists()) { def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete() }
+      rm(bak)
+    }
+    src.renameTo(bak)
+    tmpFile.renameTo(src)
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
 }

@@ -100,4 +100,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == counts.count())
     assert(back.head.getString(0).matches("[A-Za-z0-9]+=\\d+"))
   }
+
+  test("compactParquet merges small files to the target count, same rows") {
+    val dir = scratch("compact")
+    // 64 tiny files
+    Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val rows = spark.read.parquet(dir).count()
+    val qtySum = spark.read.parquet(dir).agg(sum("l_quantity")).head.getDouble(0)
+    // target sized so everything fits one file
+    val nOut = Sources.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(nOut == 1)
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(spark.read.parquet(dir).agg(sum("l_quantity")).head.getDouble(0) == qtySum)
+    // sorted variant splits into >1 range files when target is small
+    val nSorted = Sources.compactParquet(spark, dir,
+      targetBytes = 8L << 10, sortBy = Seq("l_orderkey"))
+    assert(nSorted > 1)
+    assert(spark.read.parquet(dir).count() == rows)
+  }
 }
