@@ -44,6 +44,36 @@ object TextAnalysis extends QueryModule {
     size(filter(t, w => w.isin(stopwords: _*))).cast("long")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- context-window chunking (width 64 tokens, stride 48) -------------
+    //    The packing step an LLM pipeline runs over every document,
+    //    as a fused Generator (ChunkExplode): token boundaries found
+    //    in one byte scan, one buffer copy per window. Chunks compare
+    //    as md5 so rows stay small.
+    "txt_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.ChunkExplode.chunks(s, col("text"), 64, 48)
+            .as(Seq("chunk_idx", "chunk", "n_tokens")))
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // -- token-budget packing: assign docs to ~1000-token batches ---------
+    //    Greedy prefix-sum packing: pack = floor(preceding-total /
+    //    budget). One global running-total window — the inherently
+    //    sequential op; at 100 TB you run it per shard (partition the
+    //    window by a shard key) and the shape is unchanged.
+    "txt_pack" -> ((s, d) => {
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("n_tok"),
+          expr("(cum - n_tok) DIV 1000").as("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // -- per-document token statistics ------------------------------------
     "txt_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -281,6 +311,32 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(lower(text), '[^A-Za-z0-9]+'), t -> t <> '')"
 
   override def oracles: Map[String, String] = Map(
+    "txt_chunk" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+           idx AS (SELECT doc_id, ts, len(ts) AS n,
+                          CASE WHEN len(ts) <= 64 THEN 1
+                               ELSE (len(ts) - 64 + 47) // 48 + 1 END AS nch
+                   FROM t WHERE len(ts) > 0),
+           ch AS (SELECT doc_id, g.k AS chunk_idx,
+                         array_to_string(
+                           ts[g.k * 48 + 1 : least(g.k * 48 + 64, n)], ' ')
+                           AS chunk,
+                         least(g.k * 48 + 64, n) - g.k * 48 AS n_tokens
+                  FROM idx
+                  CROSS JOIN (SELECT unnest(range(0, 4096)) AS k) g
+                  WHERE g.k < nch)
+      SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5, n_tokens
+      FROM ch
+      ORDER BY doc_id, chunk_idx""",
+
+    "txt_pack" -> s"""
+      SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) // 1000 AS pack_id
+      FROM (SELECT doc_id, len($sqlToks) AS n_tok,
+                   sum(len($sqlToks)) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents)
+      ORDER BY doc_id""",
+
     "txt_token_stats" -> s"""
       SELECT doc_id,
              len($sqlToks) AS n_tokens,

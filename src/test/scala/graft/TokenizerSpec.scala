@@ -83,4 +83,24 @@ class TokenizerSpec extends AnyFunSuite {
       .as[(Seq[String], Seq[String])].collect().head
     assert(short._1.isEmpty && short._2.isEmpty)
   }
+
+  test("ChunkExplode: window/stride/tail rule") {
+    import org.apache.spark.sql.functions._
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = Seq(text).toDF("t")
+      .select(graft.functions.ChunkExplode.chunks(spark, col("t"), 8, 4)
+        .as(Seq("idx", "chunk", "n")))
+      .as[(Int, String, Int)].collect().toSeq
+    // 10 tokens, width 8, stride 4: windows at 0 (8 toks) and 4 (6 toks);
+    // no third window (it would be contained in the second)
+    assert(rows === Seq(
+      (0, (1 to 8).map("t" + _).mkString(" "), 8),
+      (1, (5 to 10).map("t" + _).mkString(" "), 6)))
+    // short doc: single whole-doc chunk
+    val one = Seq("a b c").toDF("t")
+      .select(graft.functions.ChunkExplode.chunks(spark, col("t"), 8, 4)
+        .as(Seq("idx", "chunk", "n")))
+      .as[(Int, String, Int)].collect().toSeq
+    assert(one === Seq((0, "a b c", 3)))
+  }
 }
