@@ -197,6 +197,13 @@ object Bench {
       graft.queries.Dedup.contaminationFrom(
         docs, docs.filter(col("doc_id") % 50 === 0))
     }))
+    // context-window chunking at x20: pure generator throughput over
+    // ~20M tokens (map-only, no shuffle)
+    val chunk = (1 to 2).map(_ => timeOne("scaled_chunk_x20", () =>
+      spark.read.parquet(scaledPath)
+        .select(col("doc_id"), graft.functions.ChunkExplode
+          .chunks(spark, col("text"), 64, 48)
+          .as(Seq("chunk_idx", "chunk", "n_tokens")))))
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
@@ -220,15 +227,16 @@ object Bench {
       "ref_wordcount_2m_skew_amortized" -> refBAmortized,
       "scaled_minhash_x20" -> mh.min,
       "scaled_cc_x20" -> cc.min,
-      "scaled_contam_x20" -> contam.min)
+      "scaled_contam_x20" -> contam.min,
+      "scaled_chunk_x20" -> chunk.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: *_cold/*_median are informational
     val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
-      mh.min + cc.min + contam.min
+      mh.min + cc.min + contam.min + chunk.min
     val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
-      mh.head :+ cc.head :+ contam.head).sum
+      mh.head :+ cc.head :+ contam.head :+ chunk.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

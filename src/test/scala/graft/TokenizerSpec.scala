@@ -85,7 +85,7 @@ class TokenizerSpec extends AnyFunSuite {
   }
 
   test("ChunkExplode: window/stride/tail rule") {
-    import org.apache.spark.sql.functions._
+    import spark.implicits._
     val text = (1 to 10).map(i => s"t$i").mkString(" ")
     val rows = Seq(text).toDF("t")
       .select(graft.functions.ChunkExplode.chunks(spark, col("t"), 8, 4)
