@@ -178,6 +178,23 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(30)),
 
+    // -- cross-document duplicated 8-grams (exact-substring dedup signal,
+    //    cf. Lee et al., "Deduplicating Training Data Makes Language
+    //    Models Better"): which long n-grams appear in >= 2 documents,
+    //    with occurrence counts — the report that locates boilerplate /
+    //    shared passages. One generator pass + one hash agg; at 100 TB
+    //    the ngram key would be hashed (md5) before the shuffle.
+    "txt_dup_ngrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.NgramExplode.ngrams(s, col("text"), 8).as("ngram"))
+        .groupBy("ngram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occ").desc, col("ngram"))
+        .limit(50)),
+
     // -- within-document repetition (Gopher/MassiveText-style quality
     //    signal): duplicated-trigram fraction per doc. Generator pass ->
     //    count + count-distinct per doc; docs shorter than one trigram
@@ -244,6 +261,42 @@ object TextAnalysis extends QueryModule {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("lang")
+    }),
+
+    // -- the full training-data path in ONE query: quality-filter ->
+    //    fingerprint-dedup -> context-window chunking -> token-budget
+    //    packing -> per-pack manifest. What a pipeline materializes
+    //    before a training run; every stage is an operator proven
+    //    above, composed. Shapes: one tokenize pass, one dedup
+    //    shuffle, one generator pass, one (per-shard at scale) packing
+    //    window, one agg. ---------------------------------------------------
+    "pipe_training_batches" -> ((s, d) => {
+      val nTok = size(toks).cast("long")
+      val nStop = stopCount(toks)
+      val nDist = size(array_distinct(toks)).cast("long")
+      val quality = (nStop.cast("double") / nTok) * 0.5 +
+        (nDist.cast("double") / nTok) * 0.3 +
+        when(nTok >= 50, 0.2).otherwise(0.0)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), quality.as("q"))
+        .filter(col("q") >= 0.30)
+      val dedupW = Window
+        .partitionBy(graft.operators.DedupOps.fingerprint(col("text")))
+        .orderBy("doc_id")
+      val kept = scored.withColumn("rn", row_number().over(dedupW))
+        .filter(col("rn") === 1)
+      val chunks = kept.select(col("doc_id"),
+        graft.functions.ChunkExplode.chunks(s, col("text"), 64, 48)
+          .as(Seq("chunk_idx", "chunk", "n_tokens")))
+      val packW = Window.orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("cum", sum("n_tokens").over(packW))
+        .select(col("n_tokens"),
+          expr("(cum - n_tokens) DIV 1000").as("pack_id"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("pack_tokens"))
+        .orderBy("pack_id")
     }),
 
     // -- TF-IDF: top terms per document (integer-scaled scores) -----------
@@ -496,6 +549,66 @@ object TextAnalysis extends QueryModule {
       GROUP BY bigram
       ORDER BY cnt DESC, bigram
       LIMIT 30""",
+
+    "pipe_training_batches" -> s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               len($sqlToks) AS n_tokens,
+               len(list_filter($sqlToks, t -> t IN ($stopwordsSql))) AS n_stop,
+               len(list_distinct($sqlToks)) AS n_dist
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text,
+               (n_stop::DOUBLE / n_tokens) * 0.5
+                 + (n_dist::DOUBLE / n_tokens) * 0.3
+                 + (CASE WHEN n_tokens >= 50 THEN 0.2 ELSE 0.0 END) AS q
+        FROM t WHERE n_tokens > 0),
+      kept AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+          FROM scored WHERE q >= 0.30)
+        WHERE rn = 1),
+      ktoks AS (SELECT doc_id, $sqlToks AS ts FROM kept),
+      idx AS (SELECT doc_id, len(ts) AS n,
+                     CASE WHEN len(ts) <= 64 THEN 1
+                          ELSE (len(ts) - 64 + 47) // 48 + 1 END AS nch
+              FROM ktoks WHERE len(ts) > 0),
+      ch AS (SELECT doc_id, g.k AS chunk_idx,
+                    least(g.k * 48 + 64, n) - g.k * 48 AS n_tokens
+             FROM idx
+             CROSS JOIN (SELECT unnest(range(0, 4096)) AS k) g
+             WHERE g.k < nch),
+      packed AS (
+        SELECT n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                 // 1000 AS pack_id
+        FROM ch)
+      SELECT pack_id, count(1) AS n_chunks,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      FROM packed
+      GROUP BY pack_id
+      ORDER BY pack_id""",
+
+    "txt_dup_ngrams" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           g AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks) - 6),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               || ' ' || toks[i+3] || ' ' || toks[i+4] || ' '
+                               || toks[i+5] || ' ' || toks[i+6] || ' '
+                               || toks[i+7])) AS ngram
+                 FROM t WHERE len(toks) >= 8)
+      SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(1) AS n_occ
+      FROM g
+      GROUP BY ngram
+      HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY n_occ DESC, ngram
+      LIMIT 50""",
 
     "txt_tfidf" -> s"""
       WITH tf AS (
