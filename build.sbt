@@ -36,7 +36,7 @@ val jdk17AddOpens = Seq(
 val graftHeap: String = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
   val capMb = 32L * 1024
-  val reqMb = "^(\\d+)([gmk]?)$".r.findFirstMatchIn(req) match {
+  val reqMb = "^(\\d+)\\s*([gmk]?)b?$".r.findFirstMatchIn(req) match {
     case Some(m) =>
       val n = m.group(1).toLong
       m.group(2) match {
@@ -46,7 +46,10 @@ val graftHeap: String = {
       }
     case None => 8L * 1024
   }
-  s"${math.min(reqMb, capMb)}m"
+  // floor of 1 GiB: a sub-MB request (e.g. "512k") must not integer-
+  // divide down to -Xmx0m, and Spark local[32] won't start usefully
+  // below ~1g anyway
+  s"${math.min(math.max(reqMb, 1024L), capMb)}m"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

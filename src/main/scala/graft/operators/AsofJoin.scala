@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * For each left row, attach the payload of the latest right row with
   * the same key and `right.ts <= left.ts` (ties match). Duplicate
   * right rows on (key, ts) resolve deterministically: the greatest
-  * payload tuple wins backward, the smallest forward.
+  * payload tuple wins backward, the smallest forward. Precondition of
+  * that rule: payload columns must be of orderable types (they join
+  * the window ORDER BY) — a map-typed payload fails analysis; wrap it
+  * in a struct alongside an orderable discriminator if needed.
   *
   * Implementation is the scalable union-tag formulation, not a range
   * join: tag both inputs, union, then one `last(payload, ignoreNulls)`

@@ -33,15 +33,32 @@ object EventsTime extends QueryModule {
     * watermark rule itself, which puts late-data semantics under the
     * driver's value-compare rather than only under ScalaTest.
     */
-  def streamReplay(s: SparkSession, d: String): DataFrame = {
+  /** Micros-typed scratch copy of the events table for file-stream
+    * replay (the raw table is TIMESTAMP(NANOS), which a schema-pinned
+    * file stream can't read). Cached per (SF dir, source file sizes +
+    * mtimes): regenerated testdata changes the fingerprint, so a stale
+    * copy can never silently replay old events against a new oracle.
+    */
+  private def replayScratch(s: SparkSession, d: String): (DataFrame, String) = {
     val batch = Tables.events(s, d)
+    val src = new java.io.File(d, "events.parquet")
+    val sig = {
+      val parts = (if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+      else Seq(src)).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      java.lang.Long.toHexString(
+        parts.mkString("|").hashCode.toLong & 0xffffffffL)
+    }
     val scratch = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_stream_replay_" + new java.io.File(d).getName).getPath
-    // one micros-typed scratch copy per SF dir (the raw table is
-    // TIMESTAMP(NANOS), which a schema-pinned file stream can't read)
+      s"graft_stream_replay_${new java.io.File(d).getName}_$sig").getPath
     if (!new java.io.File(scratch, "_SUCCESS").exists())
       batch.write.mode("overwrite").parquet(scratch)
+    (batch, scratch)
+  }
+
+  def streamReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
     val stream = s.readStream.schema(batch.schema).parquet(scratch)
     val agg = graft.streaming.Streaming
       .windowedTypeCounts(stream, "1 hour", "1 hour", "30 minutes")
@@ -65,12 +82,7 @@ object EventsTime extends QueryModule {
     * row per key, so the gate compares the key set, not the payload.
     */
   def streamDedupReplay(s: SparkSession, d: String): DataFrame = {
-    val batch = Tables.events(s, d)
-    val scratch = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_replay_" + new java.io.File(d).getName).getPath
-    if (!new java.io.File(scratch, "_SUCCESS").exists())
-      batch.write.mode("overwrite").parquet(scratch)
+    val (batch, scratch) = replayScratch(s, d)
     val stream = s.readStream.schema(batch.schema).parquet(scratch)
     val deduped = graft.streaming.Streaming
       .dedupStream(stream, Seq("user_id", "event_type"), "30 minutes")

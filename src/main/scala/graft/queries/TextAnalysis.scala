@@ -376,7 +376,7 @@ object TextAnalysis extends QueryModule {
                            AS chunk,
                          least(g.k * 48 + 64, n) - g.k * 48 AS n_tokens
                   FROM idx
-                  CROSS JOIN (SELECT unnest(range(0, 4096)) AS k) g
+                  CROSS JOIN (SELECT unnest(range(0, (SELECT CAST(max(nch) AS BIGINT) FROM idx))) AS k) g
                   WHERE g.k < nch)
       SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5, n_tokens
       FROM ch
@@ -580,7 +580,7 @@ object TextAnalysis extends QueryModule {
       ch AS (SELECT doc_id, g.k AS chunk_idx,
                     least(g.k * 48 + 64, n) - g.k * 48 AS n_tokens
              FROM idx
-             CROSS JOIN (SELECT unnest(range(0, 4096)) AS k) g
+             CROSS JOIN (SELECT unnest(range(0, (SELECT CAST(max(nch) AS BIGINT) FROM idx))) AS k) g
              WHERE g.k < nch),
       packed AS (
         SELECT n_tokens,

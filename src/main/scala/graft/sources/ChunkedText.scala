@@ -97,6 +97,12 @@ class ChunkedTextTable(properties: util.Map[String, String])
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
+        require(chunkBytes > 0 && chunkBytes <= (1L << 30),
+          s"chunked-text: chunkBytes must be in (0, 1 GiB], got $chunkBytes" +
+            " (a chunk is materialized as one byte array)")
+        if (!new java.io.File(path).exists())
+          throw new IllegalArgumentException(
+            s"chunked-text: path does not exist: $path")
         val files = ChunkedText.listFiles(path)
         val totalLen = math.max(1L, files.map(_.length()).sum)
         // honor minChunks across the whole input, but never plan splits
@@ -128,18 +134,32 @@ class ChunkedTextReader(p: ChunkedTextPartition)
 
   private val raf = new java.io.RandomAccessFile(p.path, "r")
 
+  /** First offset >= `from` whose byte is NOT glued (or EOF), scanned
+    * through a 64 KiB buffer — one syscall per block, not per byte (a
+    * no-newline file with long token runs is this source's whole point,
+    * and a per-byte read() loop degrades to O(run) syscalls).
+    */
+  private def scanGlued(from: Long): Long = {
+    raf.seek(from)
+    val buf = new Array[Byte](64 << 10)
+    var pos = from
+    var n = raf.read(buf)
+    while (n > 0) {
+      var i = 0
+      while (i < n) {
+        if (!glued(buf(i))) return pos + i
+        i += 1
+      }
+      pos += n
+      n = raf.read(buf)
+    }
+    pos // EOF
+  }
+
   // realign the start: skip forward past the token (or multibyte char)
   // the nominal offset lands inside — the previous chunk owns it
-  private val begin: Long = {
-    if (p.start == 0L) 0L
-    else {
-      raf.seek(p.start)
-      var pos = p.start
-      var b = raf.read()
-      while (b >= 0 && glued(b.toByte)) { pos += 1; b = raf.read() }
-      pos // first separator byte at/after nominal start (or EOF)
-    }
-  }
+  private val begin: Long =
+    if (p.start == 0L) 0L else scanGlued(p.start)
 
   // read [begin, p.end), then extend through any token straddling the
   // nominal end (this chunk owns it, matching the skip rule above)
@@ -149,21 +169,16 @@ class ChunkedTextReader(p: ChunkedTextPartition)
       val base = new Array[Byte]((p.end - begin).toInt.max(0))
       raf.seek(begin)
       raf.readFully(base)
-      var tail = Array.emptyByteArray
-      if (p.end < p.fileLen && base.nonEmpty && glued(peek(p.end))) {
-        val buf = new java.io.ByteArrayOutputStream()
+      val tailEnd =
+        if (p.end < p.fileLen && base.nonEmpty) scanGlued(p.end) else p.end
+      if (tailEnd <= p.end) base
+      else {
+        val tail = new Array[Byte]((tailEnd - p.end).toInt)
         raf.seek(p.end)
-        var b = raf.read()
-        while (b >= 0 && glued(b.toByte)) { buf.write(b); b = raf.read() }
-        tail = buf.toByteArray
+        raf.readFully(tail)
+        base ++ tail
       }
-      if (tail.isEmpty) base else base ++ tail
     }
-  }
-
-  private def peek(off: Long): Byte = {
-    raf.seek(off)
-    raf.read().toByte
   }
 
   // row boundaries: <= ROW_BYTES slices, cut at the last separator

@@ -89,8 +89,15 @@ object Sources {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete() }
       rm(bak)
     }
-    src.renameTo(bak)
-    tmpFile.renameTo(src)
+    if (!src.renameTo(bak))
+      throw new java.io.IOException(
+        s"compactParquet: cannot move $dir aside (open handles? cross-device?);" +
+          s" compacted output left at $tmp")
+    if (!tmpFile.renameTo(src)) {
+      bak.renameTo(src) // best-effort restore of the original directory
+      throw new java.io.IOException(
+        s"compactParquet: cannot move $tmp into place; original restored")
+    }
     Option(src.listFiles()).getOrElse(Array.empty)
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
   }
