@@ -178,6 +178,33 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(30)),
 
+    // -- exact heavy hitters via the two-phase sketch pattern ------------
+    //    Phase 1: one scan through the Misra-Gries aggregate (constant
+    //    O(k) state) yields <= 100 candidate tokens — guaranteed to
+    //    contain every token with frequency > n/101. Phase 2: exact
+    //    recount of JUST the candidates, filtered by the real 2%
+    //    (n/50) threshold. The result is exact and deterministic even
+    //    though the sketch's counters depend on merge order — only its
+    //    guaranteed-superset property is consumed. At 100 TB this
+    //    replaces a full-vocabulary groupBy with O(k) state + a
+    //    100-item filtered recount.
+    "txt_heavy_hitters" -> ((s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(graft.functions.TokenizeExplode
+          .tokenize(s, lower(col("text"))).as("w"))
+      val cands = tokens
+        .select(graft.functions.MisraGries.summary(s, col("w"), 100).as("mg"))
+        .select(explode(col("mg")))
+        .select(col("key")).collect().map(_.getString(0)).toSeq
+      tokens
+        .groupBy(when(col("w").isin(cands: _*), col("w")).as("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n_total", sum("cnt").over())
+        .filter(col("word").isNotNull && col("cnt") * 50 > col("n_total"))
+        .select(col("word"), col("cnt"))
+        .orderBy("word")
+    }),
+
     // -- cross-document duplicated 8-grams (exact-substring dedup signal,
     //    cf. Lee et al., "Deduplicating Training Data Makes Language
     //    Models Better"): which long n-grams appear in >= 2 documents,
@@ -549,6 +576,15 @@ object TextAnalysis extends QueryModule {
       GROUP BY bigram
       ORDER BY cnt DESC, bigram
       LIMIT 30""",
+
+    "txt_heavy_hitters" -> s"""
+      WITH w AS (SELECT unnest($sqlToksLower) AS word FROM documents),
+           c AS (SELECT word, count(1) AS cnt FROM w GROUP BY word),
+           t AS (SELECT sum(cnt) AS n FROM c)
+      SELECT word, cnt
+      FROM c, t
+      WHERE cnt * 50 > n
+      ORDER BY word""",
 
     "pipe_training_batches" -> s"""
       WITH t AS (
