@@ -69,13 +69,19 @@ object BenchProbe {
       } else SparkEntry.queries(name)(spark, sfDir)
 
     if (name == "scaledparts") {
+      // stage-by-stage timing of the CURRENT flat-column pair pipeline
+      // (mirrors Dedup.minhashPairsFrom; the array-signature variant
+      // this probe originally measured cost ~4x on the scoring stage
+      // and is gone)
       val p = Bench.prepareScaledDocs(spark, sfDir)
       import org.apache.spark.sql.functions._
-      val base = graft.operators.DedupOps.minhashSignatures(
-        spark.read.parquet(p), "doc_id", col("text"), 3, 16)
-      val banded = base.select(col("doc_id"), col("sig"),
-          posexplode(graft.operators.DedupOps.bandKeys(col("sig"), 4, 4)))
-        .select(col("doc_id"), col("sig"), xxhash64(col("pos"), col("col")).as("bh"))
+      val K = 16
+      val base = graft.operators.DedupOps.minhashSignaturesFlat(
+        spark.read.parquet(p), "doc_id", col("text"), 3, K)
+      def bandKey(b: Int) = xxhash64(lit(b), concat_ws("|",
+        (0 until 4).map(r => col(s"_m${b * 4 + r}").cast("string")): _*))
+      val banded = base.select(col("doc_id"),
+        explode(array((0 until 4).map(bandKey): _*)).as("bh"))
       val n = spark.sessionState.conf.numShufflePartitions
       val a = banded.select(col("bh"), col("doc_id").as("a_id")).repartition(n, col("bh"))
       val b = banded.select(col("bh"), col("doc_id").as("b_id")).repartition(n, col("bh"))
@@ -87,13 +93,18 @@ object BenchProbe {
         println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       time("pairs+dedup only")(pairs)
-      val aSig = broadcast(base.select(col("doc_id").as("a_id"), col("sig").as("a_sig")))
-      val bSig = broadcast(base.select(col("doc_id").as("b_id"), col("sig").as("b_sig")))
+      val aSig = broadcast(base.select(col("doc_id").as("a_id") +:
+        (0 until K).map(i => col(s"_m$i").as(s"a_m$i")): _*))
+      val bSig = broadcast(base.select(col("doc_id").as("b_id") +:
+        (0 until K).map(i => col(s"_m$i").as(s"b_m$i")): _*))
       time("pairs+dedup+joins")(pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
         .select("a_id", "b_id"))
+      val matches = (0 until K)
+        .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+        .reduce(_ + _)
       time("full incl est")(pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
         .select(col("a_id"), col("b_id"),
-          graft.operators.DedupOps.estJaccard(col("a_sig"), col("b_sig"), 16).as("e"))
+          (matches.cast("double") / K.toDouble).as("e"))
         .filter(col("e") >= 0.5))
       spark.stop(); return
     }
