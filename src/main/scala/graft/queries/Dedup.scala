@@ -224,23 +224,35 @@ object Dedup extends QueryModule {
     */
   val MAX_BLOCK = 64
 
-  /** Blocks `docs` on its `blk` column, drops blocks over [[MAX_BLOCK]],
-    * and returns the deduped a<b within-block pair stream.
+  /** Blocks `t` on its `blk` column, drops blocks over [[MAX_BLOCK]],
+    * and returns the deduped a<b within-block pair stream as
+    * `a_<col>, b_<col>` for every non-blk column of `t`.
+    *
+    * Single-shuffle shape: `groupBy(blk).collect_list(struct)` moves
+    * each member once, the block cap is a free `size` filter on the
+    * aggregated row, and [[graft.functions.PairExplode]] fans the
+    * bounded (≤ cap²/2) pairs out after the exchange. The earlier
+    * blk-keyed self-join shuffled the payload twice, recomputed the
+    * tokenization per side, and needed a separate over-cap aggregate
+    * plus anti-join for the guard.
+    *
+    * Contract: `doc_id` must be `t`'s FIRST column — `array_sort` on
+    * structs orders by the leading field, which turns PairExplode's
+    * `i < j` into `a_doc_id < b_doc_id` deterministically regardless
+    * of `collect_list` input order.
     */
-  private def blockedPairs(t: DataFrame,
-      hint: DataFrame => DataFrame): DataFrame = {
-    // guard against the OVER-cap block list (anti join), not the
-    // under-cap one: degenerate blocks are <= n/MAX_BLOCK keys — a tiny
-    // frame that broadcasts within corpus reach (`hint`), so the guard
-    // costs one blk-only aggregate instead of re-shuffling `t`
-    val bad = t.select("blk").groupBy("blk").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > MAX_BLOCK).select("blk")
-    val tc = t.join(hint(bad), Seq("blk"), "left_anti")
-    val a = tc.select((tc.columns.map(c => col(c).as(s"a_$c")).toSeq :+ col("blk")): _*)
-      .drop("a_blk")
-    val b = tc.select((tc.columns.map(c => col(c).as(s"b_$c")).toSeq :+ col("blk")): _*)
-      .drop("b_blk")
-    a.join(b, "blk").filter(col("a_doc_id") < col("b_doc_id"))
+  private def blockedPairs(t: DataFrame): DataFrame = {
+    require(t.columns.head == "doc_id", "blockedPairs needs doc_id first")
+    val fields = t.columns.filter(_ != "blk")
+    val grouped = t
+      .groupBy("blk")
+      .agg(array_sort(collect_list(struct(fields.map(col): _*))).as("ms"))
+      .filter(size(col("ms")).between(2, MAX_BLOCK))
+    grouped
+      .select(graft.functions.PairExplode
+        .pairs(t.sparkSession, col("ms")).as(Seq("a", "b")))
+      .select(fields.map(f => col(s"a.$f").as(s"a_$f")) ++
+        fields.map(f => col(s"b.$f").as(s"b_$f")): _*)
   }
 
   /** Benchmark decontamination: flag corpus docs whose trigram shingles
@@ -281,7 +293,7 @@ object Dedup extends QueryModule {
     val t = docs.select(col("doc_id"),
       array_distinct(Text.tokensLower(col("text"))).as("ts"),
       array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
-    blockedPairs(t, DedupOps.sizeHint(docs))
+    blockedPairs(t)
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         DedupOps.jaccard(col("a_ts"), col("b_ts")).as("jac"))
       .filter(col("jac") >= 0.5)
@@ -292,7 +304,7 @@ object Dedup extends QueryModule {
   def levenshteinPairsFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"),
       array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
-    blockedPairs(t, DedupOps.sizeHint(docs))
+    blockedPairs(t)
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= 50)
