@@ -82,6 +82,29 @@ object Io extends QueryModule {
         .agg(count(lit(1)).as("n"),
           (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Dynamic partition pruning: the filter lives on the DIM side of a
+    // join, so which fact partitions survive is only known at runtime —
+    // Catalyst plants a dynamicpruning InSubquery on the fact scan's
+    // partition column (reusing the dim's broadcast), and the scan
+    // touches 2/5 of the partition directories instead of all of them.
+    // At 100 TB this is THE mechanism that makes star-schema joins
+    // against partitioned fact tables affordable without hand-written
+    // static filters. PlanShapeSpec asserts the pruning subquery.
+    "q_dpp" -> ((s, d) => {
+      val path = scratch(s, "dpp_orders")
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = Tables.orders(s, d)
+        .select("o_orderpriority").distinct()
+        .filter(col("o_orderpriority") < "3")
+      fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -108,6 +131,16 @@ object Io extends QueryModule {
       FROM orders
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""
+      ORDER BY o_orderstatus""",
+
+    "q_dpp" -> """
+      WITH dim AS (
+        SELECT DISTINCT o_orderpriority FROM orders
+        WHERE o_orderpriority < '3')
+      SELECT f.o_orderpriority, count(1) AS n,
+             sum(round(f.o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+      FROM orders f JOIN dim USING (o_orderpriority)
+      GROUP BY f.o_orderpriority
+      ORDER BY f.o_orderpriority"""
   )
 }

@@ -76,7 +76,16 @@ object Similarity extends QueryModule {
     * join + two hash aggs. The rounds are unrolled (fixed 2), matching
     * the SQL oracle's CTE chain.
     */
-  def kmeansFrom(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+  def kmeansFrom(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame =
+    kmeansAssignFrom(emb, k, rounds).groupBy("c")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"),
+        sum("vec_id").as("id_sum"))
+      .orderBy("c")
+
+  /** Final-round (vec_id, c) cluster assignment of [[kmeansFrom]] —
+    * the reusable piece: semantic dedup blocks on these clusters.
+    */
+  def kmeansAssignFrom(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
     val e = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "fv")))
       .select(col("vec_id"), col("d"),
@@ -98,15 +107,51 @@ object Similarity extends QueryModule {
         .agg(floor(sum(col("v")) / count(lit(1)).cast("double")).cast("long").as("cv"))
     var cent = e.join(seeds, "vec_id").select(col("c"), col("d"), col("v").as("cv"))
     (1 to rounds).foreach(_ => cent = update(assign(cent)))
-    assign(cent).groupBy("c")
-      .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"),
-        sum("vec_id").as("id_sum"))
-      .orderBy("c")
+    assign(cent)
+  }
+
+  /** SemDeDup (Abbas et al. 2023)-shaped semantic dedup: k-means the
+    * embedding space, then compare pairs ONLY within a cluster; a
+    * vector is dropped when a smaller-id cluster-mate sits above the
+    * cosine threshold (deterministic one-sided keep rule — the
+    * published "keep one per duplicate community" with min-id as the
+    * representative choice). Output = the drop list with the evidence
+    * (duplicate-neighbor count + strongest similarity).
+    *
+    * Scale shape: clustering is what makes semantic dedup subquadratic
+    * — pair work is O(sum over clusters of m²), and k grows with the
+    * corpus (k ~ sqrt(n) keeps clusters bounded; here K=4 matches the
+    * test corpus). The pair join shuffles on c, the assignment is one
+    * broadcast join per Lloyd round, and nothing touches the driver.
+    * τ is corpus-calibrated (this synthetic corpus has no planted
+    * embedding near-dups, so the demonstration threshold sits at the
+    * top of the natural cosine range).
+    */
+  def semanticDedupFrom(s: SparkSession, emb: DataFrame,
+      tau: Long = 450000L): DataFrame = {
+    val t = emb.join(kmeansAssignFrom(emb), "vec_id")
+      .select(col("vec_id"), col("c"), col("embedding"))
+    val l = t.select(col("c"), col("vec_id").as("a_id"),
+      col("embedding").as("a_v"))
+    val r = t.select(col("c"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"))
+    l.join(r, "c")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("c"), col("b_id"),
+        Vectors.cosineScaled(s, col("a_v"), col("b_v")).as("icos_e6"))
+      .filter(col("icos_e6") >= tau)
+      .groupBy(col("b_id").as("vec_id"), col("c"))
+      .agg(count(lit(1)).as("n_dups"), max("icos_e6").as("icos_max"))
+      .orderBy("vec_id")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- k-means clustering (see kmeansFrom) ------------------------------
     "sim_kmeans" -> ((s, d) => kmeansFrom(Tables.embeddings(s, d))),
+
+    // -- semantic dedup over learned clusters (see semanticDedupFrom) -----
+    "dedup_semantic" -> ((s, d) =>
+      semanticDedupFrom(s, Tables.embeddings(s, d))),
 
     // -- brute-force exact top-k ------------------------------------------
     "sim_brute_topk" -> ((s, d) => {
@@ -222,8 +267,10 @@ object Similarity extends QueryModule {
                      FROM d$n)
                    WHERE rk = 1)"""
 
-  override def oracles: Map[String, String] = Map(
-    "sim_kmeans" -> s"""
+  /** The full kmeans CTE chain through final assignment `a2(vec_id, c)`
+    * — shared by sim_kmeans and dedup_semantic.
+    */
+  private def kmeansCtesSql: String = s"""
       WITH e AS (
              SELECT vec_id, ii.i AS d,
                     floor(embedding[ii.i]::DOUBLE * 1e6 + 0.5)::BIGINT AS v
@@ -246,12 +293,31 @@ object Similarity extends QueryModule {
                             floor(sum(e.v) / count(1)::DOUBLE)::BIGINT AS cv
                      FROM e JOIN a1 a ON e.vec_id = a.vec_id
                      GROUP BY a.c, e.d),
-           ${kmeansRoundSql(2)}
+           ${kmeansRoundSql(2)}"""
+
+  override def oracles: Map[String, String] = Map(
+    "sim_kmeans" -> s"""
+      $kmeansCtesSql
       SELECT c, count(1) AS n, min(vec_id) AS min_vec,
              CAST(sum(vec_id) AS BIGINT) AS id_sum
       FROM a2
       GROUP BY c
       ORDER BY c""",
+
+    "dedup_semantic" -> s"""
+      $kmeansCtesSql,
+           ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+           p AS (SELECT aa.c, b.vec_id AS b_id,
+                        ${sqlCos.format("a.v", "b.v")} AS icos_e6
+                 FROM ev a JOIN a2 aa ON a.vec_id = aa.vec_id
+                 JOIN a2 bb ON aa.c = bb.c AND aa.vec_id < bb.vec_id
+                 JOIN ev b ON b.vec_id = bb.vec_id)
+      SELECT b_id AS vec_id, c, count(1) AS n_dups, max(icos_e6) AS icos_max
+      FROM p
+      WHERE icos_e6 >= 450000
+      GROUP BY b_id, c
+      ORDER BY vec_id""",
 
     "sim_brute_topk" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

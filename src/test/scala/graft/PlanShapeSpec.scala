@@ -32,6 +32,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("o_orderpriority"), p)
   }
 
+  test("q_dpp plants a dynamic partition pruning subquery on the fact scan") {
+    val p = plan("q_dpp")
+    assert(p.contains("dynamicpruning"),
+      "fact scan not dynamically pruned by the dim-side filter:\n" + p)
+    assert(p.contains("PartitionFilters:"), p)
+  }
+
   test("q5_multijoin broadcasts every dimension") {
     val p = plan("q5_multijoin")
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
