@@ -50,16 +50,21 @@ case class PairExplode(child: Expression)
     if (n < 2) return Iterator.empty
     val w = elemType.size
     // Copy members once up front: emitted rows outlive the (reused)
-    // source row buffer, and each member appears in n-1 pairs.
-    val elems = Array.tabulate[AnyRef](n)(i => arr.getStruct(i, w).copy())
+    // source row buffer, and each member appears in n-1 pairs. Null
+    // elements are skipped — elementSchema declares a/b non-nullable,
+    // and a null member carries nothing to pair on.
+    val elems = Array.tabulate[AnyRef](n)(i => arr.getStruct(i, w))
+      .collect { case s: InternalRow => s.copy(): AnyRef }
+    if (elems.length < 2) return Iterator.empty
+    val m = elems.length
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1
-      override def hasNext: Boolean = i < n - 1
+      override def hasNext: Boolean = i < m - 1
       override def next(): InternalRow = {
         val r = new GenericInternalRow(Array[Any](elems(i), elems(j)))
         j += 1
-        if (j >= n) { i += 1; j = i + 1 }
+        if (j >= m) { i += 1; j = i + 1 }
         r
       }
     }

@@ -245,6 +245,11 @@ object Dedup extends QueryModule {
     require(t.columns.head == "doc_id", "blockedPairs needs doc_id first")
     val fields = t.columns.filter(_ != "blk")
     val grouped = t
+      // A NULL blk never matched under the old equi-self-join (and never
+      // matches in the DuckDB oracle's JOIN ON blk); groupBy would
+      // instead pool all NULL-blk rows into one block. Keep the
+      // join-semantics contract explicit.
+      .filter(col("blk").isNotNull)
       .groupBy("blk")
       .agg(array_sort(collect_list(struct(fields.map(col): _*))).as("ms"))
       .filter(size(col("ms")).between(2, MAX_BLOCK))

@@ -37,6 +37,9 @@ object Similarity extends QueryModule {
   private val LSH_TABLES = 2 // multi-table LSH: independent signatures
   private val LSH_PLANES_PER = 4 // planes per table -> 2^4 buckets each
   private val DIM = 64
+  // Cosine threshold (x1e6) shared by the dedup_semantic query default
+  // AND its oracle SQL — one constant so they cannot desynchronize.
+  private val SEMDEDUP_TAU = 450000L
 
   /** Deterministic pseudo-random hyperplanes, derived from md5 so the
     * SAME constants are inlined into both the Spark plan and the SQL
@@ -90,10 +93,17 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "fv")))
       .select(col("vec_id"), col("d"),
         floor(col("fv").cast("double") * 1e6 + 0.5).cast("long").as("v"))
-    val seeds = emb.select(col("vec_id"))
+    // Rank the k seed rows by a k x k self-join count instead of an
+    // unpartitioned row_number window: same deterministic 0..k-1 ids
+    // (md5 values are distinct), no single-partition WindowExec.
+    val topk = emb.select(col("vec_id"))
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
       .orderBy("h").limit(k)
-      .select(col("vec_id"), (row_number().over(Window.orderBy("h")) - 1).as("c"))
+    val seeds = topk.as("a")
+      .join(broadcast(topk.select(col("h").as("h2"))), col("h2") < col("h"), "left")
+      .groupBy(col("vec_id"), col("h"))
+      .agg(count(col("h2")).cast("int").as("c"))
+      .select(col("vec_id"), col("c"))
     def assign(cent: DataFrame): DataFrame = {
       val dist = e.join(broadcast(cent), "d")
         .groupBy("vec_id", "c")
@@ -128,7 +138,7 @@ object Similarity extends QueryModule {
     * top of the natural cosine range).
     */
   def semanticDedupFrom(s: SparkSession, emb: DataFrame,
-      tau: Long = 450000L): DataFrame = {
+      tau: Long = SEMDEDUP_TAU): DataFrame = {
     val t = emb.join(kmeansAssignFrom(emb), "vec_id")
       .select(col("vec_id"), col("c"), col("embedding"))
     val l = t.select(col("c"), col("vec_id").as("a_id"),
@@ -315,7 +325,7 @@ object Similarity extends QueryModule {
                  JOIN ev b ON b.vec_id = bb.vec_id)
       SELECT b_id AS vec_id, c, count(1) AS n_dups, max(icos_e6) AS icos_max
       FROM p
-      WHERE icos_e6 >= 450000
+      WHERE icos_e6 >= $SEMDEDUP_TAU
       GROUP BY b_id, c
       ORDER BY vec_id""",
 

@@ -43,6 +43,44 @@ object TextAnalysis extends QueryModule {
   private def stopCount(t: Column): Column =
     size(filter(t, w => w.isin(stopwords: _*))).cast("long")
 
+  /** Global running total of `valCol` in `orderCols` order as a
+    * DISTRIBUTED two-pass prefix sum — the scalable replacement for an
+    * unpartitioned window (which drags the whole relation into one
+    * task):
+    *
+    *  1. shard on `shardOf` (any expression monotone in the order key:
+    *     shards partition the order);
+    *  2. within-shard running sums via a PARTITIONED window;
+    *  3. per-shard totals -> driver (O(#shards) metadata, the same
+    *     trick `RDD.zipWithIndex` uses), scanned into shard offsets,
+    *     broadcast-joined back.
+    *
+    * Output column `cum` is the inclusive running total; values are
+    * identical to the single-window formulation for any shard width.
+    */
+  private def shardedCum(df: DataFrame, shardOf: Column,
+      orderCols: Seq[String], valCol: String): DataFrame = {
+    val s = df.sparkSession
+    val t = df.withColumn("_shard", shardOf.cast("long"))
+    val w = Window.partitionBy("_shard")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("_lcum", sum(col(valCol)).over(w))
+    val totals = t.groupBy("_shard")
+      .agg(sum(col(valCol)).as("_tot"))
+      .orderBy("_shard")
+      .collect() // metadata-sized: one row per shard, not per input row
+    var acc = 0L
+    val offs = totals.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import s.implicits._
+    local
+      .join(broadcast(offs.toDF("_shard", "_off")), "_shard")
+      .withColumn("cum", col("_lcum") + col("_off"))
+      .drop("_shard", "_lcum", "_off")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- context-window chunking (width 64 tokens, stride 48) -------------
     //    The packing step an LLM pipeline runs over every document,
@@ -60,15 +98,13 @@ object TextAnalysis extends QueryModule {
 
     // -- token-budget packing: assign docs to ~1000-token batches ---------
     //    Greedy prefix-sum packing: pack = floor(preceding-total /
-    //    budget). One global running-total window — the inherently
-    //    sequential op; at 100 TB you run it per shard (partition the
-    //    window by a shard key) and the shape is unchanged.
+    //    budget), with the running total computed as a distributed
+    //    two-pass prefix sum (shardedCum) — no single-partition window
+    //    anywhere in the plan.
     "txt_pack" -> ((s, d) => {
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+      shardedCum(base, expr("doc_id DIV 64"), Seq("doc_id"), "n_tok")
         .select(col("doc_id"), col("n_tok"),
           expr("(cum - n_tok) DIV 1000").as("pack_id"))
         .orderBy("doc_id")
@@ -315,10 +351,10 @@ object TextAnalysis extends QueryModule {
       val chunks = kept.select(col("doc_id"),
         graft.functions.ChunkExplode.chunks(s, col("text"), 64, 48)
           .as(Seq("chunk_idx", "chunk", "n_tokens")))
-      val packW = Window.orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      chunks
-        .withColumn("cum", sum("n_tokens").over(packW))
+      // distributed prefix sum in (doc_id, chunk_idx) order: sharding
+      // on doc_id alone partitions the doc-major order correctly
+      shardedCum(chunks, expr("doc_id DIV 64"),
+          Seq("doc_id", "chunk_idx"), "n_tokens")
         .select(col("n_tokens"),
           expr("(cum - n_tokens) DIV 1000").as("pack_id"))
         .groupBy("pack_id")

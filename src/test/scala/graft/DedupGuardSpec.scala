@@ -69,6 +69,19 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(Dedup.simhashFrom(spark, one).count() === 1L)
   }
 
+  test("graft_pairs skips null array elements instead of crashing") {
+    graft.functions.PairExplode.register(spark)
+    val rows = spark.sql(
+      """SELECT p.* FROM (SELECT array(
+           named_struct('id', 1L, 'v', 'a'),
+           CAST(NULL AS struct<id: bigint, v: string>),
+           named_struct('id', 2L, 'v', 'b'),
+           named_struct('id', 3L, 'v', 'c')) AS ms)
+         LATERAL VIEW graft_pairs(ms) p AS a, b""")
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("cluster labels equal transitive closure on a chain within the round cap") {
     // a-b, b-c near-dup chain: c must inherit a's label through two hops.
     val docs = Seq(
