@@ -184,22 +184,26 @@ object Bench {
     // allocators, i.e. the entries most sensitive to accumulated heap
     // state. Min of 2 = steady state for both; the CC loop's first run
     // additionally pays Janino compiles for every per-round plan.
+    // Min of 3: at steady state each rep is seconds, and a single
+    // outside-load spike can no longer spoil the reported minimum
+    // (observed once: a transient tripled one rep of the CC loop,
+    // whose per-round barriers are the most load-sensitive shape here).
     val scaledPath = prepareScaledDocs(spark, sfDir)
-    val mh = (1 to 2).map(_ =>
+    val mh = (1 to 3).map(_ =>
       timeOne("scaled_minhash_x20", () => scaledMinhash(spark, scaledPath)))
-    val cc = (1 to 2).map(_ => timeOne("scaled_cc_x20", () =>
+    val cc = (1 to 3).map(_ => timeOne("scaled_cc_x20", () =>
       graft.queries.Dedup.clustersFrom(
         spark.read.parquet(scaledPath), ordered = false)))
     // decontamination at x20: the shingle join against a 1-in-50
     // benchmark slice, 100k docs / ~20M shingles
-    val contam = (1 to 2).map(_ => timeOne("scaled_contam_x20", () => {
+    val contam = (1 to 3).map(_ => timeOne("scaled_contam_x20", () => {
       val docs = spark.read.parquet(scaledPath)
       graft.queries.Dedup.contaminationFrom(
         docs, docs.filter(col("doc_id") % 50 === 0))
     }))
     // context-window chunking at x20: pure generator throughput over
     // ~20M tokens (map-only, no shuffle)
-    val chunk = (1 to 2).map(_ => timeOne("scaled_chunk_x20", () =>
+    val chunk = (1 to 3).map(_ => timeOne("scaled_chunk_x20", () =>
       spark.read.parquet(scaledPath)
         .select(col("doc_id"), graft.functions.ChunkExplode
           .chunks(spark, col("text"), 64, 48)

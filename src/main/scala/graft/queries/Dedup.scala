@@ -173,6 +173,9 @@ object Dedup extends QueryModule {
       .select(col("id"),
         least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
       .localCheckpoint()
+    // the checkpointed frame of the CURRENT round — the handle the loop
+    // releases once the next round is materialized
+    var labelsCp = labels
     // frontier = nodes whose label changed last round: only THEIR labels
     // can improve a neighbor this round, so later rounds join the edge
     // set against a shrinking frame instead of the whole corpus (the
@@ -194,11 +197,22 @@ object Dedup extends QueryModule {
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint()
+      // `next` is materialized (localCheckpoint is eager): the previous
+      // round's checkpoint blocks are dead — release them, or a loop of
+      // R rounds pins R corpus-sized frames in the block manager and
+      // starves every query that follows in the session.
+      org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(labelsCp)
+      labelsCp = next
       frontier = next.filter(col("label") < col("old_label")).select("id", "label")
       changed = frontier.count()
       labels = next.select("id", "label")
       rounds += 1
     }
+    // The final labels are checkpointed (self-contained), so the edge
+    // set's blocks are dead no matter how the caller consumes the
+    // result — release them. Only the one final label frame outlives
+    // the call.
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edges)
     // The cap exists to bound a pathological input (diameter > 50 means
     // chains of thousands of near-identical docs, not dedup cliques);
     // returning silently-unconverged labels would diverge from the

@@ -11,4 +11,22 @@ object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the executor blocks behind a `localCheckpoint()`ed frame.
+    *
+    * `Dataset.unpersist()` only consults the CacheManager, which never
+    * sees checkpoint storage — the blocks belong to the internal
+    * `LogicalRDD`'s RDD and live until the session dies. An iterative
+    * operator that checkpoints per round (connected components) must
+    * release each dead round explicitly or it pins O(rounds) corpus-
+    * sized frames in the block manager. Only call this once the frame
+    * (and everything derived from it that hasn't been materialized) is
+    * dead: local checkpoints have no lineage to recompute from.
+    */
+  def releaseLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
