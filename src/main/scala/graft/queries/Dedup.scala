@@ -307,6 +307,43 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination: [[contaminationFrom]]'s inner-
+    * join core with a Bloom-filter semi-join pushdown in front of it.
+    *
+    * The benchmark key set collapses to ONE m-bit bitset row
+    * ([[graft.functions.BloomFilterAgg]]) broadcast into the corpus
+    * shingle scan; only shingles passing all k probe bits reach the
+    * exact join, which then removes the filter's false positives — so
+    * the result is EXACT (oracle = plain inner join) and the bloom is
+    * purely a bandwidth knob. At 100 TB the corpus side never shuffles
+    * its misses: the expected surviving fraction is the filter's FP
+    * rate plus the true-hit rate, i.e. the join input shrinks by ~99%
+    * for a well-sized m. Sizing: m = 64 * max(1, ceil(20 * |bench| /
+    * 64)) ≈ 20 bits/key -> FP ~ 1e-4 at k = 7; here m is fixed to the
+    * test corpus, at scale derive it from a count of the bench set.
+    */
+  def bloomContaminationFrom(docs: DataFrame, benchDocs: DataFrame,
+      mBits: Int = 1 << 20, k: Int = 7): DataFrame = {
+    val ss = docs.sparkSession
+    def shingleKeys(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.ShingleHashes
+        .shingleHashes(ss, lower(col("text")), 3).as(Seq("h1", "h2")))
+      .dropDuplicates("doc_id", "h1", "h2")
+    val sh = shingleKeys(docs)
+    val benchSh = shingleKeys(benchDocs).select("h1", "h2").distinct()
+    val bloom = benchSh.agg(graft.functions.BloomFilterAgg
+      .bloom(ss, col("h1"), col("h2"), mBits, k).as("bf"))
+    sh.crossJoin(broadcast(bloom)) // one-row build side
+      .filter(graft.functions.BloomFilterAgg
+        .mightContain(col("bf"), col("h1"), col("h2"), mBits, k))
+      .drop("bf")
+      .join(benchSh, Seq("h1", "h2")) // exact: kills bloom FPs
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= 3)
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard over prefix-blocked candidate pairs. */
   def jaccardPairsFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"),
@@ -390,6 +427,14 @@ object Dedup extends QueryModule {
     "dedup_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       contaminationFrom(docs, docs.filter(col("doc_id") % 50 === 0))
+    }),
+
+    // -- Bloom-prefiltered decontamination (see bloomContaminationFrom):
+    //    same hits as the exact join, with a one-row broadcast bitset
+    //    dropping ~all non-contaminated shingles at the scan -------------
+    "dedup_bloom_contam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      bloomContaminationFrom(docs, docs.filter(col("doc_id") % 50 === 0))
     }),
 
     // -- exact n-gram Jaccard over prefix-blocked candidates --------------
@@ -596,6 +641,22 @@ object Dedup extends QueryModule {
       SELECT doc_id, n_sh, n_hit, (n_hit * 1000) // n_sh AS mille
       FROM agg
       WHERE n_hit >= 3
+      ORDER BY doc_id""",
+
+    // The bloom prefilter is transparent to the RESULT (false positives
+    // die in the exact join), so the oracle is the plain inner join.
+    "dedup_bloom_contam" -> s"""
+      WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s
+                  FROM documents),
+           hh AS (SELECT doc_id,
+                         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+                         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+                  FROM sh),
+           bh AS (SELECT DISTINCT h1, h2 FROM hh WHERE doc_id % 50 = 0)
+      SELECT hh.doc_id AS doc_id, count(1) AS n_hit
+      FROM hh JOIN bh ON hh.h1 = bh.h1 AND hh.h2 = bh.h2
+      GROUP BY hh.doc_id
+      HAVING count(1) >= 3
       ORDER BY doc_id""",
 
     "dedup_jaccard_pairs" -> s"""
