@@ -78,7 +78,11 @@ object Dedup extends QueryModule {
     * non-codegen first(array) aggregate) — collapsed on corpora with
     * large duplicate cliques: 75-128 s where this takes seconds.
     */
-  def minhashPairsFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+  /** LSH candidate pairs with their integer signature match count
+    * `m` in [0, K] — the shared core of [[minhashPairsFrom]] (est
+    * Jaccard = m/K) and [[containmentPairsFrom]] (asymmetric overlap).
+    */
+  private def candidateMatches(docs: DataFrame): DataFrame = {
     // Signatures stay as k FLAT long columns through this pipeline:
     // fixed-length UnsafeRows through the re-attach joins, and the
     // match-count is k direct long compares — the array form cost ~4x
@@ -126,15 +130,56 @@ object Dedup extends QueryModule {
     val matches = (0 until K)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val scored = pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
+    pairs.join(aSig, Seq("a_id")).join(bSig, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), matches.cast("long").as("m"))
+  }
+
+  def minhashPairsFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val scored = candidateMatches(docs)
       .select(col("a_id"), col("b_id"),
-        (matches.cast("double") / K.toDouble).as("est_jaccard"))
+        (col("m").cast("double") / K.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
     // global sort is for the deterministic oracle compare; a production
     // pipeline writes the pair set unsorted — and a range exchange runs
     // its child TWICE (bounds sampling + shuffle), so the bench variant
     // skips it
     if (ordered) scored.orderBy("a_id", "b_id") else scored
+  }
+
+  /** MinHash CONTAINMENT: per LSH candidate pair, the estimated
+    * asymmetric overlap `|A∩B| / |A|` (and `/|B|`) in integer per-mille
+    * — the fuzzy-decontamination primitive ("is this doc mostly inside
+    * that one?"), which symmetric Jaccard under-reports whenever sizes
+    * differ.
+    *
+    * Derivation, all integer: MinHash estimates J = m/K; with exact
+    * per-doc distinct-shingle counts (one cheap agg) the estimated
+    * intersection is I = J*(na+nb)/(1+J) = m*(na+nb)/(K+m), so
+    * `cont_a = 1000*m*(na+nb) DIV ((K+m)*na)` — reproducible bit-for-
+    * bit in any engine, no floating point.
+    *
+    * Recall caveat (by construction): candidates come from Jaccard-LSH
+    * bands, so a SMALL doc buried in a much larger one can sit below
+    * every band's collision probability. Full containment search bands
+    * over the contained side's shingles only (the contamination ops
+    * here do exactly that); this op scores the near-dup candidate set.
+    */
+  def containmentPairsFrom(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    val sizes = docs.select(col("doc_id"),
+        graft.functions.ShingleHashes
+          .shingleHashes(ss, lower(col("text")), 3).as(Seq("h1", "h2")))
+      .dropDuplicates("doc_id", "h1", "h2")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hint = DedupOps.sizeHint(docs)
+    candidateMatches(docs)
+      .filter(col("m") >= K / 4) // est overlap >= 0.25 of the signature
+      .join(hint(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na"))), Seq("a_id"))
+      .join(hint(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb"))), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        expr(s"(1000 * m * (na + nb)) DIV (($K + m) * na)").as("cont_a_mille"),
+        expr(s"(1000 * m * (na + nb)) DIV (($K + m) * nb)").as("cont_b_mille"))
+      .orderBy("a_id", "b_id")
   }
 
   /** Connected components over the near-dup pair graph: every document
@@ -405,6 +450,10 @@ object Dedup extends QueryModule {
     "dedup_minhash_pairs" -> ((s, d) =>
       minhashPairsFrom(Tables.documents(s, d))),
 
+    // -- MinHash containment: asymmetric overlap per candidate pair ------
+    "dedup_containment" -> ((s, d) =>
+      containmentPairsFrom(Tables.documents(s, d))),
+
     // -- dedup clustering: pair graph -> connected components -------------
     "dedup_clusters" -> ((s, d) =>
       clustersFrom(Tables.documents(s, d))),
@@ -597,6 +646,35 @@ object Dedup extends QueryModule {
       ORDER BY doc_id""",
 
     "dedup_minhash_pairs" -> minhashPairsSql(ordered = true),
+
+    "dedup_containment" -> s"""
+      WITH $sqlSigCtes,
+           bands AS (
+             SELECT doc_id, sig, bb.b AS band,
+                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
+             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.sig AS a_sig, b.sig AS b_sig
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           mm AS (
+             SELECT a_id, b_id,
+                    CAST(list_aggregate(list_transform(range(1, ${K + 1}),
+                      i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END),
+                      'sum') AS BIGINT) AS m
+             FROM cand),
+           sz AS (SELECT doc_id,
+                         CAST(len(${sqlShingles(sqlToksL)}) AS BIGINT) AS n_sh
+                  FROM documents)
+      SELECT mm.a_id AS a_id, mm.b_id AS b_id,
+             sa.n_sh AS na, sb.n_sh AS nb,
+             (1000 * m * (sa.n_sh + sb.n_sh)) // (($K + m) * sa.n_sh) AS cont_a_mille,
+             (1000 * m * (sa.n_sh + sb.n_sh)) // (($K + m) * sb.n_sh) AS cont_b_mille
+      FROM mm JOIN sz sa ON mm.a_id = sa.doc_id
+              JOIN sz sb ON mm.b_id = sb.doc_id
+      WHERE m >= ${K / 4}
+      ORDER BY a_id, b_id""",
 
     "dedup_clusters" -> s"""
       WITH RECURSIVE

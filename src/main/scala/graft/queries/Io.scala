@@ -99,6 +99,56 @@ object Io extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // Bucketed co-located join: both sides pre-shuffled on the join key
+    // at WRITE time (8 buckets, sorted within buckets), so the join
+    // plans as a sort-merge over the bucket layout with NO Exchange on
+    // either side (BucketingSpec asserts the plan). At 100 TB this is
+    // how a fact table joined on the same key by every query in a
+    // workload pays its shuffle once, at ingest, instead of per query.
+    "io_bucketed_join" -> ((s, d) => {
+      val tag = s"${java.lang.ProcessHandle.current().pid()}_${(d.hashCode & 0x7fffffff).toHexString}"
+      val liT = s"graft_li_bq_$tag"
+      val ordT = s"graft_ord_bq_$tag"
+      writeOnce(s"table:$liT", d) {
+        graft.operators.Bucketing.writeBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+          liT, "l_orderkey", 8, Some("l_orderkey"))
+        graft.operators.Bucketing.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
+          ordT, "o_orderkey", 8, Some("o_orderkey"))
+      }
+      graft.operators.Bucketing.bucketedJoin(s, liT, ordT,
+          "l_orderkey", "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Z-order layout: orders written morton-ordered on (customer, order
+    // day), then a 2-D box predicate reads back — files prune on BOTH
+    // dimensions via parquet min/max stats (ZOrderSpec quantifies the
+    // rectangle tightness vs a one-key sort). The z-value is layout-
+    // only; results are independent of it, so the oracle is the same
+    // filter over the raw table.
+    "io_zorder_box" -> ((s, d) => {
+      val path = scratch(s, "zorder_orders")
+      writeOnce(path, d) {
+        graft.operators.ZOrder.writeZOrdered(
+          Tables.orders(s, d),
+          pmod(col("o_custkey"), lit(65536L)),
+          datediff(col("o_orderdate"), lit("1992-01-01")),
+          files = 16, path = path)
+      }
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 300) &&
+          col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Dynamic partition pruning: the filter lives on the DIM side of a
     // join, so which fact partitions survive is only known at runtime —
     // Catalyst plants a dynamicpruning InSubquery on the fact scan's
@@ -147,6 +197,22 @@ object Io extends QueryModule {
              sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
       FROM orders
       WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "io_bucketed_join" -> """
+      SELECT o_orderstatus, count(1) AS n,
+             sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "io_zorder_box" -> """
+      SELECT o_orderstatus, count(1) AS n,
+             sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 300
+        AND o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
 
