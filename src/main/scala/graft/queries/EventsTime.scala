@@ -99,9 +99,39 @@ object EventsTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Streaming SESSION windows under the oracle gate: the events table
+    * replayed through the native `session_window` aggregation (real
+    * merging session state), append mode — emitted sessions are exactly
+    * those whose end cleared the final watermark. The oracle reproduces
+    * gap-sessionization AND the watermark rule, including Spark's
+    * millisecond watermark truncation (`wm_us = (max_us DIV 1000 -
+    * delay_ms) * 1000`): event times carry sub-millisecond micros, so
+    * an un-truncated mirror misclassifies boundary sessions.
+    */
+  def streamSessionReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val sess = graft.streaming.Streaming.sessionCounts(stream)
+    val sink = "ev_stream_session_" + System.nanoTime()
+    val q = sess.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+      .select(unix_micros(col("ss")).as("start_us"),
+        unix_micros(col("se")).as("end_us"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
+
+    // -- streaming session windows, driver-checked ------------------------
+    "ev_stream_session" -> ((s, d) => streamSessionReplay(s, d)),
 
     // -- streaming dedup, driver-checked (see streamDedupReplay) ----------
     "ev_stream_dedup" -> ((s, d) => streamDedupReplay(s, d)),
@@ -419,6 +449,34 @@ object EventsTime extends QueryModule {
       HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
                <= mx - INTERVAL 30 MINUTE
       ORDER BY hour, event_type""",
+
+    // gap sessionization + the append-mode emission rule: only sessions
+    // whose end cleared the final watermark, which Spark tracks at
+    // MILLISECOND precision (max event ms - delay ms) — mirrored here
+    // with the same truncation
+    "ev_stream_session" -> s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           flagged AS (
+             SELECT user_id, event_id, us,
+                    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= $GAP_US
+                         THEN 1 ELSE 0 END AS new_s
+             FROM e),
+           sess AS (
+             SELECT user_id, us,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM flagged),
+           agg AS (
+             SELECT min(us) AS start_us, max(us) + $GAP_US AS end_us,
+                    user_id, count(1) AS n_events
+             FROM sess GROUP BY user_id, sid),
+           m AS (SELECT ((max(epoch_us(ts)) // 1000) - 1800000) * 1000 AS wm_us
+                 FROM events)
+      SELECT start_us, end_us, user_id, n_events
+      FROM agg, m
+      WHERE end_us <= wm_us
+      ORDER BY user_id, start_us""",
 
     // single-replay dedup keeps every first-seen (user, type) pair, so
     // the surviving key set equals the batch distinct — per-user
