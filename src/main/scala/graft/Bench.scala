@@ -201,6 +201,14 @@ object Bench {
       graft.queries.Dedup.contaminationFrom(
         docs, docs.filter(col("doc_id") % 50 === 0))
     }))
+    // the same decontamination behind the Bloom semi-join pushdown:
+    // corpus shingles that miss the one-row broadcast bitset never
+    // reach the exact join
+    val bloomC = (1 to 3).map(_ => timeOne("scaled_bloom_x20", () => {
+      val docs = spark.read.parquet(scaledPath)
+      graft.queries.Dedup.bloomContaminationFrom(
+        docs, docs.filter(col("doc_id") % 50 === 0))
+    }))
     // context-window chunking at x20: pure generator throughput over
     // ~20M tokens (map-only, no shuffle)
     val chunk = (1 to 3).map(_ => timeOne("scaled_chunk_x20", () =>
@@ -232,15 +240,16 @@ object Bench {
       "scaled_minhash_x20" -> mh.min,
       "scaled_cc_x20" -> cc.min,
       "scaled_contam_x20" -> contam.min,
+      "scaled_bloom_x20" -> bloomC.min,
       "scaled_chunk_x20" -> chunk.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: *_cold/*_median are informational
     val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
-      mh.min + cc.min + contam.min + chunk.min
+      mh.min + cc.min + contam.min + bloomC.min + chunk.min
     val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
-      mh.head :+ cc.head :+ contam.head :+ chunk.head).sum
+      mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ chunk.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

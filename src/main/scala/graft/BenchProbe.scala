@@ -42,6 +42,11 @@ object BenchProbe {
             bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
           .dropDuplicates("a_id", "b_id")
           .filter(col("hamming") <= 3)
+      } else if (name == "scaledbloom") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        val docs = spark.read.parquet(p)
+        graft.queries.Dedup.bloomContaminationFrom(
+          docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0))
       } else if (name == "scaledcontam") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         val docs = spark.read.parquet(p)

@@ -43,6 +43,30 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.15, s"LSH recall@5 = $r")
   }
 
+  test("PQ/ADC codes recover exact L2 top-5 neighbors") {
+    // PQ approximates L2 — its recall gate is against exact L2
+    // neighbors (the cosine-ranked brute query is a different metric).
+    // Exact reference computed in-process over the integer-scaled
+    // vectors, same scaling as the operator.
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    val queries = emb.keys.filter(_ < 5).toSeq
+    val exact = queries.map { q =>
+      val qv = emb(q)
+      q -> emb.iterator.filter(_._1 != q).map { case (id, v) =>
+        var s = 0L; var i = 0
+        while (i < v.length) { val d = qv(i) - v(i); s += d * d; i += 1 }
+        (id, s)
+      }.toSeq.sortBy { case (id, s) => (s, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val pq = byQuery("sim_pq_topk", 5)
+    val r = recallAt(5, pq, exact)
+    assert(r >= 0.5, s"PQ recall@5 (vs exact L2) = $r")
+  }
+
   test("brute force is self-consistent: 5 queries x full top-10") {
     val exact = byQuery("sim_brute_topk", 10)
     assert(exact.size == 5 && exact.values.forall(_.size == 10))
