@@ -126,9 +126,41 @@ object EventsTime extends QueryModule {
       .orderBy("user_id", "start_us")
   }
 
+  /** Stream-stream time-bounded JOIN under the oracle gate: clicks and
+    * purchases replayed as two streams, inner-joined per user within a
+    * 10-minute trailing window (real symmetric join state on both
+    * sides), then batch-aggregated from the sink to a per-user match
+    * count. Inner-join append emits every match eagerly (watermarks
+    * bound STATE, not emission), so the oracle is the plain time-
+    * bounded self-join.
+    */
+  def streamJoinReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    def stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val joined = graft.streaming.Streaming.streamStreamJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val sink = "ev_stream_join_" + System.nanoTime()
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(unix_micros(col("l_ts"))).as("first_us"),
+        max(unix_micros(col("r_ts"))).as("last_us"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
+
+    // -- stream-stream join, driver-checked (see streamJoinReplay) --------
+    "ev_stream_join" -> ((s, d) => streamJoinReplay(s, d)),
 
     // -- streaming session windows, driver-checked ------------------------
     "ev_stream_session" -> ((s, d) => streamSessionReplay(s, d)),
@@ -449,6 +481,19 @@ object EventsTime extends QueryModule {
       HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
                <= mx - INTERVAL 30 MINUTE
       ORDER BY hour, event_type""",
+
+    // inner stream-stream joins emit every match (state-bounding only),
+    // so the mirror is the plain time-bounded self-join
+    "ev_stream_join" -> """
+      SELECT l.user_id AS user_id, count(1) AS n_pairs,
+             min(epoch_us(l.ts)) AS first_us, max(epoch_us(r.ts)) AS last_us
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+       AND l.event_type = 'click' AND r.event_type = 'purchase'
+       AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
+       AND epoch_us(r.ts) <= epoch_us(l.ts)
+      GROUP BY l.user_id
+      ORDER BY user_id""",
 
     // gap sessionization + the append-mode emission rule: only sessions
     // whose end cleared the final watermark, which Spark tracks at

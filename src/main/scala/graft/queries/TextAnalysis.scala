@@ -300,6 +300,31 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // -- incremental corpus upsert: latest-wins merge of a base snapshot
+    //    and a delta batch by key — the ingestion primitive behind every
+    //    continuously-refreshed corpus (web recrawls, doc re-parses).
+    //    One shuffle by doc_id (the window); no driver involvement; at
+    //    scale the same shape rides a bucketed layout so repeated
+    //    upserts pay no re-shuffle. Delta rows carry version 1 and a
+    //    rewritten text; survivors = delta where keys overlap, base
+    //    elsewhere (md5 keeps the compare rows small) -----------------------
+    "pipe_upsert" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), lit(0L).as("version"))
+      val delta = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" [revised]")).as("text"),
+          lit(1L).as("version"))
+      val w = Window.partitionBy("doc_id").orderBy(col("version").desc)
+      base.union(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("version"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // -- end-to-end corpus curation (the composed pipeline a training-data
     //    user actually runs): quality-filter -> fingerprint-dedup (keep
     //    lowest doc_id) -> per-language corpus stats. One tokenize pass,
@@ -553,6 +578,21 @@ object TextAnalysis extends QueryModule {
                'https?://[^ \t\n]+', '<URL>', 'g'),
                '[0-9]+', '<NUM>', 'g')) AS redacted_hash
       FROM documents
+      ORDER BY doc_id""",
+
+    "pipe_upsert" -> """
+      WITH u AS (
+        SELECT doc_id, text, 0 AS version FROM documents
+        UNION ALL
+        SELECT doc_id, text || ' [revised]' AS text, 1 AS version
+        FROM documents WHERE doc_id % 5 = 0),
+      r AS (
+        SELECT doc_id, version, text,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY version DESC) AS rn
+        FROM u)
+      SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS text_md5
+      FROM r WHERE rn = 1
       ORDER BY doc_id""",
 
     "pipe_curation" -> s"""
