@@ -463,6 +463,38 @@ object Dedup extends QueryModule {
     //    of degrees — the shape analysts read to size dedup impact
     //    (clique-heavy vs chain-heavy). Two hash aggs over the pair
     //    stream; no joins.
+    // -- degree-normalized influence propagation (PageRank power
+    //    iteration, 3 unrolled rounds) over the near-dup pair graph:
+    //    which documents sit at the center of duplication communities.
+    //    All-integer: ranks start at 1e6, each round is
+    //    r' = 150000 + (85 * sum(r(u) DIV deg(u))) DIV 100 over
+    //    in-neighbors — floor arithmetic the oracle reproduces exactly.
+    //    Each round is one join + one agg on the edge list (the CC
+    //    shape); isolated docs keep the base rank. ----------------------
+    "graph_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = minhashPairsFrom(docs, ordered = false).select("a_id", "b_id")
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = docs.select(col("doc_id").as("id"))
+      var rank = nodes.select(col("id"), lit(1000000L).as("r"))
+      (1 to 3).foreach { _ =>
+        val contrib = edges.join(deg, "src")
+          .join(rank, col("src") === col("id"))
+          .select(col("dst"), expr("r DIV deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        rank = nodes.join(contrib, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(150000L) + expr("(85 * coalesce(s, 0)) DIV 100")).as("r"))
+      }
+      // edges stays checkpointed until the caller consumes the (lazy)
+      // result — the one frame this call retains, like CC's final labels
+      rank.select(col("id").as("doc_id"), col("r").as("rank"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_pair_degrees" -> ((s, d) => {
       val pairs = minhashPairsFrom(Tables.documents(s, d), ordered = false)
       val deg = pairs.select(col("a_id").as("id"))
@@ -690,6 +722,31 @@ object Dedup extends QueryModule {
       FROM reach
       GROUP BY id
       ORDER BY doc_id""",
+
+    "graph_pagerank" -> {
+      def round(n: Int): String = s"""
+           c$n AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+                   FROM e JOIN d ON e.src = d.src
+                   JOIN r${n - 1} r ON e.src = r.id
+                   GROUP BY e.dst),
+           r$n AS (SELECT nd.id,
+                          150000 + (85 * coalesce(c.s, 0)) // 100 AS r
+                   FROM nodes nd LEFT JOIN c$n c ON nd.id = c.dst)"""
+      s"""
+      WITH p AS (SELECT a_id, b_id FROM (${minhashPairsSql(ordered = false)}) mp),
+           e AS (SELECT a_id AS src, b_id AS dst FROM p
+                 UNION ALL
+                 SELECT b_id AS src, a_id AS dst FROM p),
+           d AS (SELECT src, count(1) AS deg FROM e GROUP BY src),
+           nodes AS (SELECT doc_id AS id FROM documents),
+           r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           ${round(1)},
+           ${round(2)},
+           ${round(3)}
+      SELECT id AS doc_id, CAST(r AS BIGINT) AS rank
+      FROM r3
+      ORDER BY doc_id"""
+    },
 
     "dedup_pair_degrees" -> s"""
       WITH mp AS (${minhashPairsSql(ordered = false)}),

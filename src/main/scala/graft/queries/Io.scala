@@ -99,6 +99,33 @@ object Io extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // Schema evolution: a corpus written over time gains a column in a
+    // later batch; mergeSchema reconciles the footers at read (old rows
+    // surface NULL for the new column). The shape every long-lived
+    // 100 TB corpus hits — readers must not require a rewrite of every
+    // historical batch to pick up a new field.
+    "io_schema_merge" -> ((s, d) => {
+      val path = scratch(s, "schema_orders")
+      writeOnce(path, d) {
+        val src = Tables.orders(s, d)
+        src.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_cents"))
+          .write.mode("overwrite").parquet(s"$path/b1")
+        src.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_cents"),
+            lit("v2").as("source_tag")) // the evolved column
+          .write.mode("overwrite").parquet(s"$path/b2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("source_tag")).as("n_v2"),
+          sum("price_cents").as("cents_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Bucketed co-located join: both sides pre-shuffled on the join key
     // at WRITE time (8 buckets, sorted within buckets), so the join
     // plans as a sort-merge over the bucket layout with NO Exchange on
@@ -197,6 +224,14 @@ object Io extends QueryModule {
              sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
       FROM orders
       WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "io_schema_merge" -> """
+      SELECT o_orderstatus, count(1) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+             CAST(sum(round(o_totalprice * 100)::BIGINT) AS BIGINT) AS cents_sum
+      FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
 

@@ -612,6 +612,18 @@ object Relational extends QueryModule {
           expr("regr_count(l_extendedprice, l_quantity)").as("n"))
         .orderBy("l_returnflag")),
 
+    // -- equi-width histogram via width_bucket: the one-pass value-
+    //    distribution profile (integer cents domain, fixed [0, 120k)
+    //    range, 12 buckets — fully deterministic bucket edges) ------------
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(expr(
+          "width_bucket(CAST(round(o_totalprice * 100) AS BIGINT), 0, 12000000, 12)")
+          .as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // -- statistical aggregates + exact median ----------------------------
     "q_stats_agg" -> ((s, d) =>
       li(s, d)
@@ -1072,6 +1084,16 @@ object Relational extends QueryModule {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // DuckDB has no width_bucket; the arithmetic is mirrored (values
+    // here are non-negative cents, buckets land in [1, 13])
+    "q_histogram" -> """
+      SELECT CASE WHEN c >= 12000000 THEN 13
+                  ELSE 1 + (c * 12) // 12000000 END AS bucket,
+             count(1) AS n
+      FROM (SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders)
+      GROUP BY bucket
+      ORDER BY bucket""",
 
     "q_stats_agg" -> """
       SELECT l_returnflag,

@@ -171,7 +171,12 @@ object Similarity extends QueryModule {
       (a1.select(col("vec_id"), lit(sIdx).as("s"), col("c")),
         cent1.select(lit(sIdx).as("s"), col("c"), col("d"), col("cv")))
     }
-    (subs.map(_._1).reduce(_ union _), subs.map(_._2).reduce(_ union _))
+    // The index is BUILT here (eager localCheckpoint), queried below —
+    // matching production PQ, where codes/codebooks persist and queries
+    // only read them. Without this the 16-subspace training chain is
+    // inlined into the query plan 16 times over (~500 exchanges).
+    (subs.map(_._1).reduce(_ union _).localCheckpoint(),
+      subs.map(_._2).reduce(_ union _).localCheckpoint())
   }
 
   /** Top-k via PQ/ADC shortlist + EXACT re-ranking — the production PQ
