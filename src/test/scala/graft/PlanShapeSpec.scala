@@ -100,4 +100,53 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_topk_per_key")
     assert(p.contains("TopKPerKey"), p)
   }
+
+  test("bloom decontamination: bitset broadcast as one row, probe before exact join") {
+    val p = plan("dedup_bloom_contam")
+    // the bitset attaches via a one-row cross broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_bloom"), p)
+    // the probe filter must sit BELOW the exact (hash) join in the
+    // physical tree: only survivors reach the join — the point of the
+    // pushdown. Checked structurally, not by explain-string offsets.
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    // executedPlan is an AdaptiveSparkPlanExec LEAF — collect() does not
+    // descend into it; traverse the pre-adaptive plan instead
+    val exec = SparkEntry.queries("dedup_bloom_contam")(spark, sf)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    // Catalyst fuses the probe into the one-row cross join's condition
+    // (or leaves it as a Filter above it) — accept either, but it must
+    // be BENEATH the exact hash join
+    def hasProbe(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      plan.collect {
+        case j: BroadcastNestedLoopJoinExec
+            if j.condition.exists(_.toString.contains("shiftright")) => j
+        case f: FilterExec if f.condition.toString.contains("shiftright") => f
+      }.nonEmpty
+    val ok = exec.collect {
+      case j: BroadcastHashJoinExec if j.children.exists(hasProbe) => j
+    }.nonEmpty
+    assert(ok, "no exact join with the bloom-probe beneath it:\n" + exec)
+  }
+
+  test("PQ scoring: ADC tables broadcast onto the code scan, no merge join") {
+    val p = plan("sim_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-sized codes frame must never be the build side of a
+    // sort-merge join during scoring
+    assert(!p.contains("SortMergeJoin"),
+      "codes path fell back to a shuffle join:\n" + p)
+  }
+
+  test("zorder box read prunes nothing logically but keeps both predicates pushed") {
+    val p = plan("io_zorder_box")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("o_custkey"), p)
+    assert(p.contains("o_orderdate"), p)
+  }
 }
