@@ -97,6 +97,24 @@ object Bench {
     path
   }
 
+  /** Scaled embedding corpus: embeddings x20 (distinct vec_ids, exact
+    * vector copies — the ANN index build cost depends on row count and
+    * dimension, not vector novelty). 40k vectors at sf0.1.
+    */
+  def prepareScaledEmb(spark: SparkSession, sfDir: String): String = {
+    val path = s"target/bench_scratch/emb_x20_${new java.io.File(sfDir).getName}"
+    if (!new java.io.File(path).exists()) {
+      graft.Tables.embeddings(spark, sfDir)
+        .select(explode(sequence(lit(0), lit(19))).as("rep"),
+          col("vec_id"), col("label"), col("embedding"))
+        .select((col("vec_id") * 100 + col("rep")).as("vec_id"),
+          col("label"), col("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   def scaledMinhash(spark: SparkSession, path: String): DataFrame =
     graft.queries.Dedup.minhashPairsFrom(spark.read.parquet(path),
       ordered = false)

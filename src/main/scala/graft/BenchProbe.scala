@@ -42,6 +42,9 @@ object BenchProbe {
             bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
           .dropDuplicates("a_id", "b_id")
           .filter(col("hamming") <= 3)
+      } else if (name == "scaledpq") {
+        val p = Bench.prepareScaledEmb(spark, sfDir)
+        graft.queries.Similarity.pqTopkFrom(spark.read.parquet(p))
       } else if (name == "scaledbloom") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         val docs = spark.read.parquet(p)
@@ -144,6 +147,26 @@ object BenchProbe {
       val t0 = System.nanoTime()
       Bench.scaledMinhash(spark, p).write.mode("overwrite").format("noop").save()
       println(f"[probe] scaledmh total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      Thread.sleep(2000)
+      spark.stop(); return
+    }
+    if (name == "pqstages") {
+      val p = Bench.prepareScaledEmb(spark, sfDir)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+            f"dur=${ms.getOrElse(-1L)}%6d ms  in=${si.taskMetrics.inputMetrics.recordsRead}%10d " +
+            f"shufR=${si.taskMetrics.shuffleReadMetrics.recordsRead}%10d " +
+            f"shufW=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%10d  ${si.name.take(60)}")
+        }
+      })
+      val t0 = System.nanoTime()
+      graft.queries.Similarity.pqTopkFrom(spark.read.parquet(p))
+        .write.mode("overwrite").format("noop").save()
+      println(f"[probe] scaledpq total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       Thread.sleep(2000)
       spark.stop(); return
     }

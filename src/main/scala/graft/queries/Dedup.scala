@@ -518,6 +518,20 @@ object Dedup extends QueryModule {
       bloomContaminationFrom(docs, docs.filter(col("doc_id") % 50 === 0))
     }),
 
+    // -- composed decontamination: the corpus with flagged docs REMOVED
+    //    (bloom prefilter -> exact verify -> anti-join), reported as
+    //    per-language survivor counts — what a training run actually
+    //    consumes downstream of the detector ------------------------------
+    "pipe_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val flagged = bloomContaminationFrom(
+        docs, docs.filter(col("doc_id") % 50 === 0)).select("doc_id")
+      docs.join(flagged, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // -- exact n-gram Jaccard over prefix-blocked candidates --------------
     // Blocks over MAX_BLOCK members are dropped (boilerplate-prefix
     // guard — see blockedPairs); the oracle mirrors the cap.
@@ -793,6 +807,24 @@ object Dedup extends QueryModule {
       GROUP BY hh.doc_id
       HAVING count(1) >= 3
       ORDER BY doc_id""",
+
+    "pipe_decontaminate" -> s"""
+      WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s
+                  FROM documents),
+           hh AS (SELECT doc_id,
+                         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+                         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+                  FROM sh),
+           bh AS (SELECT DISTINCT h1, h2 FROM hh WHERE doc_id % 50 = 0),
+           flagged AS (SELECT hh.doc_id
+                       FROM hh JOIN bh ON hh.h1 = bh.h1 AND hh.h2 = bh.h2
+                       GROUP BY hh.doc_id
+                       HAVING count(1) >= 3)
+      SELECT lang, count(1) AS n_docs
+      FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+      GROUP BY lang
+      ORDER BY lang""",
 
     "dedup_jaccard_pairs" -> s"""
       WITH t AS (
