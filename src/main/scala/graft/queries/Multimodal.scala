@@ -63,7 +63,30 @@ object Multimodal extends QueryModule {
           sum("n_bytes").as("total_bytes"),
           max("width").as("max_width"),
           sum("n_frames").as("total_frames"))
-        .orderBy("kind"))
+        .orderBy("kind")),
+
+    // exact binary dedup over opaque payloads: the ingest-time pass that
+    // drops byte-identical media fetched from multiple sources. The
+    // corpus has no natural byte-dups, so every 7th payload is unioned
+    // back under a re-ingested id (same bytes, new key) — dedup keys on
+    // md5(payload) only, one hash agg, and at 100 TB the md5 shuffles
+    // instead of the payload bytes (the only scalable key choice for
+    // multi-MB binaries)
+    "mm_dedup" -> ((s, d) => {
+      val media = MultimodalOps.toMedia(Tables.documents(s, d)).toDF()
+      val reingested = media.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          col("kind"), col("payload"))
+      media.union(reingested)
+        .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy("payload_md5")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"),
+          min("n_bytes").as("n_bytes"))
+        .select(col("rep_id"), col("payload_md5"), col("n_copies"),
+          col("n_bytes"))
+        .orderBy("rep_id")
+    })
   )
 
   private val sqlMeta = """
@@ -124,6 +147,21 @@ object Multimodal extends QueryModule {
              sum(n_frames)::BIGINT AS total_frames
       FROM ($sqlMeta)
       GROUP BY kind
-      ORDER BY kind"""
+      ORDER BY kind""",
+
+    "mm_dedup" -> """
+      WITH m AS (
+        SELECT doc_id, md5(text) AS payload_md5,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, md5(text) AS payload_md5,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE doc_id % 7 = 0)
+      SELECT min(doc_id) AS rep_id, payload_md5,
+             count(1) AS n_copies, min(n_bytes) AS n_bytes
+      FROM m
+      GROUP BY payload_md5
+      ORDER BY rep_id"""
   )
 }

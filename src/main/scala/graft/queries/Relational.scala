@@ -120,6 +120,36 @@ object Relational extends QueryModule {
         .orderBy("n_name")
     }),
 
+    // -- salted shuffle join: the manual skew-mitigation pattern ----------
+    //    When one probe-side key carries a disproportionate share of rows,
+    //    a plain hash-partitioned join lands that key's entire volume on
+    //    one task. Salting splits it R ways: the probe side gets a
+    //    deterministic salt in [0, R), the build side is exploded xR so
+    //    every (key, salt) pair still finds its build row, and the join
+    //    key becomes (key, salt). Values are identical to the unsalted
+    //    join (the oracle is the plain join) — only the partitioning
+    //    changes. R=8 here; at scale R is derived from key-frequency
+    //    stats, and AQE's skew-join handles the sort-merge case without
+    //    salting (this pattern covers hash-partitioned aggs/joins AQE
+    //    cannot split).
+    "q_salted_join" -> ((s, d) => {
+      val R = 8
+      val l = li(s, d).withColumn("_salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(R)))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          explode(sequence(lit(0), lit(R - 1))).as("_salt"))
+        // force the shuffled path: salting is a no-op under broadcast
+        // (which is what Spark would pick for a dim this small)
+        .hint("shuffle_hash")
+      l.join(sup,
+          col("l_suppkey") === col("s_suppkey") && l("_salt") === sup("_salt"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("total_price"))
+        .orderBy("s_nationkey")
+    }),
+
     // -- left semi join (EXISTS) ------------------------------------------
     "q_semi_join" -> ((s, d) => {
       val o96 = ord(s, d).filter(
@@ -723,6 +753,14 @@ object Relational extends QueryModule {
         AND o_orderdate < TIMESTAMP '1999-01-01'
       GROUP BY n_name
       ORDER BY n_name""",
+
+    "q_salted_join" -> """
+      SELECT s_nationkey, count(1) AS n_items,
+             sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS total_price
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""",
 
     "q_semi_join" -> """
       SELECT c_custkey, c_mktsegment

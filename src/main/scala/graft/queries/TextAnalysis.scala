@@ -443,7 +443,57 @@ object TextAnalysis extends QueryModule {
         .agg(count(lit(1)).as("n"),
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // -- winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    //    algorithm): hash every token 3-gram with the exact polynomial
+    //    fold of txt_rolling_hash, slide a window of 4 consecutive gram
+    //    hashes, keep each window's minimum. Guarantee: any shared
+    //    substring of >= k+w-1 = 6 tokens yields at least one shared
+    //    fingerprint, with ~2/(w+1) of the grams selected — the bounded-
+    //    density sketch for exact-substring-match detection at corpus
+    //    scale. Per-row map-only HOF work + one distinct; docs shorter
+    //    than 6 tokens have no complete window and emit nothing --------------
+    "txt_winnow" -> ((s, d) => {
+      val ts = Text.tokensLower(col("text"))
+      val grams = transform(sequence(lit(1), size(ts) - 2),
+        i => concat_ws(" ",
+          element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
+      val ghash = transform(grams, g =>
+        aggregate(split(g, ""), lit(0L),
+          (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L))))
+      val fps = transform(sequence(lit(1), size(ghash) - 3),
+        j => array_min(slice(ghash, j, lit(4))))
+      Tables.documents(s, d)
+        .filter(size(ts) >= 6)
+        .select(col("doc_id"), explode(array_distinct(fps)).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
+
+    // -- Gopher quality rules (Rae et al. 2021, §A1.1): the document-
+    //    level heuristic gate every large text pipeline runs before
+    //    training. All thresholds compared in exact integer arithmetic
+    //    (3n <= chars <= 10n instead of a double mean) so both engines
+    //    agree bit-for-bit; one tokenize pass, map-only -------------------
+    "txt_gopher" -> ((s, d) => {
+      val t = toks
+      val nTok = size(t).cast("long")
+      val nAlphaW = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
+      val wordChars = aggregate(t, lit(0L), (acc, w) => acc + length(w))
+      val nStop = stopCount(t)
+      val rWc = nTok.between(50, 100000)
+      val rMwl = wordChars >= nTok * 3 && wordChars <= nTok * 10
+      val rAlpha = nAlphaW * 5 >= nTok * 4
+      val rStop = nStop >= 2
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          wordChars.as("word_chars"), nAlphaW.as("n_alpha_words"),
+          nStop.as("n_stop"),
+          rWc.as("r_wordcount"), rMwl.as("r_meanwordlen"),
+          rAlpha.as("r_alphafrac"), rStop.as("r_stopwords"),
+          (rWc && rMwl && rAlpha && rStop).as("gopher_pass"))
+        .orderBy("doc_id")
+    })
   )
 
   private val sqlToks =
@@ -750,6 +800,48 @@ object TextAnalysis extends QueryModule {
              max(n_chars) AS max_chars
       FROM documents
       GROUP BY 1
-      ORDER BY bucket"""
+      ORDER BY bucket""",
+
+    "txt_winnow" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToksLower AS ts FROM documents),
+      g AS (SELECT doc_id,
+                   list_transform(range(1, len(ts) - 1),
+                     i -> list_reduce(
+                            list_prepend(0::BIGINT,
+                              list_transform(
+                                string_split(ts[i] || ' ' || ts[i+1] || ' '
+                                             || ts[i+2], ''),
+                                c -> ord(c)::BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007)) AS gh
+            FROM t WHERE len(ts) >= 6),
+      f AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(gh) - 2),
+                     j -> list_min(gh[j : j + 3])))) AS fp
+            FROM g)
+      SELECT doc_id, fp FROM f
+      ORDER BY doc_id, fp""",
+
+    "txt_gopher" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               len($sqlToks) AS n_tokens,
+               len(list_filter($sqlToks,
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+               coalesce(list_aggregate(list_transform($sqlToks,
+                 w -> length(w)), 'sum'), 0)::BIGINT AS word_chars,
+               len(list_filter($sqlToks, t -> t IN ($stopwordsSql))) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_tokens, word_chars, n_alpha_words, n_stop,
+             (n_tokens BETWEEN 50 AND 100000) AS r_wordcount,
+             (word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10)
+               AS r_meanwordlen,
+             (n_alpha_words * 5 >= n_tokens * 4) AS r_alphafrac,
+             (n_stop >= 2) AS r_stopwords,
+             ((n_tokens BETWEEN 50 AND 100000)
+              AND (word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10)
+              AND (n_alpha_words * 5 >= n_tokens * 4)
+              AND (n_stop >= 2)) AS gopher_pass
+      FROM t
+      ORDER BY doc_id"""
   )
 }
