@@ -155,12 +155,47 @@ object EventsTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER join under the oracle gate. Unlike the
+    * inner join (emit-on-match), outer null-padded rows materialize only
+    * when the watermark proves no future match: a click with no purchase
+    * emits once the global watermark (min over BOTH inputs of
+    * ms-truncated max-event-time minus the 30-min delay) passes its
+    * l_ts — the condition r_ts <= l_ts means any future purchase
+    * (ts >= watermark) can only match clicks at or above the watermark.
+    * Clicks inside the final watermark horizon never emit; the oracle
+    * reproduces exactly that eviction rule.
+    */
+  def streamLeftOuterReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    def stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val joined = graft.streaming.Streaming.streamStreamLeftOuter(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val sink = "ev_stream_outer_" + System.nanoTime()
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+      .groupBy("user_id")
+      .agg(count(col("r_ts")).as("n_pairs"),
+        (count(lit(1)) - count(col("r_ts"))).as("n_outer"),
+        min(unix_micros(col("l_ts"))).as("first_us"),
+        max(unix_micros(col("r_ts"))).as("last_us"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
 
     // -- stream-stream join, driver-checked (see streamJoinReplay) --------
     "ev_stream_join" -> ((s, d) => streamJoinReplay(s, d)),
+
+    // -- stream-stream left outer, driver-checked (see above) -------------
+    "ev_stream_outer" -> ((s, d) => streamLeftOuterReplay(s, d)),
 
     // -- streaming session windows, driver-checked ------------------------
     "ev_stream_session" -> ((s, d) => streamSessionReplay(s, d)),
@@ -493,6 +528,39 @@ object EventsTime extends QueryModule {
        AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
        AND epoch_us(r.ts) <= epoch_us(l.ts)
       GROUP BY l.user_id
+      ORDER BY user_id""",
+
+    // left-outer emission rule mirrored: matched pairs emit eagerly;
+    // a null-padded row emits only for clicks strictly below the final
+    // global watermark = least over both inputs of (ms-truncated max
+    // event time - 30 min). Clicks in the last 30 minutes of either
+    // stream never emit an outer row.
+    "ev_stream_outer" -> """
+      WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'),
+           p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'purchase'),
+           wm AS (SELECT least(
+                    ((SELECT max(us) FROM c) // 1000 - 1800000) * 1000,
+                    ((SELECT max(us) FROM p) // 1000 - 1800000) * 1000)
+                    AS wm_us),
+           m AS (SELECT c.user_id, c.us AS l_us, p.us AS r_us
+                 FROM c JOIN p ON c.user_id = p.user_id
+                  AND p.us >= c.us - 600000000 AND p.us <= c.us),
+           o AS (SELECT c.user_id, c.us AS l_us, NULL::BIGINT AS r_us
+                 FROM c, wm
+                 WHERE c.us < wm.wm_us
+                   AND NOT EXISTS (
+                     SELECT 1 FROM p WHERE p.user_id = c.user_id
+                      AND p.us >= c.us - 600000000 AND p.us <= c.us)),
+           a AS (SELECT * FROM m UNION ALL SELECT * FROM o)
+      SELECT user_id,
+             count(r_us) AS n_pairs,
+             count(1) - count(r_us) AS n_outer,
+             min(l_us) AS first_us,
+             max(r_us) AS last_us
+      FROM a
+      GROUP BY user_id
       ORDER BY user_id""",
 
     // gap sessionization + the append-mode emission rule: only sessions
