@@ -454,47 +454,60 @@ object TextAnalysis extends QueryModule {
     //    density sketch for exact-substring-match detection at corpus
     //    scale. Per-row map-only HOF work + one distinct; docs shorter
     //    than 6 tokens have no complete window and emit nothing --------------
-    "txt_winnow" -> ((s, d) => {
-      val ts = Text.tokensLower(col("text"))
-      val grams = transform(sequence(lit(1), size(ts) - 2),
-        i => concat_ws(" ",
-          element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
-      val ghash = transform(grams, g =>
-        aggregate(split(g, ""), lit(0L),
-          (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L))))
-      val fps = transform(sequence(lit(1), size(ghash) - 3),
-        j => array_min(slice(ghash, j, lit(4))))
-      Tables.documents(s, d)
-        .filter(size(ts) >= 6)
-        .select(col("doc_id"), explode(array_distinct(fps)).as("fp"))
-        .orderBy("doc_id", "fp")
-    }),
+    "txt_winnow" -> ((s, d) => winnowFrom(Tables.documents(s, d))),
 
     // -- Gopher quality rules (Rae et al. 2021, §A1.1): the document-
     //    level heuristic gate every large text pipeline runs before
     //    training. All thresholds compared in exact integer arithmetic
     //    (3n <= chars <= 10n instead of a double mean) so both engines
     //    agree bit-for-bit; one tokenize pass, map-only -------------------
-    "txt_gopher" -> ((s, d) => {
-      val t = toks
-      val nTok = size(t).cast("long")
-      val nAlphaW = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
-      val wordChars = aggregate(t, lit(0L), (acc, w) => acc + length(w))
-      val nStop = stopCount(t)
-      val rWc = nTok.between(50, 100000)
-      val rMwl = wordChars >= nTok * 3 && wordChars <= nTok * 10
-      val rAlpha = nAlphaW * 5 >= nTok * 4
-      val rStop = nStop >= 2
-      Tables.documents(s, d)
-        .select(col("doc_id"), nTok.as("n_tokens"),
-          wordChars.as("word_chars"), nAlphaW.as("n_alpha_words"),
-          nStop.as("n_stop"),
-          rWc.as("r_wordcount"), rMwl.as("r_meanwordlen"),
-          rAlpha.as("r_alphafrac"), rStop.as("r_stopwords"),
-          (rWc && rMwl && rAlpha && rStop).as("gopher_pass"))
-        .orderBy("doc_id")
-    })
+    "txt_gopher" -> ((s, d) => gopherFrom(Tables.documents(s, d)))
   )
+
+  /** Winnowing fingerprint selection (see the txt_winnow entry) over any
+    * (doc_id, text) frame — k=3 token grams, window w=4, polynomial gram
+    * hash mod 1e9+7. Docs shorter than k+w-1 = 6 tokens emit nothing.
+    */
+  def winnowFrom(docs: DataFrame): DataFrame = {
+    val ts = Text.tokensLower(col("text"))
+    val grams = transform(sequence(lit(1), size(ts) - 2),
+      i => concat_ws(" ",
+        element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
+    val ghash = transform(grams, g =>
+      aggregate(split(g, ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L))))
+    val fps = transform(sequence(lit(1), size(ghash) - 3),
+      j => array_min(slice(ghash, j, lit(4))))
+    docs
+      .filter(size(ts) >= 6)
+      .select(col("doc_id"), explode(array_distinct(fps)).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  /** Gopher rule gate (see the txt_gopher entry) over any (doc_id, text)
+    * frame. Integer-threshold forms of: word count in [50, 100k], mean
+    * word length in [3, 10], >= 80% words with an alphabetic char,
+    * >= 2 stopword hits.
+    */
+  def gopherFrom(docs: DataFrame): DataFrame = {
+    val t = toks
+    val nTok = size(t).cast("long")
+    val nAlphaW = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
+    val wordChars = aggregate(t, lit(0L), (acc, w) => acc + length(w))
+    val nStop = stopCount(t)
+    val rWc = nTok.between(50, 100000)
+    val rMwl = wordChars >= nTok * 3 && wordChars <= nTok * 10
+    val rAlpha = nAlphaW * 5 >= nTok * 4
+    val rStop = nStop >= 2
+    docs
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        wordChars.as("word_chars"), nAlphaW.as("n_alpha_words"),
+        nStop.as("n_stop"),
+        rWc.as("r_wordcount"), rMwl.as("r_meanwordlen"),
+        rAlpha.as("r_alphafrac"), rStop.as("r_stopwords"),
+        (rWc && rMwl && rAlpha && rStop).as("gopher_pass"))
+      .orderBy("doc_id")
+  }
 
   private val sqlToks =
     "list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), t -> t <> '')"
