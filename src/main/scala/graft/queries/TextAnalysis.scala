@@ -461,26 +461,54 @@ object TextAnalysis extends QueryModule {
     //    training. All thresholds compared in exact integer arithmetic
     //    (3n <= chars <= 10n instead of a double mean) so both engines
     //    agree bit-for-bit; one tokenize pass, map-only -------------------
-    "txt_gopher" -> ((s, d) => gopherFrom(Tables.documents(s, d)))
+    "txt_gopher" -> ((s, d) => gopherFrom(Tables.documents(s, d))),
+
+    // -- bigram-LM document scoring (the CCNet/KenLM-shaped quality
+    //    signal): train a maximum-likelihood bigram model on the corpus
+    //    itself, score each document by its average per-bigram negative
+    //    log-likelihood nll(w1 w2) = ln c(w1) - ln c(w1 w2) >= 0.
+    //    Each term is rounded to integer MICRONATS before the per-doc
+    //    sum, so aggregation order can't move the result (integer sum),
+    //    and avg = sum DIV n stays in exact integer arithmetic — the
+    //    1-ulp libm argument (module scaladoc) covers the single
+    //    round(). Shapes: two hash-agg count tables (bigram + unigram,
+    //    both corpus-bounded), two equi-joins back to the bigram
+    //    stream — at 100 TB the unigram table broadcasts and the
+    //    bigram join shuffles once on the gram key -----------------------
+    "txt_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toksL = Text.tokensLower(col("text"))
+      val bi = docs.select(col("doc_id"),
+        explode(Text.ngrams(toksL, 2)).as("bg"))
+      val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+      val uni = docs.select(explode(toksL).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      bi.join(c12, "bg")
+        .join(uni, split(col("bg"), " ").getItem(0) === col("w"))
+        .select(col("doc_id"),
+          round((log(col("c1").cast("double"))
+            - log(col("c12").cast("double"))) * 1e6)
+            .cast("long").as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_micronat"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_micronat"),
+          expr("nll_micronat DIV n_bigrams").as("avg_micronat"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Winnowing fingerprint selection (see the txt_winnow entry) over any
     * (doc_id, text) frame — k=3 token grams, window w=4, polynomial gram
     * hash mod 1e9+7. Docs shorter than k+w-1 = 6 tokens emit nothing.
+    * Runs the fused [[graft.functions.WinnowExplode]] generator (one
+    * byte scan per doc); the DuckDB oracle mirrors the equivalent HOF
+    * formulation value-for-value.
     */
   def winnowFrom(docs: DataFrame): DataFrame = {
-    val ts = Text.tokensLower(col("text"))
-    val grams = transform(sequence(lit(1), size(ts) - 2),
-      i => concat_ws(" ",
-        element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
-    val ghash = transform(grams, g =>
-      aggregate(split(g, ""), lit(0L),
-        (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L))))
-    val fps = transform(sequence(lit(1), size(ghash) - 3),
-      j => array_min(slice(ghash, j, lit(4))))
+    val s = docs.sparkSession
     docs
-      .filter(size(ts) >= 6)
-      .select(col("doc_id"), explode(array_distinct(fps)).as("fp"))
+      .select(col("doc_id"), graft.functions.WinnowExplode
+        .fingerprints(s, lower(col("text")), 3, 4).as("fp"))
       .orderBy("doc_id", "fp")
   }
 
@@ -855,6 +883,28 @@ object TextAnalysis extends QueryModule {
               AND (n_alpha_words * 5 >= n_tokens * 4)
               AND (n_stop >= 2)) AS gopher_pass
       FROM t
+      ORDER BY doc_id""",
+
+    "txt_lm_score" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToksLower AS ts FROM documents),
+           bi AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ts)),
+                           i -> ts[i] || ' ' || ts[i+1])) AS bg
+                  FROM t WHERE len(ts) >= 2),
+           c12 AS (SELECT bg, count(1) AS c12 FROM bi GROUP BY bg),
+           uni AS (SELECT w, count(1) AS c1
+                   FROM (SELECT unnest($sqlToksLower) AS w FROM documents)
+                   GROUP BY w),
+           sc AS (SELECT doc_id,
+                         round((ln(c1) - ln(c12)) * 1e6)::BIGINT AS nll
+                  FROM bi
+                  JOIN c12 USING (bg)
+                  JOIN uni ON string_split(bg, ' ')[1] = w)
+      SELECT doc_id, count(1) AS n_bigrams,
+             sum(nll)::BIGINT AS nll_micronat,
+             sum(nll)::BIGINT // count(1) AS avg_micronat
+      FROM sc
+      GROUP BY doc_id
       ORDER BY doc_id"""
   )
 }
