@@ -22,7 +22,8 @@ object Bench {
     "q1_agg", "q2_filter", "q3_topk_join", "q5_multijoin", "q_outer_join",
     "q_window_rank", "q_topk_per_key", "q_rollup", "q_stats_agg",
     "wordcount", "wordcount_by_lang", "wordcount_salted",
-    "txt_token_stats", "txt_tfidf", "txt_quality",
+    "txt_token_stats", "txt_tfidf", "txt_quality", "txt_winnow",
+    "txt_lm_score",
     "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
     "sim_brute_topk", "sim_ivf_topk",
     "ev_sessionize", "ev_asof_join", "ev_range_join", "ev_sliding",
@@ -227,6 +228,21 @@ object Bench {
       graft.queries.Dedup.bloomContaminationFrom(
         docs, docs.filter(col("doc_id") % 50 === 0))
     }))
+    // sparse-hit decontamination: bench slice = 1/200 of the corpus, so
+    // only ~10% of corpus docs share shingles with it — the regime the
+    // bloom pushdown is FOR (the dense pair above, where every doc is a
+    // near-dup of a bench doc, shows its overhead bound instead: ~100%
+    // of shingles pass the filter and the exact join does full work)
+    val contamS = (1 to 3).map(_ => timeOne("scaled_contam_sparse_x20", () => {
+      val docs = spark.read.parquet(scaledPath)
+      graft.queries.Dedup.contaminationFrom(
+        docs, docs.filter(col("doc_id") % 1000 === 0))
+    }))
+    val bloomS = (1 to 3).map(_ => timeOne("scaled_bloom_sparse_x20", () => {
+      val docs = spark.read.parquet(scaledPath)
+      graft.queries.Dedup.bloomContaminationFrom(
+        docs, docs.filter(col("doc_id") % 1000 === 0))
+    }))
     // context-window chunking at x20: pure generator throughput over
     // ~20M tokens (map-only, no shuffle)
     val chunk = (1 to 3).map(_ => timeOne("scaled_chunk_x20", () =>
@@ -259,15 +275,19 @@ object Bench {
       "scaled_cc_x20" -> cc.min,
       "scaled_contam_x20" -> contam.min,
       "scaled_bloom_x20" -> bloomC.min,
+      "scaled_contam_sparse_x20" -> contamS.min,
+      "scaled_bloom_sparse_x20" -> bloomS.min,
       "scaled_chunk_x20" -> chunk.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: *_cold/*_median are informational
     val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
-      mh.min + cc.min + contam.min + bloomC.min + chunk.min
+      mh.min + cc.min + contam.min + bloomC.min + contamS.min +
+      bloomS.min + chunk.min
     val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
-      mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ chunk.head).sum
+      mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ contamS.head :+
+      bloomS.head :+ chunk.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -256,6 +256,30 @@ object EventsTime extends QueryModule {
           (sum(valE2) / 100.0).as("total_value"))
         .orderBy("user_id")),
 
+    // -- trailing-window outlier detection, EXACT: flag events whose
+    //    value sits > 3 population-sigmas from the mean of the previous
+    //    <= 20 events of the same user. The z-test is cleared of
+    //    divisions/sqrts — (n·v − s)² > 9·(n·ssq − s²) over integer
+    //    cents — so both engines decide every boundary identically
+    //    (bounds: n <= 20, v <= ~1e5 cents keeps every product far from
+    //    Long range). One partitioned window, no shuffle beyond it. -------
+    "ev_outliers" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val dev = col("wn") * col("v") - col("ws")
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), us.as("us"), valE2.as("v"))
+        .withColumn("wn", count(col("v")).over(w))
+        .withColumn("ws", sum(col("v")).over(w))
+        .withColumn("wss", sum(col("v") * col("v")).over(w))
+        .filter(col("wn") >= 10 &&
+          dev * dev > lit(9L) * (col("wn") * col("wss") - col("ws") * col("ws")))
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("v").as("val_e2"), col("wn").as("win_n"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // -- sessionization: 30-min inactivity gap ----------------------------
     "ev_sessionize" -> ((s, d) => {
       val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -632,6 +656,26 @@ object EventsTime extends QueryModule {
       FROM w
       GROUP BY ws_us, event_type
       ORDER BY ws_us, event_type""",
+
+    // the z-test in DuckDB runs in HUGEINT (sum over BIGINT); values are
+    // bounded far inside int64, so the comparisons agree with Spark's
+    // long arithmetic exactly
+    "ev_outliers" -> """
+      WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                        round(value * 100)::BIGINT AS v
+                 FROM events),
+           w AS (SELECT user_id, event_id, us, v,
+                        count(v) OVER win AS wn,
+                        sum(v) OVER win AS ws,
+                        sum(v * v) OVER win AS wss
+                 FROM b
+                 WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT user_id, us, event_id, v AS val_e2, wn AS win_n
+      FROM w
+      WHERE wn >= 10
+        AND (wn*v - ws) * (wn*v - ws) > 9 * (wn*wss - ws*ws)
+      ORDER BY user_id, us, event_id""",
 
     "ev_user_stats" -> """
       SELECT user_id, count(1) AS n_events,

@@ -477,14 +477,14 @@ object TextAnalysis extends QueryModule {
     //    bigram join shuffles once on the gram key -----------------------
     "txt_lm_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val toksL = Text.tokensLower(col("text"))
-      val bi = docs.select(col("doc_id"),
-        explode(Text.ngrams(toksL, 2)).as("bg"))
+      val bi = docs.select(col("doc_id"), graft.functions.NgramExplode
+        .ngrams(s, lower(col("text")), 2).as("bg"))
       val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
-      val uni = docs.select(explode(toksL).as("w"))
+      val uni = docs.select(graft.functions.TokenizeExplode
+          .tokenize(s, lower(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1"))
       bi.join(c12, "bg")
-        .join(uni, split(col("bg"), " ").getItem(0) === col("w"))
+        .join(uni, substring_index(col("bg"), " ", 1) === col("w"))
         .select(col("doc_id"),
           round((log(col("c1").cast("double"))
             - log(col("c12").cast("double"))) * 1e6)
