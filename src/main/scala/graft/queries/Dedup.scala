@@ -538,6 +538,26 @@ object Dedup extends QueryModule {
     "dedup_jaccard_pairs" -> ((s, d) =>
       jaccardPairsFrom(Tables.documents(s, d))),
 
+    // -- winnowing near-dup pairs (MOSS report): docs sharing >= 3
+    //    selected fingerprints, candidate-blocked on the fingerprint
+    //    itself. Guarantee inherited from winnowing: any pair sharing a
+    //    >= 6-token run shares >= 1 fingerprint, so a 3-fp threshold
+    //    means ~3 independent shared passages. Hot fingerprints
+    //    (boilerplate selected by many docs) die under the same
+    //    MAX_BLOCK cap as every blocked pair path; the oracle mirrors
+    //    the cap. Shapes: generator scan -> fp hash-agg -> bounded
+    //    per-block pair explode -> pair count agg — never quadratic in
+    //    the corpus --------------------------------------------------------
+    "dedup_winnow_pairs" -> ((s, d) => {
+      val fps = graft.queries.TextAnalysis
+        .winnowFrom(Tables.documents(s, d))
+      blockedPairs(fps.select(col("doc_id"), col("fp").as("blk")))
+        .groupBy(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // -- SimHash (60-bit, paired with 4x15-bit Hamming-LSH blocks below).
     //    One hex->long parse per token, then the 60 per-bit +-1 votes are
     //    pure long bitwise ops inside whole-stage codegen (the earlier
@@ -839,6 +859,21 @@ object Dedup extends QueryModule {
       WHERE a.blk IN (SELECT blk FROM ok)
         AND len(list_intersect(a.ts, b.ts))::DOUBLE
               / len(list_distinct(a.ts || b.ts))::DOUBLE >= 0.5
+      ORDER BY a_id, b_id""",
+
+    "dedup_winnow_pairs" -> s"""
+      WITH fps AS (SELECT doc_id, fp
+                   FROM ${graft.queries.TextAnalysis.sqlWinnowFps}),
+           ok AS (SELECT fp FROM fps
+                  GROUP BY fp HAVING count(1) BETWEEN 2 AND $MAX_BLOCK),
+           p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM fps a JOIN fps b
+                   ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 WHERE a.fp IN (SELECT fp FROM ok))
+      SELECT a_id, b_id, count(1) AS n_shared
+      FROM p
+      GROUP BY a_id, b_id
+      HAVING count(1) >= 3
       ORDER BY a_id, b_id""",
 
     "dedup_levenshtein" -> s"""

@@ -665,7 +665,36 @@ object Relational extends QueryModule {
           rnd(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
           expr("percentile(l_quantity, 0.5)").as("p50_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // -- exact order-statistics quartiles without percentile(): --------
+    //    row_number-vs-count selection picks the middle element(s)
+    //    directly, so the values are exact integers in BOTH engines (no
+    //    interpolation-kernel agreement needed — the reason q_stats_agg's
+    //    p50 works there is l_quantity's integral values; this shape
+    //    stays exact for ANY distribution). Ties need no deterministic
+    //    break: every row at a selected rank carries an equal value.
+    //    One partitioned window + one agg; at 100 TB the same selection
+    //    rides the two-pass sharded prefix-sum if a single group ever
+    //    dominates a partition.
+    "q_median_exact" -> ((s, d) => {
+      val base = li(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"))
+      val w = Window.partitionBy("l_returnflag").orderBy("q")
+      val wAll = Window.partitionBy("l_returnflag")
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("l_returnflag")
+        .agg(
+          max("n").as("n_rows"),
+          min(when(col("rn") === expr("(n + 3) DIV 4"), col("q"))).as("p25_qty"),
+          ((min(when(col("rn") === expr("(n + 1) DIV 2"), col("q")))
+            + min(when(col("rn") === expr("(n + 2) DIV 2"), col("q")))) / 2.0)
+            .as("median_qty"),
+          min(when(col("rn") === expr("(3 * n + 3) DIV 4"), col("q"))).as("p75_qty"))
+        .orderBy("l_returnflag")
+    })
   )
 
   /** DuckDB mirror of [[sampleMille]] over the lineitem row key. */
@@ -1142,6 +1171,24 @@ object Relational extends QueryModule {
              quantile_cont(l_quantity, 0.5) AS p50_qty,
              count(1) AS n
       FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_median_exact" -> """
+      WITH r AS (
+        SELECT l_returnflag, l_quantity::BIGINT AS q,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS rn,
+               count(1) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag,
+             max(n) AS n_rows,
+             min(CASE WHEN rn = (n + 3) // 4 THEN q END) AS p25_qty,
+             (min(CASE WHEN rn = (n + 1) // 2 THEN q END)
+              + min(CASE WHEN rn = (n + 2) // 2 THEN q END)) / 2.0
+               AS median_qty,
+             min(CASE WHEN rn = (3 * n + 3) // 4 THEN q END) AS p75_qty
+      FROM r
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""
   )

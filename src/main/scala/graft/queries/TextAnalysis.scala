@@ -542,6 +542,28 @@ object TextAnalysis extends QueryModule {
   private val sqlToksLower =
     "list_filter(string_split_regex(lower(text), '[^A-Za-z0-9]+'), t -> t <> '')"
 
+  /** DuckDB subquery yielding the (doc_id, fp) winnowing fingerprints —
+    * the HOF mirror of [[winnowFrom]] / WinnowExplode (k=3, w=4, poly
+    * hash base 31 mod 1e9+7). Shared with Dedup's winnow-pair oracle.
+    */
+  val sqlWinnowFps: String = s"""
+      (WITH wt AS (SELECT doc_id, $sqlToksLower AS ts FROM documents),
+       wg AS (SELECT doc_id,
+                     list_transform(range(1, len(ts) - 1),
+                       i -> list_reduce(
+                              list_prepend(0::BIGINT,
+                                list_transform(
+                                  string_split(ts[i] || ' ' || ts[i+1] || ' '
+                                               || ts[i+2], ''),
+                                  c -> ord(c)::BIGINT)),
+                              (a, b) -> (a * 31 + b) % 1000000007)) AS gh
+              FROM wt WHERE len(ts) >= 6),
+       wf AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, len(gh) - 2),
+                       j -> list_min(gh[j : j + 3])))) AS fp
+              FROM wg)
+       SELECT doc_id, fp FROM wf)"""
+
   override def oracles: Map[String, String] = Map(
     "txt_chunk" -> s"""
       WITH t AS (SELECT doc_id, $sqlToks AS ts FROM documents),
@@ -844,22 +866,7 @@ object TextAnalysis extends QueryModule {
       ORDER BY bucket""",
 
     "txt_winnow" -> s"""
-      WITH t AS (SELECT doc_id, $sqlToksLower AS ts FROM documents),
-      g AS (SELECT doc_id,
-                   list_transform(range(1, len(ts) - 1),
-                     i -> list_reduce(
-                            list_prepend(0::BIGINT,
-                              list_transform(
-                                string_split(ts[i] || ' ' || ts[i+1] || ' '
-                                             || ts[i+2], ''),
-                                c -> ord(c)::BIGINT)),
-                            (a, b) -> (a * 31 + b) % 1000000007)) AS gh
-            FROM t WHERE len(ts) >= 6),
-      f AS (SELECT doc_id,
-                   unnest(list_distinct(list_transform(range(1, len(gh) - 2),
-                     j -> list_min(gh[j : j + 3])))) AS fp
-            FROM g)
-      SELECT doc_id, fp FROM f
+      SELECT doc_id, fp FROM $sqlWinnowFps
       ORDER BY doc_id, fp""",
 
     "txt_gopher" -> s"""
