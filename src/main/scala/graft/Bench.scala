@@ -250,6 +250,10 @@ object Bench {
         .select(col("doc_id"), graft.functions.ChunkExplode
           .chunks(spark, col("text"), 64, 48)
           .as(Seq("chunk_idx", "chunk", "n_tokens")))))
+    // winnowing fingerprints at x20: WinnowExplode generator throughput
+    // (byte scan + window fold per doc, ~45 fps/doc emitted)
+    val winnow = (1 to 3).map(_ => timeOne("scaled_winnow_x20", () =>
+      graft.queries.TextAnalysis.winnowFrom(spark.read.parquet(scaledPath))))
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
@@ -277,17 +281,18 @@ object Bench {
       "scaled_bloom_x20" -> bloomC.min,
       "scaled_contam_sparse_x20" -> contamS.min,
       "scaled_bloom_sparse_x20" -> bloomS.min,
-      "scaled_chunk_x20" -> chunk.min)
+      "scaled_chunk_x20" -> chunk.min,
+      "scaled_winnow_x20" -> winnow.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: *_cold/*_median are informational
     val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
       mh.min + cc.min + contam.min + bloomC.min + contamS.min +
-      bloomS.min + chunk.min
+      bloomS.min + chunk.min + winnow.min
     val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
       mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ contamS.head :+
-      bloomS.head :+ chunk.head).sum
+      bloomS.head :+ chunk.head :+ winnow.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

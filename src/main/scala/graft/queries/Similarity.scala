@@ -31,6 +31,9 @@ object Similarity extends QueryModule {
 
   private val NQUERIES = 5
   private val TOPK = 10
+
+  /** Similarity floor for sim_range_search (cosine * 1e6). */
+  private val RANGE_TAU = 400000L
   private val NPROBE = 2
   private val IVFK = 5
   private val NPLANES = 8 // deterministic hyperplane pool (shared by LSH tables)
@@ -296,6 +299,25 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // -- exact RANGE search: every neighbor above a similarity floor ------
+    //    The other retrieval contract besides top-k ("all vectors at
+    //    cosine >= tau of each probe"). Purely map-shaped: probes
+    //    broadcast into the corpus scan, the codegen'd cosine filters in
+    //    place — no window, no shuffle, no per-query state at all, so it
+    //    scales better than top-k (which needs the rank). Result exact;
+    //    at 100 TB the same plan runs unchanged with the probe frame
+    //    broadcast per executor.
+    "sim_range_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Vectors.cosineScaled(s, col("q_v"), col("embedding")).as("icos_e6"))
+        .filter(col("icos_e6") >= RANGE_TAU)
+        .orderBy("q_id", "vec_id")
+    }),
+
     // -- multi-table LSH approximate top-k (random hyperplane signs) ------
     // Index: NTABLES independent 4-plane sign signatures per vector
     // (planes [4t, 4t+4) of the shared deterministic set); a candidate
@@ -466,6 +488,17 @@ object Similarity extends QueryModule {
       SELECT q_id, rk, vec_id, icos_e6
       FROM ranked WHERE rk <= $TOPK
       ORDER BY q_id, rk""",
+
+    "sim_range_search" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+           q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $NQUERIES)
+      SELECT q.q_id, e.vec_id,
+             ${sqlCos.format("q.q_v", "e.v")} AS icos_e6
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+        AND ${sqlCos.format("q.q_v", "e.v")} >= $RANGE_TAU
+      ORDER BY q_id, vec_id""",
 
     "sim_lsh_topk" -> {
       def bucketExpr(t: Int) = (0 until LSH_PLANES_PER).map { jj =>
