@@ -149,4 +149,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("o_custkey"), p)
     assert(p.contains("o_orderdate"), p)
   }
+
+  test("range search is map-shaped: probes broadcast, no shuffle join anywhere") {
+    val p = plan("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "probe side not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus side shuffled for a map-only contract:\n" + p)
+  }
+
+  test("winnow runs the fused generator, not the HOF chain") {
+    val p = plan("txt_winnow")
+    assert(p.contains("graft_winnow"), p)
+    assert(!p.contains("transform("), "interpreted HOFs back in the plan:\n" + p)
+  }
+
+  test("salted join shuffles on (key, salt), never broadcasts the exploded dim") {
+    val p = plan("q_salted_join")
+    assert(!p.contains("BroadcastHashJoin"),
+      "broadcast makes the salt a no-op:\n" + p)
+    assert(p.contains("_salt"), p)
+  }
+
+  test("lm score: count tables join back without a cartesian or merge-join fallback") {
+    val p = plan("txt_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // unigram side is count-table-sized -> must broadcast under AQE/stats
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+  }
 }
