@@ -300,6 +300,35 @@ object Dedup extends QueryModule {
     * `i < j` into `a_doc_id < b_doc_id` deterministically regardless
     * of `collect_list` input order.
     */
+  /** Winnow-fingerprint near-dup pairs (see the dedup_winnow_pairs
+    * entry) over any (doc_id, text) frame — pairs sharing >= `minShared`
+    * selected fingerprints, MAX_BLOCK-capped per fingerprint block.
+    */
+  def winnowPairsFrom(docs: DataFrame, minShared: Int = 3): DataFrame = {
+    val fps = graft.queries.TextAnalysis.winnowFrom(docs)
+    blockedPairs(fps.select(col("doc_id"), col("fp").as("blk")))
+      .groupBy(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB subquery yielding (a_id, b_id, n_shared) winnow pairs —
+    * the mirror of [[winnowPairsFrom]] at minShared = 3. Shared with
+    * TextAnalysis's pipe_modern_curation oracle.
+    */
+  def sqlWinnowPairs: String = s"""
+      (WITH wfps AS (SELECT doc_id, fp
+                     FROM ${graft.queries.TextAnalysis.sqlWinnowFps}),
+            wok AS (SELECT fp FROM wfps
+                    GROUP BY fp HAVING count(1) BETWEEN 2 AND $MAX_BLOCK),
+            wp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM wfps a JOIN wfps b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   WHERE a.fp IN (SELECT fp FROM wok))
+       SELECT a_id, b_id, count(1) AS n_shared
+       FROM wp GROUP BY a_id, b_id HAVING count(1) >= 3)"""
+
   private def blockedPairs(t: DataFrame): DataFrame = {
     require(t.columns.head == "doc_id", "blockedPairs needs doc_id first")
     val fields = t.columns.filter(_ != "blk")
@@ -548,15 +577,8 @@ object Dedup extends QueryModule {
     //    the cap. Shapes: generator scan -> fp hash-agg -> bounded
     //    per-block pair explode -> pair count agg — never quadratic in
     //    the corpus --------------------------------------------------------
-    "dedup_winnow_pairs" -> ((s, d) => {
-      val fps = graft.queries.TextAnalysis
-        .winnowFrom(Tables.documents(s, d))
-      blockedPairs(fps.select(col("doc_id"), col("fp").as("blk")))
-        .groupBy(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_winnow_pairs" -> ((s, d) =>
+      winnowPairsFrom(Tables.documents(s, d))),
 
     // -- SimHash (60-bit, paired with 4x15-bit Hamming-LSH blocks below).
     //    One hex->long parse per token, then the 60 per-bit +-1 votes are
@@ -862,18 +884,7 @@ object Dedup extends QueryModule {
       ORDER BY a_id, b_id""",
 
     "dedup_winnow_pairs" -> s"""
-      WITH fps AS (SELECT doc_id, fp
-                   FROM ${graft.queries.TextAnalysis.sqlWinnowFps}),
-           ok AS (SELECT fp FROM fps
-                  GROUP BY fp HAVING count(1) BETWEEN 2 AND $MAX_BLOCK),
-           p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-                 FROM fps a JOIN fps b
-                   ON a.fp = b.fp AND a.doc_id < b.doc_id
-                 WHERE a.fp IN (SELECT fp FROM ok))
-      SELECT a_id, b_id, count(1) AS n_shared
-      FROM p
-      GROUP BY a_id, b_id
-      HAVING count(1) >= 3
+      SELECT a_id, b_id, n_shared FROM $sqlWinnowPairs
       ORDER BY a_id, b_id""",
 
     "dedup_levenshtein" -> s"""

@@ -475,27 +475,61 @@ object TextAnalysis extends QueryModule {
     //    both corpus-bounded), two equi-joins back to the bigram
     //    stream — at 100 TB the unigram table broadcasts and the
     //    bigram join shuffles once on the gram key -----------------------
-    "txt_lm_score" -> ((s, d) => {
+    "txt_lm_score" -> ((s, d) => lmScoreFrom(Tables.documents(s, d))),
+
+    // -- the MODERN curation pipeline, composed from this round's gates:
+    //    Gopher rule gate -> bigram-LM score filter (drop the
+    //    highest-perplexity tail) -> winnow-pair dedup (drop the
+    //    higher-id member of every >= 3-shared-fingerprint pair) ->
+    //    per-source corpus manifest. Every stage is an oracle-proven
+    //    operator above; the composition itself is value-checked end to
+    //    end. Shapes: three doc-keyed semi/anti joins against
+    //    gate-output frames, each a fraction of the corpus ------------------
+    "pipe_modern_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bi = docs.select(col("doc_id"), graft.functions.NgramExplode
-        .ngrams(s, lower(col("text")), 2).as("bg"))
-      val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
-      val uni = docs.select(graft.functions.TokenizeExplode
-          .tokenize(s, lower(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c1"))
-      bi.join(c12, "bg")
-        .join(uni, substring_index(col("bg"), " ", 1) === col("w"))
-        .select(col("doc_id"),
-          round((log(col("c1").cast("double"))
-            - log(col("c12").cast("double"))) * 1e6)
-            .cast("long").as("nll"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_micronat"))
-        .select(col("doc_id"), col("n_bigrams"), col("nll_micronat"),
-          expr("nll_micronat DIV n_bigrams").as("avg_micronat"))
-        .orderBy("doc_id")
+      val gate = gopherFrom(docs).filter(col("gopher_pass")).select("doc_id")
+      val lmOk = lmScoreFrom(docs)
+        .filter(col("avg_micronat") <= LM_TAU).select("doc_id")
+      val dupB = graft.queries.Dedup.winnowPairsFrom(docs)
+        .select(col("b_id").as("doc_id")).distinct()
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(gate, Seq("doc_id"), "left_semi")
+        .join(lmOk, Seq("doc_id"), "left_semi")
+        .join(dupB, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("source")
     })
   )
+
+  /** Bigram-LM NLL cutoff for pipe_modern_curation (micronats) —
+    * interpolated into BOTH the Spark filter and the oracle SQL.
+    */
+  private val LM_TAU = 3500000L
+
+  /** Bigram-LM document scoring (see the txt_lm_score entry) over any
+    * (doc_id, text) frame.
+    */
+  def lmScoreFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bi = docs.select(col("doc_id"), graft.functions.NgramExplode
+      .ngrams(s, lower(col("text")), 2).as("bg"))
+    val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(graft.functions.TokenizeExplode
+        .tokenize(s, lower(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    bi.join(c12, "bg")
+      .join(uni, substring_index(col("bg"), " ", 1) === col("w"))
+      .select(col("doc_id"),
+        round((log(col("c1").cast("double"))
+          - log(col("c12").cast("double"))) * 1e6)
+          .cast("long").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_micronat"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micronat"),
+        expr("nll_micronat DIV n_bigrams").as("avg_micronat"))
+      .orderBy("doc_id")
+  }
 
   /** Winnowing fingerprint selection (see the txt_winnow entry) over any
     * (doc_id, text) frame — k=3 token grams, window w=4, polynomial gram
@@ -870,7 +904,39 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id, fp""",
 
     "txt_gopher" -> s"""
-      WITH t AS (
+      SELECT doc_id, n_tokens, word_chars, n_alpha_words, n_stop,
+             r_wordcount, r_meanwordlen, r_alphafrac, r_stopwords,
+             gopher_pass
+      FROM $sqlGopherFlags
+      ORDER BY doc_id""",
+
+    "txt_lm_score" -> s"""
+      SELECT doc_id, n_bigrams, nll_micronat, avg_micronat
+      FROM $sqlLmScores
+      ORDER BY doc_id""",
+
+    "pipe_modern_curation" -> s"""
+      WITH gate AS (SELECT doc_id FROM $sqlGopherFlags WHERE gopher_pass),
+           lmok AS (SELECT doc_id FROM $sqlLmScores
+                    WHERE avg_micronat <= $LM_TAU),
+           dup AS (SELECT DISTINCT b_id AS doc_id
+                   FROM ${graft.queries.Dedup.sqlWinnowPairs}),
+           kept AS (SELECT d.source, d.n_chars
+                    FROM documents d
+                    WHERE d.doc_id IN (SELECT doc_id FROM gate)
+                      AND d.doc_id IN (SELECT doc_id FROM lmok)
+                      AND d.doc_id NOT IN (SELECT doc_id FROM dup))
+      SELECT source, count(1) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      FROM kept
+      GROUP BY source
+      ORDER BY source"""
+  )
+
+  /** DuckDB subquery yielding the txt_gopher flag columns per doc —
+    * shared between the txt_gopher oracle and pipe_modern_curation's.
+    */
+  private def sqlGopherFlags: String = s"""
+      (WITH gt AS (
         SELECT doc_id,
                len($sqlToks) AS n_tokens,
                len(list_filter($sqlToks,
@@ -889,29 +955,29 @@ object TextAnalysis extends QueryModule {
               AND (word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10)
               AND (n_alpha_words * 5 >= n_tokens * 4)
               AND (n_stop >= 2)) AS gopher_pass
-      FROM t
-      ORDER BY doc_id""",
+      FROM gt)"""
 
-    "txt_lm_score" -> s"""
-      WITH t AS (SELECT doc_id, $sqlToksLower AS ts FROM documents),
-           bi AS (SELECT doc_id,
-                         unnest(list_transform(range(1, len(ts)),
-                           i -> ts[i] || ' ' || ts[i+1])) AS bg
-                  FROM t WHERE len(ts) >= 2),
-           c12 AS (SELECT bg, count(1) AS c12 FROM bi GROUP BY bg),
-           uni AS (SELECT w, count(1) AS c1
-                   FROM (SELECT unnest($sqlToksLower) AS w FROM documents)
-                   GROUP BY w),
-           sc AS (SELECT doc_id,
-                         round((ln(c1) - ln(c12)) * 1e6)::BIGINT AS nll
-                  FROM bi
-                  JOIN c12 USING (bg)
-                  JOIN uni ON string_split(bg, ' ')[1] = w)
+  /** DuckDB subquery yielding (doc_id, n_bigrams, nll_micronat,
+    * avg_micronat) — the mirror of [[lmScoreFrom]].
+    */
+  private def sqlLmScores: String = s"""
+      (WITH lt AS (SELECT doc_id, $sqlToksLower AS ts FROM documents),
+           lbi AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i+1])) AS bg
+                   FROM lt WHERE len(ts) >= 2),
+           lc12 AS (SELECT bg, count(1) AS c12 FROM lbi GROUP BY bg),
+           luni AS (SELECT w, count(1) AS c1
+                    FROM (SELECT unnest($sqlToksLower) AS w FROM documents)
+                    GROUP BY w),
+           lsc AS (SELECT doc_id,
+                          round((ln(c1) - ln(c12)) * 1e6)::BIGINT AS nll
+                   FROM lbi
+                   JOIN lc12 USING (bg)
+                   JOIN luni ON string_split(bg, ' ')[1] = w)
       SELECT doc_id, count(1) AS n_bigrams,
              sum(nll)::BIGINT AS nll_micronat,
              sum(nll)::BIGINT // count(1) AS avg_micronat
-      FROM sc
-      GROUP BY doc_id
-      ORDER BY doc_id"""
-  )
+      FROM lsc
+      GROUP BY doc_id)"""
 }
