@@ -20,6 +20,8 @@ case class FrameRef(doc_id: Long, frame_idx: Long, byte_off: Long)
 /** Extracted feature vector (stub model output). */
 case class MediaFeatures(doc_id: Long, features: Seq[Long])
 
+case class MediaPhash(doc_id: Long, phash: Long)
+
 /** Resize parameters: integer milli-scale factors to a target box. */
 case class ResizePlan(doc_id: Long, new_w: Long, new_h: Long,
     scale_x_e3: Long, scale_y_e3: Long)
@@ -117,6 +119,41 @@ object MultimodalOps {
           i += 1
         }
         MediaFeatures(m.doc_id, f.toSeq)
+      }
+    }
+  }
+
+  /** Perceptual-hash signature (STUB transform, pHash-shaped): 60 block
+    * sums over the payload bytes (lane = position mod 60), bit b set
+    * iff its block sum exceeds the per-lane average — i.e. the classic
+    * "DCT coefficient vs median" rule with the stub's block sums
+    * standing in for frequency coefficients. 60 bits (not 64) keeps the
+    * signature positive in int64 for both engines, matching the SimHash
+    * discipline. Byte-identical payloads always collide; payloads with
+    * small localized edits land within a few bits.
+    */
+  def phash(media: Dataset[MediaRecord]): Dataset[MediaPhash] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val lanes = new Array[Long](60)
+        var i = 0
+        while (i < m.payload.length) {
+          lanes(i % 60) += m.payload(i) & 0xffL
+          i += 1
+        }
+        var total = 0L
+        var b = 0
+        while (b < 60) { total += lanes(b); b += 1 }
+        // bit b <=> 60 * lane_b > total (exact integer compare)
+        var h = 0L
+        b = 0
+        while (b < 60) {
+          if (lanes(b) * 60 > total) h |= (1L << b)
+          b += 1
+        }
+        MediaPhash(m.doc_id, h)
       }
     }
   }

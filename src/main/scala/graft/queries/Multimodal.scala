@@ -65,6 +65,45 @@ object Multimodal extends QueryModule {
           sum("n_frames").as("total_frames"))
         .orderBy("kind")),
 
+    // perceptual-hash signatures (pHash-shaped stub): 60-bit
+    // block-sum-vs-average signature per payload — the NEAR-dup
+    // counterpart of mm_dedup's exact byte hash
+    "mm_phash" -> ((s, d) =>
+      MultimodalOps.phash(MultimodalOps.toMedia(Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")),
+
+    // pHash near-dup pairs: Hamming<=3 over the 60-bit signatures via
+    // the 4x15-bit pigeonhole blocks (complete, same discipline as
+    // dedup_simhash_pairs); the re-ingested copies guarantee hits
+    "mm_phash_pairs" -> ((s, d) => {
+      val media = MultimodalOps.toMedia(Tables.documents(s, d)).toDF()
+      val reingested = media.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          col("kind"), col("payload"))
+      val ph = MultimodalOps.phash(
+        media.union(reingested).as[graft.operators.MediaRecord](
+          org.apache.spark.sql.Encoders.product[graft.operators.MediaRecord]))
+        .toDF()
+      val blocks = ph.select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+        .withColumnRenamed("pos", "blk")
+        .withColumnRenamed("col", "blk_val")
+      val a = blocks.select(col("blk"), col("blk_val"),
+        col("doc_id").as("a_id"), col("phash").as("a_ph"))
+      val b = blocks.select(col("blk"), col("blk_val"),
+        col("doc_id").as("b_id"), col("phash").as("b_ph"))
+      a.join(b, Seq("blk", "blk_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long")
+            .as("hamming"))
+        .dropDuplicates("a_id", "b_id")
+        .filter(col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // exact binary dedup over opaque payloads: the ingest-time pass that
     // drops byte-identical media fetched from multiple sources. The
     // corpus has no natural byte-dups, so every 7th payload is unioned
@@ -88,6 +127,29 @@ object Multimodal extends QueryModule {
         .orderBy("rep_id")
     })
   )
+
+  /** DuckDB mirror of MultimodalOps.phash: 60 block sums over payload
+    * bytes (lane = position mod 60), bit b set iff 60 * lane_b > total.
+    */
+  private val sqlPhash = """
+      (WITH pl AS (
+        SELECT doc_id,
+               list_transform(range(0, 60),
+                 b -> list_aggregate(list_transform(
+                        range(1, length(text) + 1),
+                        p -> CASE WHEN (p - 1) % 60 = b
+                                  THEN ord(text[p]) ELSE 0 END),
+                        'sum')::BIGINT) AS lanes
+        FROM documents),
+      pt AS (SELECT doc_id, lanes,
+                    list_aggregate(lanes, 'sum')::BIGINT AS total
+             FROM pl)
+      SELECT doc_id,
+             list_aggregate(list_transform(range(0, 60),
+               b -> CASE WHEN lanes[b + 1] * 60 > total
+                         THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+               'sum')::BIGINT AS phash
+      FROM pt)"""
 
   private val sqlMeta = """
     SELECT doc_id,
@@ -148,6 +210,22 @@ object Multimodal extends QueryModule {
       FROM ($sqlMeta)
       GROUP BY kind
       ORDER BY kind""",
+
+    "mm_phash" -> s"""
+      SELECT doc_id, phash FROM $sqlPhash
+      ORDER BY doc_id""",
+
+    "mm_phash_pairs" -> s"""
+      WITH ph AS (SELECT doc_id, phash FROM $sqlPhash),
+           u AS (SELECT doc_id, phash FROM ph
+                 UNION ALL
+                 SELECT doc_id + 100000 AS doc_id, phash
+                 FROM ph WHERE doc_id % 7 = 0)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+      FROM u a JOIN u b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      ORDER BY a_id, b_id""",
 
     "mm_dedup" -> """
       WITH m AS (
