@@ -27,7 +27,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs", "dedup_simhash",
     "sim_brute_topk", "sim_ivf_topk",
     "ev_sessionize", "ev_asof_join", "ev_range_join", "ev_sliding",
-    "ev_gap_fill", "dedup_contamination", "txt_chunk", "sim_kmeans",
+    "ev_gap_fill", "ev_outliers", "q_median_exact",
+    "dedup_contamination", "txt_chunk", "sim_kmeans",
     "q_sql_cte_window",
     "mm_meta")
 

@@ -84,6 +84,39 @@ class CurationOpsSpec extends AnyFunSuite {
       s"salt is a no-op under broadcast; expected a shuffled join:\n$p")
   }
 
+  test("winnow pairs: boilerplate fingerprints die under the MAX_BLOCK cap") {
+    // 70 identical docs (> MAX_BLOCK = 64): every fingerprint block is
+    // over the cap, so NO pairs emerge — the hot-block guard that keeps
+    // a boilerplate-heavy corpus from going quadratic. Two other docs
+    // sharing a distinct passage still pair normally.
+    val boiler = (1 to 20).map(i => s"common$i").mkString(" ")
+    // 24 shared tokens: >= 3 guaranteed shared fingerprints (one per
+    // disjoint 6-token stretch), clearing the n_shared >= 3 threshold
+    val shared = (1 to 24).map(i => s"passage$i").mkString(" ")
+    val rows = (1L to 70L).map(i => i -> boiler) ++ Seq(
+      100L -> s"unique one two three $shared",
+      101L -> s"other four five six seven $shared")
+    val pairs = graft.queries.Dedup.winnowPairsFrom(docsDF(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((100L, 101L)),
+      s"expected only the non-boilerplate pair, got: ${pairs.toSeq}")
+  }
+
+  test("phash: identical payloads collide, a localized edit stays within a few bits") {
+    import spark.implicits._
+    def rec(id: Long, text: String) =
+      graft.operators.MediaRecord(id, "image", text.getBytes("UTF-8"))
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val edited = base.updated(10, 'X').updated(11, 'Y') // 2-byte local edit
+    val ds = Seq(rec(1, base), rec(2, base), rec(3, edited)).toDS()
+    val h = graft.operators.MultimodalOps.phash(ds)
+      .collect().map(p => p.doc_id -> p.phash).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 6,
+      s"local edit moved ${java.lang.Long.bitCount(h(1L) ^ h(3L))} bits")
+    assert((0 to 59).forall(b => (h(1L) >>> 60) == 0), "must stay in 60 bits")
+  }
+
   test("mm_dedup groups re-ingested payloads under one representative") {
     val rows = SparkEntry.queries("mm_dedup")(spark, TestSpark.sf0001).collect()
     val byCopies = rows.groupBy(_.getAs[Long]("n_copies"))
