@@ -485,6 +485,25 @@ object TextAnalysis extends QueryModule {
     //    operator above; the composition itself is value-checked end to
     //    end. Shapes: three doc-keyed semi/anti joins against
     //    gate-output frames, each a fraction of the corpus ------------------
+    // -- deterministic train/val/test split (98/1/1): md5 per-mille of
+    //    a salted doc key — stable under re-runs, re-partitioning and
+    //    engine choice (same md5 idiom as q_sample), so a re-ingested
+    //    corpus never leaks val/test docs into train. Per-split
+    //    manifest; the assignment itself is the `when` expression -------
+    "pipe_split" -> ((s, d) => {
+      val mille = conv(substring(md5(concat(lit("split|"),
+        col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % 1000
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          when(mille < 980, "train").when(mille < 990, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("split")
+    }),
+
     "pipe_modern_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gate = gopherFrom(docs).filter(col("gopher_pass")).select("doc_id")
@@ -914,6 +933,23 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id, n_bigrams, nll_micronat, avg_micronat
       FROM $sqlLmScores
       ORDER BY doc_id""",
+
+    "pipe_split" -> """
+      WITH s AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5('split|' || doc_id), 1, 12))::BIGINT
+                 % 1000 AS m
+        FROM documents)
+      SELECT CASE WHEN m < 980 THEN 'train'
+                  WHEN m < 990 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(1) AS n_docs,
+             sum(n_chars)::BIGINT AS total_chars,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM s
+      GROUP BY 1
+      ORDER BY split""",
 
     "pipe_modern_curation" -> s"""
       WITH gate AS (SELECT doc_id FROM $sqlGopherFlags WHERE gopher_pass),
