@@ -197,14 +197,23 @@ object Dedup extends QueryModule {
     * Beyond"); `localCheckpoint` truncates lineage so the loop's plan
     * stays flat instead of growing by one join per round.
     */
-  def clustersFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+  def clustersFrom(docs: DataFrame, ordered: Boolean = true): DataFrame =
+    ccFromPairs(docs,
+      minhashPairsFrom(docs, ordered = false).select("a_id", "b_id"),
+      ordered)
+
+  /** The CC label-propagation loop over an arbitrary (a_id, b_id) pair
+    * set — the core [[clustersFrom]] runs on MinHash pairs and
+    * dedup_winnow_clusters runs on winnow-fingerprint pairs.
+    */
+  def ccFromPairs(docs: DataFrame, pairs: DataFrame,
+      ordered: Boolean = true): DataFrame = {
     // label frames are <= |corpus| keys — broadcast them into the edge
     // scan when the corpus is within broadcast reach (size-gated, same
     // policy as the signature re-attach); the EDGE set, |pairs|-sized,
     // must never be the build side. Past reach the hint drops away and
     // every loop join runs as a key shuffle.
     val hint = DedupOps.sizeHint(docs)
-    val pairs = minhashPairsFrom(docs, ordered = false).select("a_id", "b_id")
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
@@ -264,7 +273,7 @@ object Dedup extends QueryModule {
     // transitive-closure semantics, so fail loudly instead.
     if (changed > 0)
       throw new IllegalStateException(
-        s"clustersFrom: label propagation not converged after $maxRounds " +
+        s"ccFromPairs: label propagation not converged after $maxRounds " +
           s"rounds ($changed labels still improving); pair-graph diameter " +
           "exceeds the cap — raise it or pre-contract the long chains")
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster"))
@@ -580,6 +589,15 @@ object Dedup extends QueryModule {
     "dedup_winnow_pairs" -> ((s, d) =>
       winnowPairsFrom(Tables.documents(s, d))),
 
+    // -- transitive winnow-dup clusters: the same frontier CC loop as
+    //    dedup_clusters, over the winnow pair graph instead of the
+    //    MinHash one — shared-passage communities rather than
+    //    whole-doc near-dup cliques ---------------------------------------
+    "dedup_winnow_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ccFromPairs(docs, winnowPairsFrom(docs).select("a_id", "b_id"))
+    }),
+
     // -- SimHash (60-bit, paired with 4x15-bit Hamming-LSH blocks below).
     //    One hex->long parse per token, then the 60 per-bit +-1 votes are
     //    pure long bitwise ops inside whole-stage codegen (the earlier
@@ -886,6 +904,21 @@ object Dedup extends QueryModule {
     "dedup_winnow_pairs" -> s"""
       SELECT a_id, b_id, n_shared FROM $sqlWinnowPairs
       ORDER BY a_id, b_id""",
+
+    "dedup_winnow_clusters" -> s"""
+      WITH RECURSIVE
+        p AS (SELECT a_id, b_id FROM $sqlWinnowPairs wp),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst FROM p),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src)
+      SELECT id AS doc_id, min(r) AS cluster
+      FROM reach
+      GROUP BY id
+      ORDER BY doc_id""",
 
     "dedup_levenshtein" -> s"""
       WITH t AS (

@@ -32,8 +32,11 @@ object Similarity extends QueryModule {
   private val NQUERIES = 5
   private val TOPK = 10
 
-  /** Similarity floor for sim_range_search (cosine * 1e6). */
-  private val RANGE_TAU = 400000L
+  /** Similarity floor for sim_range_search (cosine * 1e6): ~the top
+    * 1-2% of probe-corpus cosines for this embedding distribution (its
+    * max pairwise cosine sits just under 0.40 at every test SF).
+    */
+  private val RANGE_TAU = 250000L
   private val NPROBE = 2
   private val IVFK = 5
   private val NPLANES = 8 // deterministic hyperplane pool (shared by LSH tables)
