@@ -427,6 +427,139 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Span width (tokens) for [[spanDedupFrom]] — C4 deduplicated on
+    * three-sentence spans; this corpus has no sentence punctuation, so
+    * the span unit is a fixed 8-token window.
+    */
+  val SPAN_W = 8
+
+  /** C4-style span-level dedup report: each document split into
+    * non-overlapping [[SPAN_W]]-token spans (the fused
+    * [[graft.functions.ChunkExplode]] generator, width == stride), a
+    * span occurrence is a DUPLICATE unless it is the corpus-wide first
+    * occurrence of that span text (first = smallest (doc_id, span_idx)).
+    * Per doc: span count, duplicate-span count, and the integer
+    * per-mille of spans a span-level dedup pass would keep — the signal
+    * C4's "deduplicate three-sentence spans" rule acts on.
+    *
+    * Shapes: generator scan -> ONE shuffle on span text (window min
+    * computes the global first occurrence without a join-back) -> one
+    * doc_id agg. The (doc_id, span_idx) pair packs into one long
+    * (span_idx < 2^20: a 1M-token doc has ~131k spans, and the pack is
+    * range-checked) so the window min is a primitive-long aggregate in
+    * both engines.
+    */
+  def spanDedupFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = docs.sparkSession
+    val spans = docs.select(col("doc_id"),
+        graft.functions.ChunkExplode
+          .chunks(ss, lower(col("text")), SPAN_W, SPAN_W)
+          .as(Seq("span_idx", "span", "n_tok")))
+      .withColumn("k", col("doc_id") * lit(1L << 20) + col("span_idx"))
+    spans
+      .withColumn("first_k", min("k").over(Window.partitionBy("span")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("k") === col("first_k"), 0L).otherwise(1L))
+          .as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        expr("((n_spans - n_dup_spans) * 1000) DIV n_spans").as("kept_mille"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental near-dup probe — the daily-ingest shape: a small NEW
+    * batch is screened against the big EXISTING corpus without
+    * recomputing (or even touching) the corpus's own pair graph. Same
+    * MinHash+LSH math as [[minhashPairsFrom]], but the band join is
+    * batch x index instead of a self-join: at production scale the
+    * index side's signatures are a precomputed table and the batch's
+    * bands broadcast into its scan, so cost is O(|batch| + matching
+    * buckets), not O(|corpus|^2) — the property that makes daily dedup
+    * against a 100 TB corpus affordable.
+    */
+  def incrementalPairsFrom(index: DataFrame, batch: DataFrame): DataFrame = {
+    def sigOf(docs: DataFrame) =
+      DedupOps.minhashSignaturesFlat(docs, "doc_id", col("text"), 3, K)
+    def bandKey(b: Int): Column =
+      xxhash64(lit(b), concat_ws("|",
+        (0 until ROWS).map(r => col(s"_m${b * ROWS + r}").cast("string")): _*))
+    def banded(base: DataFrame, idAs: String) = base
+      .select(col("doc_id").as(idAs),
+        explode(array((0 until BANDS).map(bandKey): _*)).as("bh"))
+    val iSig = sigOf(index)
+    val bSig = sigOf(batch)
+    // the batch is the small side by construction: broadcast its bands
+    // (and signatures) into the index-side scans when within reach
+    val hintB = DedupOps.sizeHint(batch)
+    val hintI = DedupOps.sizeHint(index)
+    val cand = banded(iSig, "idx_id")
+      .join(hintB(banded(bSig, "new_id")), Seq("bh"))
+      .select("new_id", "idx_id")
+      .dropDuplicates("new_id", "idx_id")
+    val aSig = hintB(bSig.select(col("doc_id").as("new_id") +:
+      (0 until K).map(i => col(s"_m$i").as(s"a_m$i")): _*))
+    val cSig = hintI(iSig.select(col("doc_id").as("idx_id") +:
+      (0 until K).map(i => col(s"_m$i").as(s"b_m$i")): _*))
+    val matches = (0 until K)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(aSig, Seq("new_id")).join(cSig, Seq("idx_id"))
+      .select(col("new_id"), col("idx_id"),
+        (matches.cast("double") / K.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("new_id", "idx_id")
+  }
+
+  /** Exact set-similarity self-join via PREFIX FILTERING (the
+    * PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): all pairs with exact trigram-shingle Jaccard >= 0.5, no
+    * approximation. Each doc's distinct shingles are globally ordered
+    * rarest-first (ascending document frequency, shingle text as
+    * tie-break); a pair with J >= t MUST share a shingle within each
+    * side's first n - ceil(t*n) + 1 shingles (= n DIV 2 + 1 at t=0.5),
+    * so joining on PREFIX shingles only finds every qualifying pair
+    * while the join buckets are, by construction, the rarest — the
+    * frequency skew that makes a raw posting-list join quadratic is
+    * exactly what the prefix order prunes. Verification is one exact
+    * intersection per surviving candidate; the J >= 0.5 gate is the
+    * integer compare 3*|A∩B| >= |A|+|B| (no float boundary).
+    *
+    * The exact complement to [[minhashPairsFrom]]: same query, no LSH
+    * false negatives, at the cost of the df ranking pass. Shapes:
+    * explode -> df agg -> one windowed rank per doc -> prefix-bucket
+    * join -> id-only pair dedup -> size-gated set re-attach.
+    */
+  def ppjoinPairsFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("ss"))
+      .filter(size(col("ss")) > 0)
+    val sh = sets.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
+      explode(col("ss")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    val prefix = ranked.filter(expr("rk <= n DIV 2 + 1"))
+    val cand = prefix.select(col("s"), col("doc_id").as("a_id"))
+      .join(prefix.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val hint = DedupOps.sizeHint(docs)
+    val aSet = hint(sets.select(col("doc_id").as("a_id"), col("ss").as("a_ss")))
+    val bSet = hint(sets.select(col("doc_id").as("b_id"), col("ss").as("b_ss")))
+    cand.join(aSet, Seq("a_id")).join(bSet, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(col("a_ss")).cast("long").as("na"),
+        size(col("b_ss")).cast("long").as("nb"),
+        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long").as("inter"))
+      .filter(expr("3 * inter >= na + nb"))
+      .withColumn("jac_mille", expr("(1000 * inter) DIV (na + nb - inter)"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Exact n-gram Jaccard over prefix-blocked candidate pairs. */
   def jaccardPairsFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"),
@@ -575,6 +708,26 @@ object Dedup extends QueryModule {
     // guard — see blockedPairs); the oracle mirrors the cap.
     "dedup_jaccard_pairs" -> ((s, d) =>
       jaccardPairsFrom(Tables.documents(s, d))),
+
+    // -- C4-style span-level dedup report (see spanDedupFrom) -------------
+    "dedup_spans" -> ((s, d) =>
+      spanDedupFrom(Tables.documents(s, d))),
+
+    // -- incremental ingest probe: new batch (doc_id % 5 == 0) screened
+    //    against the existing corpus (the rest) without touching the
+    //    corpus's own pair graph (see incrementalPairsFrom) --------------
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalPairsFrom(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
+
+    // -- EXACT set-similarity join via prefix filtering (PPJoin): every
+    //    pair with trigram Jaccard >= 0.5, no LSH false negatives (see
+    //    ppjoinPairsFrom) -------------------------------------------------
+    "dedup_ppjoin_pairs" -> ((s, d) =>
+      ppjoinPairsFrom(Tables.documents(s, d))),
 
     // -- winnowing near-dup pairs (MOSS report): docs sharing >= 3
     //    selected fingerprints, candidate-blocked on the fingerprint
@@ -899,6 +1052,76 @@ object Dedup extends QueryModule {
       WHERE a.blk IN (SELECT blk FROM ok)
         AND len(list_intersect(a.ts, b.ts))::DOUBLE
               / len(list_distinct(a.ts || b.ts))::DOUBLE >= 0.5
+      ORDER BY a_id, b_id""",
+
+    "dedup_spans" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToksL AS ts FROM documents),
+           idx AS (SELECT doc_id, ts, len(ts) AS n,
+                          CASE WHEN len(ts) <= $SPAN_W THEN 1
+                               ELSE (len(ts) - $SPAN_W + ${SPAN_W - 1}) // $SPAN_W + 1 END AS nch
+                   FROM t WHERE len(ts) > 0),
+           sp AS (SELECT doc_id, g.k AS span_idx,
+                         array_to_string(
+                           ts[g.k * $SPAN_W + 1 : least(g.k * $SPAN_W + $SPAN_W, n)], ' ')
+                           AS span,
+                         doc_id * ${1L << 20} + g.k AS key
+                  FROM idx
+                  CROSS JOIN (SELECT unnest(range(0, (SELECT CAST(max(nch) AS BIGINT) FROM idx))) AS k) g
+                  WHERE g.k < nch),
+           fk AS (SELECT doc_id, key,
+                         min(key) OVER (PARTITION BY span) AS first_k
+                  FROM sp)
+      SELECT doc_id, count(1) AS n_spans,
+             CAST(sum(CASE WHEN key = first_k THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_spans,
+             ((count(1) - CAST(sum(CASE WHEN key = first_k THEN 0 ELSE 1 END) AS BIGINT)) * 1000)
+               // count(1) AS kept_mille
+      FROM fk
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "dedup_incremental" -> s"""
+      WITH $sqlSigCtes,
+           bands AS (
+             SELECT doc_id, sig, bb.b AS band,
+                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
+             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           cand AS (
+             SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS idx_id,
+                    nb.sig AS a_sig, ib.sig AS b_sig
+             FROM bands nb JOIN bands ib
+               ON nb.band = ib.band AND nb.bkey = ib.bkey
+             WHERE nb.doc_id % 5 = 0 AND ib.doc_id % 5 <> 0)
+      SELECT new_id, idx_id,
+             list_aggregate(list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+               / $K.0 AS est_jaccard
+      FROM cand
+      WHERE list_aggregate(list_transform(range(1, ${K + 1}),
+              i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+              / $K.0 >= 0.5
+      ORDER BY new_id, idx_id""",
+
+    "dedup_ppjoin_pairs" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlShingles(sqlToksL)} AS ss FROM documents),
+           sets AS (SELECT doc_id, ss, CAST(len(ss) AS BIGINT) AS n
+                    FROM t WHERE len(ss) > 0),
+           sh AS (SELECT doc_id, n, unnest(ss) AS s FROM sets),
+           dfr AS (SELECT s, count(1) AS df FROM sh GROUP BY s),
+           rk AS (SELECT sh.doc_id, sh.n, sh.s,
+                         row_number() OVER (PARTITION BY sh.doc_id
+                                            ORDER BY dfr.df, sh.s) AS rk
+                  FROM sh JOIN dfr ON sh.s = dfr.s),
+           pf AS (SELECT doc_id, s FROM rk WHERE rk <= n // 2 + 1),
+           cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM pf a JOIN pf b
+                      ON a.s = b.s AND a.doc_id < b.doc_id)
+      SELECT c.a_id, c.b_id, sa.n AS na, sb.n AS nb,
+             CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS inter,
+             (1000 * CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT))
+               // (sa.n + sb.n - len(list_intersect(sa.ss, sb.ss))) AS jac_mille
+      FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
+                  JOIN sets sb ON c.b_id = sb.doc_id
+      WHERE 3 * len(list_intersect(sa.ss, sb.ss)) >= sa.n + sb.n
       ORDER BY a_id, b_id""",
 
     "dedup_winnow_pairs" -> s"""
