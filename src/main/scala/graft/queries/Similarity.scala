@@ -278,9 +278,66 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Document-frequency cap for [[sparseCosinePairsFrom]]: terms seen
+    * in more documents than this carry no signal (stopword-shaped) and
+    * are dropped BEFORE the posting-list join — which simultaneously
+    * bounds every join bucket to <= cap postings, so the pair stream is
+    * O(|terms| * cap), never O(n^2). The standard trick from the
+    * AllPairs/DAAT sparse-similarity family.
+    */
+  val SPARSE_DF_CAP = 64
+
+  /** Sparse weighted-cosine similarity self-join over an inverted
+    * index — the TEXT-side counterpart of the dense-embedding ANN ops:
+    * docs as sparse trigram vectors, weight = tf * (1000 DIV df)
+    * (integer reciprocal-df, exact in any engine), score accumulated
+    * entirely inside the posting-list join (sum of weight products per
+    * pair) — no per-pair set re-attach, the docs' vectors are never
+    * materialized. Cosine normalization divides by the two precomputed
+    * integer norms; the shared integer dot keeps the driver compare
+    * bit-exact while the cosine is one pinned-order double expression.
+    *
+    * Shapes: tf agg -> df agg (cap-filtered) -> posting join (buckets
+    * <= [[SPARSE_DF_CAP]]) -> pair agg -> size-gated norm re-attach.
+    */
+  def sparseCosinePairsFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.Text
+    val terms = docs.select(col("doc_id"),
+        explode(Text.ngrams(Text.tokensLower(col("text")), 3)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SPARSE_DF_CAP)
+    val w = terms.join(dfreq, "t")
+      .select(col("doc_id"), col("t"), expr("tf * (1000 DIV df)").as("w"))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.select(col("t"), col("doc_id").as("a_id"), col("w").as("wa"))
+      .join(w.select(col("t"), col("doc_id").as("b_id"), col("w").as("wb")),
+        Seq("t"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_shared"))
+    val hint = graft.operators.DedupOps.sizeHint(docs)
+    val cos = col("dot").cast("double") /
+      sqrt(col("na2").cast("double")) / sqrt(col("nb2").cast("double"))
+    dots
+      .join(hint(norms.select(col("doc_id").as("a_id"), col("n2").as("na2"))),
+        Seq("a_id"))
+      .join(hint(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2"))),
+        Seq("b_id"))
+      .filter(col("n_shared") >= 3 && cos >= 0.5)
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("dot"),
+        floor(cos * 1e6).cast("long").as("cos_e6"))
+      .orderBy("a_id", "b_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- k-means clustering (see kmeansFrom) ------------------------------
     "sim_kmeans" -> ((s, d) => kmeansFrom(Tables.embeddings(s, d))),
+
+    // -- sparse weighted-cosine pairs over an inverted index (see
+    //    sparseCosinePairsFrom) --------------------------------------------
+    "sim_sparse_pairs" -> ((s, d) =>
+      sparseCosinePairsFrom(Tables.documents(s, d))),
 
     // -- semantic dedup over learned clusters (see semanticDedupFrom) -----
     "dedup_semantic" -> ((s, d) =>
@@ -450,7 +507,39 @@ object Similarity extends QueryModule {
                      GROUP BY a.c, e.d),
            ${kmeansRoundSql(2)}"""
 
+  /** DuckDB mirrors of the sparse-text fragments (documents table). */
+  private val sqlToksLowerDoc =
+    "list_filter(string_split_regex(lower(text), '[^A-Za-z0-9]+'), t -> t <> '')"
+  private def sqlNgrams3(t: String): String =
+    s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t) - 1), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE [] END"
+
   override def oracles: Map[String, String] = Map(
+    "sim_sparse_pairs" -> s"""
+      WITH tok AS (SELECT doc_id, unnest(${sqlNgrams3(sqlToksLowerDoc)}) AS t
+                   FROM documents),
+           terms AS (SELECT doc_id, t, count(1) AS tf
+                     FROM tok GROUP BY doc_id, t),
+           dfr AS (SELECT t, count(1) AS df FROM terms
+                   GROUP BY t HAVING count(1) <= $SPARSE_DF_CAP),
+           w AS (SELECT doc_id, terms.t AS t, tf * (1000 // df) AS w
+                 FROM terms JOIN dfr ON terms.t = dfr.t),
+           norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                     FROM w GROUP BY doc_id),
+           dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                           CAST(sum(a.w * b.w) AS BIGINT) AS dot,
+                           count(1) AS n_shared
+                    FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+      SELECT d.a_id, d.b_id, d.n_shared, d.dot,
+             CAST(floor(((d.dot::DOUBLE / sqrt(na.n2::DOUBLE))
+               / sqrt(nb.n2::DOUBLE)) * 1e6) AS BIGINT) AS cos_e6
+      FROM dots d JOIN norms na ON d.a_id = na.doc_id
+                  JOIN norms nb ON d.b_id = nb.doc_id
+      WHERE d.n_shared >= 3
+        AND (d.dot::DOUBLE / sqrt(na.n2::DOUBLE)) / sqrt(nb.n2::DOUBLE) >= 0.5
+      ORDER BY a_id, b_id""",
+
     "sim_kmeans" -> s"""
       $kmeansCtesSql
       SELECT c, count(1) AS n, min(vec_id) AS min_vec,

@@ -504,6 +504,42 @@ object TextAnalysis extends QueryModule {
         .orderBy("split")
     }),
 
+    // -- curriculum staging: per-language EXACT score quartiles (the
+    //    q_median_exact order-statistics idiom: lang-partitioned
+    //    window, never a global single-partition one) split the corpus
+    //    into 4 training stages, easiest (lowest bigram-LM surprisal)
+    //    first. Boundary docs tie into the lower stage deterministically
+    //    (integer micronat compares). Shapes: score pass -> one
+    //    lang-partitioned window -> 4-row boundary frame broadcast back
+    //    over the scores -> (lang, stage) agg. The boundary frame is
+    //    |langs|-sized, so the assignment join broadcasts at any corpus
+    //    scale ---------------------------------------------------------
+    "pipe_curriculum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = lmScoreFrom(docs).select("doc_id", "avg_micronat")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang").orderBy("avg_micronat")
+      val wAll = Window.partitionBy("lang")
+      val bounds = scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("lang")
+        .agg(
+          min(when(col("rn") === expr("(n + 3) DIV 4"), col("avg_micronat"))).as("q1"),
+          min(when(col("rn") === expr("(n + 1) DIV 2"), col("avg_micronat"))).as("q2"),
+          min(when(col("rn") === expr("(3 * n + 3) DIV 4"), col("avg_micronat"))).as("q3"))
+      scored.join(broadcast(bounds), "lang")
+        .withColumn("stage",
+          (lit(1) + when(col("avg_micronat") > col("q1"), 1).otherwise(0)
+            + when(col("avg_micronat") > col("q2"), 1).otherwise(0)
+            + when(col("avg_micronat") > col("q3"), 1).otherwise(0)).cast("long"))
+        .groupBy("lang", "stage")
+        .agg(count(lit(1)).as("n_docs"),
+          min("avg_micronat").as("min_score"),
+          max("avg_micronat").as("max_score"))
+        .orderBy("lang", "stage")
+    }),
+
     "pipe_modern_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gate = gopherFrom(docs).filter(col("gopher_pass")).select("doc_id")
@@ -950,6 +986,32 @@ object TextAnalysis extends QueryModule {
       FROM s
       GROUP BY 1
       ORDER BY split""",
+
+    "pipe_curriculum" -> s"""
+      WITH sc AS (SELECT s.doc_id, s.avg_micronat, d.lang
+                  FROM $sqlLmScores s JOIN documents d ON s.doc_id = d.doc_id),
+           r AS (SELECT lang, avg_micronat,
+                        row_number() OVER (PARTITION BY lang
+                                           ORDER BY avg_micronat) AS rn,
+                        count(1) OVER (PARTITION BY lang) AS n
+                 FROM sc),
+           b AS (SELECT lang,
+                        min(CASE WHEN rn = (n + 3) // 4 THEN avg_micronat END) AS q1,
+                        min(CASE WHEN rn = (n + 1) // 2 THEN avg_micronat END) AS q2,
+                        min(CASE WHEN rn = (3 * n + 3) // 4 THEN avg_micronat END) AS q3
+                 FROM r GROUP BY lang),
+           st AS (SELECT sc.lang, sc.avg_micronat,
+                         CAST(1 + CASE WHEN avg_micronat > q1 THEN 1 ELSE 0 END
+                                + CASE WHEN avg_micronat > q2 THEN 1 ELSE 0 END
+                                + CASE WHEN avg_micronat > q3 THEN 1 ELSE 0 END
+                              AS BIGINT) AS stage
+                  FROM sc JOIN b ON sc.lang = b.lang)
+      SELECT lang, stage, count(1) AS n_docs,
+             min(avg_micronat) AS min_score,
+             max(avg_micronat) AS max_score
+      FROM st
+      GROUP BY lang, stage
+      ORDER BY lang, stage""",
 
     "pipe_modern_curation" -> s"""
       WITH gate AS (SELECT doc_id FROM $sqlGopherFlags WHERE gopher_pass),
