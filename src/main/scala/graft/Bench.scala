@@ -255,6 +255,26 @@ object Bench {
     // (byte scan + window fold per doc, ~45 fps/doc emitted)
     val winnow = (1 to 3).map(_ => timeOne("scaled_winnow_x20", () =>
       graft.queries.TextAnalysis.winnowFrom(spark.read.parquet(scaledPath))))
+    // EXACT similarity join at x20, in its production regime (t=0.9,
+    // 5-gram shingles — see ppjoinPairsFrom on saturated shingle
+    // spaces): prefix + length filtering must keep candidates bounded
+    // on a corpus that is one giant pile of 20-member dup cliques
+    val ppjoin = (1 to 3).map(_ => timeOne("scaled_ppjoin_x20", () =>
+      graft.queries.Dedup.ppjoinPairsFrom(spark.read.parquet(scaledPath),
+        tNum = 9, tDen = 10, shingleN = 5)))
+    // inverted-index sparse cosine at x20: df cap bounds every posting
+    // bucket even when replication inflates every term's frequency
+    val sparse = (1 to 3).map(_ => timeOne("scaled_sparse_x20", () =>
+      graft.queries.Similarity.sparseCosinePairsFrom(
+        spark.read.parquet(scaledPath))))
+    // incremental ingest probe at x20: 2% new batch vs 98% index —
+    // cost must track the BATCH, not the corpus
+    val inc = (1 to 3).map(_ => timeOne("scaled_inc_x20", () => {
+      val docs = spark.read.parquet(scaledPath)
+      graft.queries.Dedup.incrementalPairsFrom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }))
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
@@ -283,17 +303,22 @@ object Bench {
       "scaled_contam_sparse_x20" -> contamS.min,
       "scaled_bloom_sparse_x20" -> bloomS.min,
       "scaled_chunk_x20" -> chunk.min,
-      "scaled_winnow_x20" -> winnow.min)
+      "scaled_winnow_x20" -> winnow.min,
+      "scaled_ppjoin_x20" -> ppjoin.min,
+      "scaled_sparse_x20" -> sparse.min,
+      "scaled_inc_x20" -> inc.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     // totals count each workload once: *_cold/*_median are informational
     val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
       mh.min + cc.min + contam.min + bloomC.min + contamS.min +
-      bloomS.min + chunk.min + winnow.min
+      bloomS.min + chunk.min + winnow.min + ppjoin.min + sparse.min +
+      inc.min
     val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
       mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ contamS.head :+
-      bloomS.head :+ chunk.head :+ winnow.head).sum
+      bloomS.head :+ chunk.head :+ winnow.head :+ ppjoin.head :+
+      sparse.head :+ inc.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -55,6 +55,26 @@ object BenchProbe {
         val docs = spark.read.parquet(p)
         graft.queries.Dedup.contaminationFrom(
           docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0))
+      } else if (name == "scaledppjoin") {
+        // the t=0.9 / 5-gram regime a production exact pass runs (see
+        // ppjoinPairsFrom scaladoc: t=0.5 trigrams cannot prune on a
+        // saturated shingle space)
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.ppjoinPairsFrom(spark.read.parquet(p),
+          tNum = 9, tDen = 10, shingleN = 5)
+      } else if (name == "scaledsparse") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Similarity.sparseCosinePairsFrom(spark.read.parquet(p))
+      } else if (name == "scaledspans") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.spanDedupFrom(spark.read.parquet(p))
+      } else if (name == "scaledinc") {
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        val docs = spark.read.parquet(p)
+        import org.apache.spark.sql.functions.col
+        graft.queries.Dedup.incrementalPairsFrom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
       } else if (name == "scaledcc") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Dedup.clustersFrom(spark.read.parquet(p), ordered = false)

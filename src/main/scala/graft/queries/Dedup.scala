@@ -528,23 +528,52 @@ object Dedup extends QueryModule {
     * The exact complement to [[minhashPairsFrom]]: same query, no LSH
     * false negatives, at the cost of the df ranking pass. Shapes:
     * explode -> df agg -> one windowed rank per doc -> prefix-bucket
-    * join -> id-only pair dedup -> size-gated set re-attach.
+    * join -> id-only pair dedup -> size-gated set re-attach. The
+    * length filter (t <= na/nb <= 1/t, necessary for J >= t) prunes
+    * inside the prefix join before any pair materializes.
+    *
+    * Threshold t = tNum/tDen (exact rational — the prefix length
+    * n - ceil(t*n) + 1 and the verification gate (tDen+tNum)*I >=
+    * tNum*(na+nb) are pure integer arithmetic). SCALE REGIME: prefix
+    * filtering prunes in proportion to (1-t) and to term-frequency
+    * skew. At t=0.5 the prefix is half of every doc, and on a corpus
+    * whose shingle space SATURATES (tiny vocabulary x huge corpus:
+    * every shingle frequent — the x20 synthetic workload) no
+    * frequency order can prune; production exact passes run t >= 0.8
+    * (prefix ~n/5) and widen the shingle so expected df stays bounded
+    * as the corpus grows. The default query keeps t=0.5 to mirror the
+    * MinHash op; the scaled bench entry runs the t=0.9 regime.
     */
-  def ppjoinPairsFrom(docs: DataFrame): DataFrame = {
+  def ppjoinPairsFrom(docs: DataFrame, tNum: Int = 1, tDen: Int = 2,
+      shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docs
-      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("ss"))
-      .filter(size(col("ss")) > 0)
-    val sh = sets.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
-      explode(col("ss")).as("s"))
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "s")
+    require(0 < tNum && tNum <= tDen, s"need 0 < t <= 1, got $tNum/$tDen")
+    val ses = docs.sparkSession
+    // distinct (doc, shingle) postings from the fused generator — the
+    // transform/slice HOF array formulation is interpreted AND
+    // O(tokens^2) per doc, minutes-vs-seconds on the x20 corpus
+    def posts = docs.select(col("doc_id"),
+        graft.functions.NgramExplode
+          .ngrams(ses, lower(col("text")), shingleN).as("s"))
+      .dropDuplicates("doc_id", "s")
+    // per-doc distinct-shingle arrays for the exact verification leg
+    val sets = posts.groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
+    val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
+    // one exchange on doc_id serves both window functions
+    val ranked = posts.join(dfreq, "s")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-    val prefix = ranked.filter(expr("rk <= n DIV 2 + 1"))
-    val cand = prefix.select(col("s"), col("doc_id").as("a_id"))
-      .join(prefix.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
-      .filter(col("a_id") < col("b_id"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // prefix length n - ceil(t*n) + 1, ceil as (tNum*n + tDen-1) DIV tDen
+    val prefix = ranked.filter(
+      expr(s"rk <= n - ($tNum * n + ${tDen - 1}) DIV $tDen + 1"))
+    val cand = prefix.select(col("s"), col("doc_id").as("a_id"),
+        col("n").as("na"))
+      .join(prefix.select(col("s"), col("doc_id").as("b_id"),
+        col("n").as("nb")), Seq("s"))
+      // length filter: J >= t forces t*nb <= na (and symmetrically)
+      .filter(col("a_id") < col("b_id") &&
+        expr(s"$tDen * na >= $tNum * nb AND $tDen * nb >= $tNum * na"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
     val hint = DedupOps.sizeHint(docs)
@@ -555,7 +584,7 @@ object Dedup extends QueryModule {
         size(col("a_ss")).cast("long").as("na"),
         size(col("b_ss")).cast("long").as("nb"),
         size(array_intersect(col("a_ss"), col("b_ss"))).cast("long").as("inter"))
-      .filter(expr("3 * inter >= na + nb"))
+      .filter(expr(s"(${tDen + tNum}) * inter >= $tNum * (na + nb)"))
       .withColumn("jac_mille", expr("(1000 * inter) DIV (na + nb - inter)"))
       .orderBy("a_id", "b_id")
   }

@@ -301,9 +301,11 @@ object Similarity extends QueryModule {
     * <= [[SPARSE_DF_CAP]]) -> pair agg -> size-gated norm re-attach.
     */
   def sparseCosinePairsFrom(docs: DataFrame): DataFrame = {
-    import graft.functions.Text
+    // fused n-gram generator: the transform/slice HOF formulation is
+    // interpreted and O(tokens^2) per doc — unusable at the x20 scale
     val terms = docs.select(col("doc_id"),
-        explode(Text.ngrams(Text.tokensLower(col("text")), 3)).as("t"))
+        graft.functions.NgramExplode
+          .ngrams(docs.sparkSession, lower(col("text")), 3).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy("t").agg(count(lit(1)).as("df"))
       .filter(col("df") <= SPARSE_DF_CAP)
