@@ -177,4 +177,45 @@ class PlanShapeSpec extends AnyFunSuite {
     // unigram side is count-table-sized -> must broadcast under AQE/stats
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("ppjoin and sparse cosine run the fused generator, never a cartesian") {
+    for (q <- Seq("dedup_ppjoin_pairs", "sim_sparse_pairs")) {
+      val p = plan(q)
+      assert(p.contains("graft_ngrams"),
+        s"$q lost the fused n-gram generator:\n" + p)
+      assert(!p.contains("transform("),
+        s"$q: interpreted HOFs back in the plan:\n" + p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: pair generation must be an equi-join on the posting key:\n" + p)
+    }
+  }
+
+  test("span dedup: one window over the span key, no self-join back") {
+    val p = plan("dedup_spans")
+    assert(p.contains("graft_chunks"), p)
+    assert(p.contains("Window"), p)
+    // the first-occurrence rule must NOT be a join of spans to spans
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "window-min formulation replaced by a join-back:\n" + p)
+  }
+
+  test("incremental probe past broadcast reach degrades to shuffle joins") {
+    val conf = spark.conf
+    val prevCap = conf.getOption("spark.graft.dedup.broadcastCorpusBytes")
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.graft.dedup.broadcastCorpusBytes", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("dedup_incremental")
+      assert(!p.contains("BroadcastHashJoin"),
+        "size gate shut but a broadcast join still planned:\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally {
+      prevCap.fold(conf.unset("spark.graft.dedup.broadcastCorpusBytes"))(
+        conf.set("spark.graft.dedup.broadcastCorpusBytes", _))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
 }
