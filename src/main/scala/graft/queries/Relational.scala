@@ -677,6 +677,28 @@ object Relational extends QueryModule {
     //    One partitioned window + one agg; at 100 TB the same selection
     //    rides the two-pass sharded prefix-sum if a single group ever
     //    dominates a partition.
+    // -- SCD type-2 dimension build: each customer's order-priority
+    //    HISTORY as effective-dated versions — change rows detected with
+    //    one lag() pass, validity ranges closed with lead() over the
+    //    surviving version starts, open current version = NULL valid_to.
+    //    The warehouse pattern for dimension tables under late-arriving
+    //    rewrites. Two key-partitioned windows, no self-join; version
+    //    numbers deterministic via the (date, orderkey) total order ----
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .withColumn("prev", lag("o_orderpriority", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+        .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+          col("o_orderdate").as("valid_from"), col("valid_to"))
+        .orderBy("o_custkey", "version")
+    }),
+
     "q_median_exact" -> ((s, d) => {
       val base = li(s, d).select(col("l_returnflag"),
         col("l_quantity").cast("long").as("q"))
@@ -1173,6 +1195,22 @@ object Relational extends QueryModule {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "q_scd2" -> """
+      WITH s AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      st AS (SELECT * FROM s WHERE prev IS NULL OR prev <> o_orderpriority)
+      SELECT o_custkey,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             o_orderpriority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w AS valid_to
+      FROM st
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, version""",
 
     "q_median_exact" -> """
       WITH r AS (
