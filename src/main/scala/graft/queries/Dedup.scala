@@ -478,28 +478,28 @@ object Dedup extends QueryModule {
     * buckets), not O(|corpus|^2) — the property that makes daily dedup
     * against a 100 TB corpus affordable.
     */
-  def incrementalPairsFrom(index: DataFrame, batch: DataFrame): DataFrame = {
-    def sigOf(docs: DataFrame) =
-      DedupOps.minhashSignaturesFlat(docs, "doc_id", col("text"), 3, K)
-    def bandKey(b: Int): Column =
-      xxhash64(lit(b), concat_ws("|",
-        (0 until ROWS).map(r => col(s"_m${b * ROWS + r}").cast("string")): _*))
-    def banded(base: DataFrame, idAs: String) = base
-      .select(col("doc_id").as(idAs),
-        explode(array((0 until BANDS).map(bandKey): _*)).as("bh"))
-    val iSig = sigOf(index)
-    val bSig = sigOf(batch)
-    // the batch is the small side by construction: broadcast its bands
-    // (and signatures) into the index-side scans when within reach
+  private def flatSigsOf(docs: DataFrame): DataFrame =
+    DedupOps.minhashSignaturesFlat(docs, "doc_id", col("text"), 3, K)
+
+  private def flatBandKey(b: Int): Column =
+    xxhash64(lit(b), concat_ws("|",
+      (0 until ROWS).map(r => col(s"_m${b * ROWS + r}").cast("string")): _*))
+
+  private def flatBanded(base: DataFrame, idAs: String): DataFrame = base
+    .select(col("doc_id").as(idAs),
+      explode(array((0 until BANDS).map(flatBandKey): _*)).as("bh"))
+
+  /** Signature re-attach + estimated-Jaccard scoring of deduped
+    * (new_id, idx_id) candidates — shared by the batch probe and its
+    * streaming twin.
+    */
+  private def scoreProbeCandidates(index: DataFrame, batch: DataFrame,
+      cand: DataFrame): DataFrame = {
     val hintB = DedupOps.sizeHint(batch)
     val hintI = DedupOps.sizeHint(index)
-    val cand = banded(iSig, "idx_id")
-      .join(hintB(banded(bSig, "new_id")), Seq("bh"))
-      .select("new_id", "idx_id")
-      .dropDuplicates("new_id", "idx_id")
-    val aSig = hintB(bSig.select(col("doc_id").as("new_id") +:
+    val aSig = hintB(flatSigsOf(batch).select(col("doc_id").as("new_id") +:
       (0 until K).map(i => col(s"_m$i").as(s"a_m$i")): _*))
-    val cSig = hintI(iSig.select(col("doc_id").as("idx_id") +:
+    val cSig = hintI(flatSigsOf(index).select(col("doc_id").as("idx_id") +:
       (0 until K).map(i => col(s"_m$i").as(s"b_m$i")): _*))
     val matches = (0 until K)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
@@ -509,6 +509,69 @@ object Dedup extends QueryModule {
         (matches.cast("double") / K.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("new_id", "idx_id")
+  }
+
+  def incrementalPairsFrom(index: DataFrame, batch: DataFrame): DataFrame = {
+    // the batch is the small side by construction: broadcast its bands
+    // (and signatures) into the index-side scans when within reach
+    val hintB = DedupOps.sizeHint(batch)
+    val cand = flatBanded(flatSigsOf(index), "idx_id")
+      .join(hintB(flatBanded(flatSigsOf(batch), "new_id")), Seq("bh"))
+      .select("new_id", "idx_id")
+      .dropDuplicates("new_id", "idx_id")
+    scoreProbeCandidates(index, batch, cand)
+  }
+
+  /** [[incrementalPairsFrom]] driven as a REAL Structured Streaming
+    * query — the always-on ingest gate: new documents arrive as a
+    * stream, each micro-batch computes per-document MinHash band keys
+    * STATELESSLY (the signature is a per-row scalar fold over the
+    * row's own shingles — no streaming aggregation, no watermark
+    * state), and a stream-static inner join probes them against the
+    * standing index's band table. Matches land in the sink eagerly;
+    * candidate dedup + signature scoring run batch-side on the sink
+    * (in production: the compaction job over the match log). Result ==
+    * the batch probe, row for row — the driver oracle is the same SQL.
+    *
+    * The per-row scalar signature is HOF-interpreted — acceptable
+    * here because it touches only the NEW batch (the index side uses
+    * the fused-generator batch machinery); a production stream at
+    * higher rates would lift it into a codegen'd expression.
+    */
+  def streamProbeReplay(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val scratch =
+      s"target/verify_scratch/stream_probe_${new java.io.File(d).getName}"
+    if (!new java.io.File(scratch).exists())
+      newDocs.write.mode("overwrite").parquet(scratch)
+    val stream = s.readStream.schema(newDocs.schema).parquet(scratch)
+    // per-row scalar minhash: md5 halves per shingle (identical values
+    // to ShingleHashes), k universal mins via array_min — stateless
+    def h(x: Column, from: Int): Column =
+      conv(substring(md5(x.cast("binary")), from, 12), 16, 10).cast("long")
+    val sh = array_distinct(graft.functions.Text
+      .ngrams(graft.functions.Text.tokensLower(col("text")), 3))
+    val withHs = stream.select(col("doc_id").as("new_id"),
+      transform(sh, x => array(h(x, 1), h(x, 13))).as("hs"))
+    val sigs = (0 until K).map(i => array_min(transform(col("hs"),
+      p => element_at(p, 1) + lit(i.toLong) * element_at(p, 2))).as(s"_m$i"))
+    val streamBands = withHs.select(col("new_id") +: sigs: _*)
+      .select(col("new_id"),
+        explode(array((0 until BANDS).map(flatBandKey): _*)).as("bh"))
+    val idxBands = flatBanded(flatSigsOf(index), "idx_id")
+    val sink = "dedup_stream_probe_" + System.nanoTime()
+    val q = streamBands.join(idxBands, Seq("bh"))
+      .select("new_id", "idx_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val cand = s.table(sink).dropDuplicates("new_id", "idx_id")
+    scoreProbeCandidates(index, newDocs, cand)
   }
 
   /** Exact set-similarity self-join via PREFIX FILTERING (the
@@ -752,6 +815,12 @@ object Dedup extends QueryModule {
         docs.filter(col("doc_id") % 5 === 0))
     }),
 
+    // -- the SAME probe as a real Structured Streaming query (stream-
+    //    static band join, stateless per-row signatures, memory sink,
+    //    batch-side scoring; see streamProbeReplay). Driver-checked
+    //    against the identical batch oracle ------------------------------
+    "dedup_stream_probe" -> ((s, d) => streamProbeReplay(s, d)),
+
     // -- EXACT set-similarity join via prefix filtering (PPJoin): every
     //    pair with trigram Jaccard >= 0.5, no LSH false negatives (see
     //    ppjoinPairsFrom) -------------------------------------------------
@@ -907,6 +976,32 @@ object Dedup extends QueryModule {
       SELECT doc_id, ($hashExpr)::BIGINT AS simhash
       FROM votes"""
   }
+
+  /** Oracle for the incremental ingest probe — shared verbatim by its
+    * streaming twin (`dedup_stream_probe`), which must produce the
+    * identical row set.
+    */
+  private def incrementalSql: String = s"""
+      WITH $sqlSigCtes,
+           bands AS (
+             SELECT doc_id, sig, bb.b AS band,
+                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
+             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           cand AS (
+             SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS idx_id,
+                    nb.sig AS a_sig, ib.sig AS b_sig
+             FROM bands nb JOIN bands ib
+               ON nb.band = ib.band AND nb.bkey = ib.bkey
+             WHERE nb.doc_id % 5 = 0 AND ib.doc_id % 5 <> 0)
+      SELECT new_id, idx_id,
+             list_aggregate(list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+               / $K.0 AS est_jaccard
+      FROM cand
+      WHERE list_aggregate(list_transform(range(1, ${K + 1}),
+              i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+              / $K.0 >= 0.5
+      ORDER BY new_id, idx_id"""
 
   override def oracles: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -1108,27 +1203,10 @@ object Dedup extends QueryModule {
       GROUP BY doc_id
       ORDER BY doc_id""",
 
-    "dedup_incremental" -> s"""
-      WITH $sqlSigCtes,
-           bands AS (
-             SELECT doc_id, sig, bb.b AS band,
-                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
-             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
-           cand AS (
-             SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS idx_id,
-                    nb.sig AS a_sig, ib.sig AS b_sig
-             FROM bands nb JOIN bands ib
-               ON nb.band = ib.band AND nb.bkey = ib.bkey
-             WHERE nb.doc_id % 5 = 0 AND ib.doc_id % 5 <> 0)
-      SELECT new_id, idx_id,
-             list_aggregate(list_transform(range(1, ${K + 1}),
-               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
-               / $K.0 AS est_jaccard
-      FROM cand
-      WHERE list_aggregate(list_transform(range(1, ${K + 1}),
-              i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
-              / $K.0 >= 0.5
-      ORDER BY new_id, idx_id""",
+    "dedup_incremental" -> incrementalSql,
+
+    // the streaming twin produces the identical row set by construction
+    "dedup_stream_probe" -> incrementalSql,
 
     "dedup_ppjoin_pairs" -> s"""
       WITH t AS (SELECT doc_id, ${sqlShingles(sqlToksL)} AS ss FROM documents),

@@ -74,6 +74,21 @@ class DedupExactJoinSpec extends AnyFunSuite {
     assert(inc === crossOnly)
   }
 
+  test("streaming probe emits exactly the batch probe's rows") {
+    val d = TestSpark.sf0001
+    val stream = graft.queries.Dedup.streamProbeReplay(spark, d)
+      .select("new_id", "idx_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val docs = graft.Tables.documents(spark, d)
+    val batch = graft.queries.Dedup.incrementalPairsFrom(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+      .select("new_id", "idx_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stream === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("span dedup: an exact copy has every span duplicated, uniques none") {
     val base = (0 until 4).map(i =>
       (i.toLong, (0 until 24).map(j => s"tok${i}x$j").mkString(" ")))
