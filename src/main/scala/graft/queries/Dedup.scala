@@ -849,6 +849,30 @@ object Dedup extends QueryModule {
       ccFromPairs(docs, winnowPairsFrom(docs).select("a_id", "b_id"))
     }),
 
+    // -- the dedup DECISION: near-dup clusters -> keep ONE doc per
+    //    cluster (longest text, ties to the smallest doc_id — integer
+    //    rule, engine-exact), report per-language kept/dropped counts.
+    //    This is the op that turns pair detection into the corpus a
+    //    training run actually reads. Shapes: the CC labels (one short
+    //    row per doc) join the doc metadata, a cluster-max agg + an
+    //    equality filter + a min agg pick keepers without any window,
+    //    and the final left join is |keepers|-sized ---------------------
+    "pipe_cluster_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val labeled = clustersFrom(docs, ordered = false).join(meta, "doc_id")
+      val cmax = labeled.groupBy("cluster").agg(max("n_chars").as("mx"))
+      val keepers = labeled.join(cmax, "cluster")
+        .filter(col("n_chars") === col("mx"))
+        .groupBy("cluster").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(1).as("_k"))
+      meta.join(keepers, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), count(col("_k")).as("n_kept"),
+          (count(lit(1)) - count(col("_k"))).as("n_dropped"))
+        .orderBy("lang")
+    }),
+
     // -- SimHash (60-bit, paired with 4x15-bit Hamming-LSH blocks below).
     //    One hex->long parse per token, then the 60 per-bit +-1 votes are
     //    pure long bitwise ops inside whole-stage codegen (the earlier
@@ -1073,6 +1097,31 @@ object Dedup extends QueryModule {
       FROM reach
       GROUP BY id
       ORDER BY doc_id""",
+
+    "pipe_cluster_dedup" -> s"""
+      WITH RECURSIVE
+        p AS (SELECT a_id, b_id FROM (${minhashPairsSql(ordered = false)}) mp),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst FROM p),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src),
+        cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        lab AS (SELECT d.doc_id, d.lang, d.n_chars, cc.cluster
+                FROM documents d JOIN cc ON d.doc_id = cc.doc_id),
+        cmax AS (SELECT cluster, max(n_chars) AS mx FROM lab GROUP BY cluster),
+        keep AS (SELECT lab.cluster, min(lab.doc_id) AS doc_id
+                 FROM lab JOIN cmax ON lab.cluster = cmax.cluster
+                 WHERE lab.n_chars = cmax.mx
+                 GROUP BY lab.cluster)
+      SELECT d.lang, count(1) AS n_docs,
+             count(k.doc_id) AS n_kept,
+             count(1) - count(k.doc_id) AS n_dropped
+      FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+      GROUP BY d.lang
+      ORDER BY d.lang""",
 
     "graph_pagerank" -> {
       def round(n: Int): String = s"""
