@@ -700,21 +700,32 @@ object Relational extends QueryModule {
     }),
 
     "q_median_exact" -> ((s, d) => {
-      val base = li(s, d).select(col("l_returnflag"),
-        col("l_quantity").cast("long").as("q"))
+      // Histogram selection, not a row sort: the (group, value) COUNT
+      // aggregate is map-side combined, so only distinct-value counts
+      // shuffle and the rank walk runs over the tiny histogram (|domain|
+      // rows/group) — at 100 TB the rows themselves never sort and never
+      // move. Rank r's value = the histogram bucket whose cumulative
+      // range [lo, hi] covers r; identical values to the row_number
+      // formulation (which sorted 600k rows in 3 group-partitions — the
+      // old 2.1 s headline-worst, now ~4x off the plan).
+      val hist = li(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("l_returnflag").orderBy("q")
       val wAll = Window.partitionBy("l_returnflag")
-      base
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wAll))
+      def sel(rank: String) =
+        min(when(expr(s"$rank BETWEEN lo AND hi"), col("q")))
+      hist
+        .withColumn("hi", sum("c").over(w))
+        .withColumn("lo", col("hi") - col("c") + 1)
+        .withColumn("n", sum("c").over(wAll))
         .groupBy("l_returnflag")
         .agg(
           max("n").as("n_rows"),
-          min(when(col("rn") === expr("(n + 3) DIV 4"), col("q"))).as("p25_qty"),
-          ((min(when(col("rn") === expr("(n + 1) DIV 2"), col("q")))
-            + min(when(col("rn") === expr("(n + 2) DIV 2"), col("q")))) / 2.0)
+          sel("(n + 3) DIV 4").as("p25_qty"),
+          ((sel("(n + 1) DIV 2") + sel("(n + 2) DIV 2")) / 2.0)
             .as("median_qty"),
-          min(when(col("rn") === expr("(3 * n + 3) DIV 4"), col("q"))).as("p75_qty"))
+          sel("(3 * n + 3) DIV 4").as("p75_qty"))
         .orderBy("l_returnflag")
     })
   )
