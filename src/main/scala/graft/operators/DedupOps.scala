@@ -30,7 +30,13 @@ object DedupOps {
   def fingerprint(textCol: Column): Column =
     md5(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")).cast("binary"))
 
-  /** Distinct word n-shingles of a text column (MinHash input sets). */
+  /** Distinct word n-shingles of a text column — the REFERENCE
+    * formulation, kept for spec-side cross-checks only: the array HOFs
+    * underneath are interpreted (CodegenFallback) and O(tokens^2) per
+    * row. Hot paths use the fused [[graft.functions.NgramExplode]] /
+    * [[graft.functions.ShingleHashes]] generators instead (measured
+    * minutes-vs-seconds on the x20 corpus).
+    */
   def shingles(textCol: Column, n: Int = 3): Column =
     array_distinct(Text.ngrams(Text.tokensLower(textCol), n))
 

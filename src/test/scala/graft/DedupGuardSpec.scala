@@ -67,6 +67,15 @@ class DedupGuardSpec extends AnyFunSuite {
     // benchmark empty -> nothing can be contaminated
     assert(Dedup.contaminationFrom(one, empty).count() === 0L)
     assert(Dedup.simhashFrom(spark, one).count() === 1L)
+    // round-5 ops: same contract
+    assert(Dedup.ppjoinPairsFrom(empty).count() === 0L)
+    assert(Dedup.ppjoinPairsFrom(one).count() === 0L)
+    assert(Dedup.spanDedupFrom(empty).count() === 0L)
+    assert(Dedup.spanDedupFrom(one).count() === 1L)
+    assert(Dedup.incrementalPairsFrom(empty, one).count() === 0L)
+    assert(Dedup.incrementalPairsFrom(one, empty).count() === 0L)
+    assert(graft.queries.Similarity.sparseCosinePairsFrom(empty).count() === 0L)
+    assert(graft.queries.Similarity.sparseCosinePairsFrom(one).count() === 0L)
   }
 
   test("graft_pairs skips null array elements instead of crashing") {
