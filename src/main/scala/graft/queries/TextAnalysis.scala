@@ -540,6 +540,29 @@ object TextAnalysis extends QueryModule {
         .orderBy("lang", "stage")
     }),
 
+    // -- data-mixture balancing: per-source downsampling weights that
+    //    equalize the token budget across sources (the Pile-style mix
+    //    step). weight_mille = min(1000, uniform_share / source_share)
+    //    in pure integer per-mille; sources under their share keep
+    //    everything (weight 1000), oversized sources downsample. One
+    //    agg over the corpus + a 1-row total broadcast — the weights
+    //    frame is |sources|-sized at any corpus scale -------------------
+    "pipe_mix_weights" -> ((s, d) => {
+      val perSource = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text"))).as("n_tokens"))
+      val totals = perSource.agg(sum("n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("least(1000, ((total_tokens DIV n_sources) * 1000) DIV n_tokens)")
+            .as("weight_mille"))
+        .withColumn("sampled_tokens",
+          expr("(n_tokens * weight_mille) DIV 1000"))
+        .orderBy("source")
+    }),
+
     "pipe_modern_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gate = gopherFrom(docs).filter(col("gopher_pass")).select("doc_id")
@@ -986,6 +1009,21 @@ object TextAnalysis extends QueryModule {
       FROM s
       GROUP BY 1
       ORDER BY split""",
+
+    "pipe_mix_weights" -> s"""
+      WITH ps AS (SELECT source, count(1) AS n_docs,
+                         CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
+                  FROM documents GROUP BY source),
+           t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                        count(1) AS n_sources
+                 FROM ps)
+      SELECT source, n_docs, n_tokens,
+             least(1000, ((total_tokens // n_sources) * 1000) // n_tokens)
+               AS weight_mille,
+             (n_tokens * least(1000, ((total_tokens // n_sources) * 1000) // n_tokens)) // 1000
+               AS sampled_tokens
+      FROM ps CROSS JOIN t
+      ORDER BY source""",
 
     "pipe_curriculum" -> s"""
       WITH sc AS (SELECT s.doc_id, s.avg_micronat, d.lang
