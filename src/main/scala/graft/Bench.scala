@@ -82,12 +82,15 @@ object Bench {
     * path, whose input table is otherwise tiny at test SFs. Written
     * once (untimed); the timed query reads parquet like production.
     */
-  def prepareScaledDocs(spark: SparkSession, sfDir: String): String = {
+  def prepareScaledDocs(spark: SparkSession, sfDir: String,
+      factor: Int = 20): String = {
+    require(factor <= 100, "rep packs into doc_id * 100")
     // corpus content depends on the SF dir -> key the cache by it
-    val path = s"target/bench_scratch/docs_x20_${new java.io.File(sfDir).getName}"
+    val path = s"target/bench_scratch/docs_x${factor}_" +
+      new java.io.File(sfDir).getName
     if (!new java.io.File(path).exists()) {
       graft.Tables.documents(spark, sfDir)
-        .select(explode(sequence(lit(0), lit(19))).as("rep"),
+        .select(explode(sequence(lit(0), lit(factor - 1))).as("rep"),
           col("doc_id"), col("text"))
         .select((col("doc_id") * 100 + col("rep")).as("doc_id"),
           when(col("rep") % 2 === 0, col("text"))

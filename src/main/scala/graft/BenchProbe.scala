@@ -78,6 +78,20 @@ object BenchProbe {
       } else if (name == "scaledcc") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Dedup.clustersFrom(spark.read.parquet(p), ordered = false)
+      } else if (name == "scaledmh100") {
+        // x100 = 500k docs / ~100M shingles: the survives-100x probe
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        Bench.scaledMinhash(spark, p)
+      } else if (name == "scaledcc100") {
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        graft.queries.Dedup.clustersFrom(spark.read.parquet(p), ordered = false)
+      } else if (name == "scaledinc100") {
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        val docs = spark.read.parquet(p)
+        import org.apache.spark.sql.functions.col
+        graft.queries.Dedup.incrementalPairsFrom(
+          docs.filter(col("doc_id") % 250 =!= 0),
+          docs.filter(col("doc_id") % 250 === 0))
       } else if (name == "scaledsig") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.operators.DedupOps.minhashSignatures(

@@ -214,9 +214,14 @@ object Dedup extends QueryModule {
     // must never be the build side. Past reach the hint drops away and
     // every loop join runs as a key shuffle.
     val hint = DedupOps.sizeHint(docs)
+    // the edge list is the loop's big retained frame (2x pairs, alive
+    // every round) — store it SERIALIZED: UnsafeRows pack ~3x tighter
+    // than the deserialized default, which OOM'd an 8 GiB heap at the
+    // x100 corpus (50M directed edges) where this fits comfortably
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // Round 1 collapsed into a join-free aggregation: with labels
     // initialized to ids, min neighbor LABEL == min neighbor ID, so the
     // heaviest round (every node active) is one groupBy over the edge
@@ -739,7 +744,8 @@ object Dedup extends QueryModule {
       val pairs = minhashPairsFrom(docs, ordered = false).select("a_id", "b_id")
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint()
+        .localCheckpoint(true, // serialized: see ccFromPairs
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val nodes = docs.select(col("doc_id").as("id"))
       var rank = nodes.select(col("id"), lit(1000000L).as("r"))
