@@ -46,6 +46,35 @@ object Multimodal extends QueryModule {
           (0 until 8).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
         .orderBy("doc_id")),
 
+    // multimodal RETRIEVAL: exact top-5 neighbors per probe by integer
+    // dot product over the stub embeddings — the compose-step after
+    // batch inference (embed -> index -> search). Probe side broadcast,
+    // corpus never shuffled, rank filter rides WindowGroupLimit — the
+    // sim_brute_topk scale shape over media-derived vectors. All-integer
+    // scores: exact in both engines, total tie order by doc_id.
+    "mm_embed_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = MultimodalOps.batchEmbed(
+          MultimodalOps.toMedia(Tables.documents(s, d)), batchSize = 32)
+        .toDF()
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
+      val q = emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id") +:
+          (0 until 8).map(i => col(s"e$i").as(s"q$i")): _*)
+      val dot = (0 until 8)
+        .map(i => col(s"e$i").cast("long") * col(s"q$i").cast("long"))
+        .reduce(_ + _)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("doc_id"))
+      emb.join(broadcast(q), col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"), dot.as("dot"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "doc_id", "dot")
+        .orderBy("q_id", "rk")
+    }),
+
     // resize planning from decoded dims to a 224x224 target
     "mm_resize" -> ((s, d) =>
       MultimodalOps.resizePlan(
@@ -193,6 +222,28 @@ object Multimodal extends QueryModule {
              $cols
       FROM documents
       ORDER BY doc_id"""
+    },
+
+    "mm_embed_topk" -> {
+      val eCols = (0 until 8).map(i =>
+        s"(('0x' || substr(md5(text), ${4 * i + 1}, 4))::BIGINT - 32768) AS e$i")
+        .mkString(",\n                        ")
+      val qCols = (0 until 8).map(i => s"e$i AS q$i").mkString(", ")
+      val dotExpr = (0 until 8).map(i => s"e.e$i * q.q$i").mkString(" + ")
+      s"""
+      WITH e AS (SELECT doc_id,
+                        $eCols
+                 FROM documents),
+           q AS (SELECT doc_id AS q_id, $qCols FROM e WHERE doc_id < 3),
+           sc AS (SELECT q.q_id, e.doc_id, ($dotExpr)::BIGINT AS dot
+                  FROM e JOIN q ON e.doc_id <> q.q_id),
+           r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot DESC, doc_id) AS rk
+                 FROM sc)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, dot
+      FROM r
+      WHERE rk <= 5
+      ORDER BY q_id, rk"""
     },
 
     "mm_resize" -> s"""
