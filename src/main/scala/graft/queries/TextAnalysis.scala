@@ -552,6 +552,10 @@ object TextAnalysis extends QueryModule {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text"))).as("n_tokens"))
+        // a token-less source has no weight to compute — and guards the
+        // integer division (NULL in Spark, an ERROR in DuckDB: the one
+        // cross-engine divergence integer arithmetic doesn't cover)
+        .filter(col("n_tokens") > 0)
       val totals = perSource.agg(sum("n_tokens").as("total_tokens"),
         count(lit(1)).as("n_sources"))
       perSource.crossJoin(broadcast(totals))
@@ -1013,7 +1017,8 @@ object TextAnalysis extends QueryModule {
     "pipe_mix_weights" -> s"""
       WITH ps AS (SELECT source, count(1) AS n_docs,
                          CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
-                  FROM documents GROUP BY source),
+                  FROM documents GROUP BY source
+                  HAVING CAST(sum(len($sqlToks)) AS BIGINT) > 0),
            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                         count(1) AS n_sources
                  FROM ps)
