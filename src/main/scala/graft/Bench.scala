@@ -84,7 +84,7 @@ object Bench {
     */
   def prepareScaledDocs(spark: SparkSession, sfDir: String,
       factor: Int = 20): String = {
-    require(factor <= 100, "rep packs into doc_id * 100")
+    require(1 <= factor && factor <= 100, "rep packs into doc_id * 100")
     // corpus content depends on the SF dir -> key the cache by it
     val path = s"target/bench_scratch/docs_x${factor}_" +
       new java.io.File(sfDir).getName
@@ -270,8 +270,9 @@ object Bench {
     val sparse = (1 to 3).map(_ => timeOne("scaled_sparse_x20", () =>
       graft.queries.Similarity.sparseCosinePairsFrom(
         spark.read.parquet(scaledPath))))
-    // incremental ingest probe at x20: 2% new batch vs 98% index —
-    // cost must track the BATCH, not the corpus
+    // incremental ingest probe at x20: doc_id % 50 == 0 picks exactly
+    // rep 0 of every 20-replica pack = a 5% new batch vs the 95% index
+    // — cost must track the BATCH, not the corpus
     val inc = (1 to 3).map(_ => timeOne("scaled_inc_x20", () => {
       val docs = spark.read.parquet(scaledPath)
       graft.queries.Dedup.incrementalPairsFrom(

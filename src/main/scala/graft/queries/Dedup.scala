@@ -95,12 +95,9 @@ object Dedup extends QueryModule {
     // are gated by est_jaccard >= 0.5 downstream — semantics preserved.
     // (Band values enter the hash as the same '|'-joined decimal string
     // the array formulation used, so bucketing semantics are unchanged.)
-    def bandKey(b: Int): Column =
-      xxhash64(lit(b), concat_ws("|",
-        (0 until ROWS).map(r => col(s"_m${b * ROWS + r}").cast("string")): _*))
     val banded = base
       .select(col("doc_id"),
-        explode(array((0 until BANDS).map(bandKey): _*)).as("bh"))
+        explode(array((0 until BANDS).map(flatBandKey): _*)).as("bh"))
     // explicit co-partitioning at FIXED width: the pair-generating join
     // must run across all shuffle partitions — sized by its quadratic
     // OUTPUT, which AQE cannot see coming. Both a column-only
@@ -461,7 +458,15 @@ object Dedup extends QueryModule {
         graft.functions.ChunkExplode
           .chunks(ss, lower(col("text")), SPAN_W, SPAN_W)
           .as(Seq("span_idx", "span", "n_tok")))
-      .withColumn("k", col("doc_id") * lit(1L << 20) + col("span_idx"))
+      // enforce the pack's range: a doc with >= 2^20 spans would bleed
+      // into the next doc_id's key space and silently misattribute
+      // first occurrences — fail loudly instead
+      .withColumn("k",
+        when(col("span_idx") < lit(1 << 20),
+          col("doc_id") * lit(1L << 20) + col("span_idx"))
+          .otherwise(raise_error(concat(
+            lit("spanDedup: span_idx overflows the doc key pack for doc "),
+            col("doc_id").cast("string")))))
     spans
       .withColumn("first_k", min("k").over(Window.partitionBy("span")))
       .groupBy("doc_id")
@@ -575,7 +580,12 @@ object Dedup extends QueryModule {
       .start()
     try q.awaitTermination()
     finally q.stop()
+    // materialize the deduped candidates, then DROP the memory-sink
+    // table — otherwise every invocation leaks its full band-match row
+    // set into the session catalog for the session lifetime
     val cand = s.table(sink).dropDuplicates("new_id", "idx_id")
+      .localCheckpoint()
+    s.catalog.dropTempView(sink)
     scoreProbeCandidates(index, newDocs, cand)
   }
 

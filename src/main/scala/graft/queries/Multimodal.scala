@@ -54,12 +54,18 @@ object Multimodal extends QueryModule {
     // scores: exact in both engines, total tie order by doc_id.
     "mm_embed_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = MultimodalOps.batchEmbed(
-          MultimodalOps.toMedia(Tables.documents(s, d)), batchSize = 32)
-        .toDF()
-        .select(col("doc_id") +:
-          (0 until 8).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
-      val q = emb.filter(col("doc_id") < 3)
+      def embed(docs: org.apache.spark.sql.DataFrame) =
+        MultimodalOps.batchEmbed(MultimodalOps.toMedia(docs), batchSize = 32)
+          .toDF()
+          .select(col("doc_id") +:
+            (0 until 8).map(i => element_at(col("emb"), i + 1).as(s"e$i")): _*)
+      val docs = Tables.documents(s, d)
+      val emb = embed(docs)
+      // probe side filters BEFORE inference: the stub embedding is
+      // per-row, so embedding only the 3 probe docs is value-identical
+      // — and a filter cannot push through the typed batch stage, so
+      // deriving q from emb would re-run inference over the corpus
+      val q = embed(docs.filter(col("doc_id") < 3))
         .select(col("doc_id").as("q_id") +:
           (0 until 8).map(i => col(s"e$i").as(s"q$i")): _*)
       val dot = (0 until 8)

@@ -20,9 +20,13 @@ class DedupExactJoinSpec extends AnyFunSuite {
       val base = Seq.fill(12)(s"w${rnd.nextInt(400)}").mkString(" ")
       (i.toLong, base)
     }
-    // plant near-dups: every 5th doc gets a copy with one token changed
+    // plant near-dups: every 5th doc gets a copy with one token
+    // changed. The +100001 offset flips id % 5 (0 -> 1), so planted
+    // pairs CROSS the incremental test's batch/index split instead of
+    // both landing in the batch (the +100000 version made that test
+    // compare two empty sets).
     val dups = docs.filter(_._1 % 5 == 0).map { case (id, t) =>
-      (id + 100000L, t.replaceAll("^\\S+", "w999"))
+      (id + 100001L, t.replaceAll("^\\S+", "w999"))
     }
     (docs ++ dups).toDF("doc_id", "text")
   }
@@ -71,6 +75,7 @@ class DedupExactJoinSpec extends AnyFunSuite {
     val crossOnly = full.filter { case (a, b) =>
       (a % 5 == 0) != (b % 5 == 0) // exactly one side in the batch
     }
+    assert(crossOnly.nonEmpty, "planted pairs must cross the split")
     assert(inc === crossOnly)
   }
 
