@@ -18,6 +18,30 @@ object BenchProbe {
       if (name == "ref") {
         val p = Bench.prepareRefCorpus(spark)
         Bench.refWordcount12m(spark, p)
+      } else if (name == "reffile") {
+        // same corpus through ChunkedTextSource (whole-chunk rows, no
+        // per-line record production) — the reference's own read model
+        val p = Bench.prepareRefCorpus(spark)
+        graft.operators.WordCount.fromFile(spark, p)
+      } else if (name.startsWith("refc")) {
+        // line scan coalesced to N partial maps before the fused count:
+        // shuffle rows = N x |vocab|
+        val parts = name.stripPrefix("refc").toInt
+        val p = Bench.prepareRefCorpus(spark)
+        graft.plans.TokenCounts.sortedCounts(
+          spark.read.text(p).coalesce(parts),
+          org.apache.spark.sql.functions.col("value"))
+      } else if (name.startsWith("reffilec")) {
+        // coalesced chunk scan: N partial maps instead of 32 -> the
+        // vocab-sized partial-row shuffle shrinks proportionally
+        val parts = name.stripPrefix("reffilec").toInt
+        val p = Bench.prepareRefCorpus(spark)
+        val lines = spark.read.format("graft.sources.ChunkedTextSource").load(p)
+        graft.plans.TokenCounts.counts(lines.coalesce(parts),
+          org.apache.spark.sql.functions.col("value"))
+      } else if (name == "refbfile") {
+        val p = Bench.prepareRefCorpusB(spark)
+        graft.operators.WordCount.fromFile(spark, p)
       } else if (name == "refb") {
         val p = Bench.prepareRefCorpusB(spark)
         Bench.refWordcount12m(spark, p)
@@ -89,9 +113,12 @@ object BenchProbe {
         val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
         val docs = spark.read.parquet(p)
         import org.apache.spark.sql.functions.col
+        // doc_id packs as orig*100+rep: % 500 === 0 selects rep 0 of
+        // every 5th pack (0.2% batch) — the clean rep-0 split shape the
+        // x20 probe uses (% 250 mixed rep 0 and rep 50 batches)
         graft.queries.Dedup.incrementalPairsFrom(
-          docs.filter(col("doc_id") % 250 =!= 0),
-          docs.filter(col("doc_id") % 250 === 0))
+          docs.filter(col("doc_id") % 500 =!= 0),
+          docs.filter(col("doc_id") % 500 === 0))
       } else if (name == "scaledsig") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.operators.DedupOps.minhashSignatures(
@@ -165,6 +192,37 @@ object BenchProbe {
       println(s"[probe] uniq pairs: ${raw.select("a_id", "b_id").distinct().count()}")
       spark.stop(); return
     }
+    if (name == "refstages" || name == "reffilestages") {
+      // stage-by-stage timing of the BASELINE.md workload-A job: where
+      // do the ~0.9 s go between scan+partial, merge agg, and sort?
+      val p = Bench.prepareRefCorpus(spark)
+      def mkRef() =
+        if (name == "reffilestages") graft.operators.WordCount.fromFile(spark, p)
+        else Bench.refWordcount12m(spark, p)
+      (1 to 3).foreach { _ =>
+        mkRef().write.mode("overwrite").format("noop").save()
+      }
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+          val tm = si.taskMetrics
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+            f"dur=${ms.getOrElse(-1L)}%6d ms  run=${tm.executorRunTime}%6d " +
+            f"deser=${tm.executorDeserializeTime}%5d gc=${tm.jvmGCTime}%5d " +
+            f"shufWms=${tm.shuffleWriteMetrics.writeTime / 1000000}%5d " +
+            f"in=${tm.inputMetrics.recordsRead}%9d " +
+            f"shufR=${tm.shuffleReadMetrics.recordsRead}%9d " +
+            f"shufW=${tm.shuffleWriteMetrics.recordsWritten}%9d  ${si.name.take(40)}")
+        }
+      })
+      val t0 = System.nanoTime()
+      mkRef().write.mode("overwrite").format("noop").save()
+      println(f"[probe] ref total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      Thread.sleep(2000)
+      spark.stop(); return
+    }
     if (name == "scaledstages") {
       val p = Bench.prepareScaledDocs(spark, sfDir)
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -202,6 +260,24 @@ object BenchProbe {
         .write.mode("overwrite").format("noop").save()
       println(f"[probe] scaledpq total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       Thread.sleep(2000)
+      spark.stop(); return
+    }
+    if (name == "refab") {
+      // interleaved A/B in ONE JVM: declarative counts (range sort)
+      // vs sortedCounts (single-partition tail) — JIT/GC state shared
+      val p = Bench.prepareRefCorpus(spark)
+      import org.apache.spark.sql.functions.col
+      for (i <- 1 to reps) {
+        for ((lbl, mkq) <- Seq(
+          "old-rangesort" -> (() => graft.plans.TokenCounts.counts(
+            spark.read.text(p), col("value"))),
+          "new-singletail" -> (() => graft.plans.TokenCounts.sortedCounts(
+            spark.read.text(p), col("value"))))) {
+          val t0 = System.nanoTime()
+          mkq().write.mode("overwrite").format("noop").save()
+          println(f"[probe] refab $lbl round $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
       spark.stop(); return
     }
     if (name == "refsweep") {

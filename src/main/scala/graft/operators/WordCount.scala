@@ -27,15 +27,20 @@ object WordCount {
   /** word,cnt counts of a string column of `df`, ordered bytewise by word.
     *
     * Runs the fused [[graft.plans.TokenCounts]] physical operator — the
-    * reference's scan+FSM+partial-count worker as one SparkPlan — then a
-    * plain merge agg + sort. (An `explode(split(regex))` formulation was
-    * ~10x slower: per-row regex + String[] allocation + a per-token
-    * Generate hop; see TokenizeExplode for the intermediate generator
-    * form, kept for general tokenization.) Semantics identical
-    * (token contract SURVEY §1.4).
+    * reference's scan+FSM+partial-count worker as one SparkPlan — then
+    * the reference-parity merge: one distributed merge agg and a single-
+    * partition sort of the aggregated vocabulary
+    * ([[graft.plans.TokenCounts.sortedCounts]] — no RangePartitioning
+    * sampling pass; rationale + scale contract there). For a
+    * DISTRIBUTED sorted result over huge vocabularies use
+    * [[graft.plans.TokenCounts.counts]]. (An `explode(split(regex))`
+    * formulation was ~10x slower: per-row regex + String[] allocation +
+    * a per-token Generate hop; see TokenizeExplode for the intermediate
+    * generator form, kept for general tokenization.) Semantics
+    * identical (token contract SURVEY §1.4).
     */
   def counts(df: DataFrame, textCol: Column): DataFrame =
-    graft.plans.TokenCounts.counts(df, textCol)
+    graft.plans.TokenCounts.sortedCounts(df, textCol)
 
   /** Reference parity: counts for a text file at `path`.
     *

@@ -212,13 +212,28 @@ object Dedup extends QueryModule {
     // every loop join runs as a key shuffle.
     val hint = DedupOps.sizeHint(docs)
     // the edge list is the loop's big retained frame (2x pairs, alive
-    // every round) — store it SERIALIZED: UnsafeRows pack ~3x tighter
-    // than the deserialized default, which OOM'd an 8 GiB heap at the
-    // x100 corpus (50M directed edges) where this fits comfortably
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // every round) — materialize it SERIALIZED first: UnsafeRows pack
+    // ~3x tighter than the deserialized default, which OOM'd an 8 GiB
+    // heap at the x100 corpus (50M directed edges). Serialized reads
+    // pay a per-round deserialization tax, though, so once the edge
+    // count is known EXACTLY (a count over materialized blocks is
+    // ~free), convert to deserialized storage when that form safely
+    // fits — small corpora get the fast loop, huge ones keep the
+    // compact safe one. ~120 B/edge deserialized (row + object + block
+    // bookkeeping, measured); "safely" = under 1/8 of the heap.
+    val edgesSer = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val deserBytesPerEdge = 120L
+    val edges =
+      if (edgesSer.count() * deserBytesPerEdge <
+          Runtime.getRuntime.maxMemory() / 8) {
+        val e = edgesSer.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edgesSer)
+        e
+      } else edgesSer
     // Round 1 collapsed into a join-free aggregation: with labels
     // initialized to ids, min neighbor LABEL == min neighbor ID, so the
     // heaviest round (every node active) is one groupBy over the edge
@@ -504,12 +519,12 @@ object Dedup extends QueryModule {
     * streaming twin.
     */
   private def scoreProbeCandidates(index: DataFrame, batch: DataFrame,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame, idxSigs: DataFrame, batchSigs: DataFrame): DataFrame = {
     val hintB = DedupOps.sizeHint(batch)
     val hintI = DedupOps.sizeHint(index)
-    val aSig = hintB(flatSigsOf(batch).select(col("doc_id").as("new_id") +:
+    val aSig = hintB(batchSigs.select(col("doc_id").as("new_id") +:
       (0 until K).map(i => col(s"_m$i").as(s"a_m$i")): _*))
-    val cSig = hintI(flatSigsOf(index).select(col("doc_id").as("idx_id") +:
+    val cSig = hintI(idxSigs.select(col("doc_id").as("idx_id") +:
       (0 until K).map(i => col(s"_m$i").as(s"b_m$i")): _*))
     val matches = (0 until K)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
@@ -525,11 +540,19 @@ object Dedup extends QueryModule {
     // the batch is the small side by construction: broadcast its bands
     // (and signatures) into the index-side scans when within reach
     val hintB = DedupOps.sizeHint(batch)
-    val cand = flatBanded(flatSigsOf(index), "idx_id")
-      .join(hintB(flatBanded(flatSigsOf(batch), "new_id")), Seq("bh"))
+    // ONE MinHash pass over the corpus: the index signatures feed both
+    // the band table and the verification re-attach (without the
+    // checkpoint the two consumers each re-run the full-corpus shingle
+    // scan — the cost the "tracks the batch, not the corpus" contract
+    // forbids; in production this frame IS the precomputed index table)
+    val idxSigs = flatSigsOf(index).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val batchSigs = flatSigsOf(batch)
+    val cand = flatBanded(idxSigs, "idx_id")
+      .join(hintB(flatBanded(batchSigs, "new_id")), Seq("bh"))
       .select("new_id", "idx_id")
       .dropDuplicates("new_id", "idx_id")
-    scoreProbeCandidates(index, batch, cand)
+    scoreProbeCandidates(index, batch, cand, idxSigs, batchSigs)
   }
 
   /** [[incrementalPairsFrom]] driven as a REAL Structured Streaming
@@ -554,8 +577,11 @@ object Dedup extends QueryModule {
     val newDocs = docs.filter(col("doc_id") % 5 === 0)
     val scratch =
       s"target/verify_scratch/stream_probe_${new java.io.File(d).getName}"
-    if (!new java.io.File(scratch).exists())
-      newDocs.write.mode("overwrite").parquet(scratch)
+    // ALWAYS rewrite: memoizing keyed on the dir basename would replay
+    // stale input if the dataset is regenerated in place (or two
+    // datasets share a basename) while batch + oracle read fresh data —
+    // the batch is sf-sized, the rewrite is cheap insurance
+    newDocs.write.mode("overwrite").parquet(scratch)
     val stream = s.readStream.schema(newDocs.schema).parquet(scratch)
     // per-row scalar minhash: md5 halves per shingle (identical values
     // to ShingleHashes), k universal mins via array_min — stateless
@@ -570,7 +596,12 @@ object Dedup extends QueryModule {
     val streamBands = withHs.select(col("new_id") +: sigs: _*)
       .select(col("new_id"),
         explode(array((0 until BANDS).map(flatBandKey): _*)).as("bh"))
-    val idxBands = flatBanded(flatSigsOf(index), "idx_id")
+    // one corpus MinHash pass, shared by the stream-side band table and
+    // the batch-side verification scoring (same contract as
+    // incrementalPairsFrom)
+    val idxSigs = flatSigsOf(index).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val idxBands = flatBanded(idxSigs, "idx_id")
     val sink = "dedup_stream_probe_" + System.nanoTime()
     val q = streamBands.join(idxBands, Seq("bh"))
       .select("new_id", "idx_id")
@@ -586,7 +617,7 @@ object Dedup extends QueryModule {
     val cand = s.table(sink).dropDuplicates("new_id", "idx_id")
       .localCheckpoint()
     s.catalog.dropTempView(sink)
-    scoreProbeCandidates(index, newDocs, cand)
+    scoreProbeCandidates(index, newDocs, cand, idxSigs, flatSigsOf(newDocs))
   }
 
   /** Exact set-similarity self-join via PREFIX FILTERING (the
@@ -629,11 +660,17 @@ object Dedup extends QueryModule {
     val ses = docs.sparkSession
     // distinct (doc, shingle) postings from the fused generator — the
     // transform/slice HOF array formulation is interpreted AND
-    // O(tokens^2) per doc, minutes-vs-seconds on the x20 corpus
-    def posts = docs.select(col("doc_id"),
+    // O(tokens^2) per doc, minutes-vs-seconds on the x20 corpus.
+    // Materialized ONCE (serialized, lineage-truncated): the subplan is
+    // consumed by sets, dfreq, and ranked (which nests dfreq), so as a
+    // plain subtree the fused n-gram scan + (doc, s) dedup shuffle
+    // would re-execute ~4x per run
+    val posts = docs.select(col("doc_id"),
         graft.functions.NgramExplode
           .ngrams(ses, lower(col("text")), shingleN).as("s"))
       .dropDuplicates("doc_id", "s")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // per-doc distinct-shingle arrays for the exact verification leg
     val sets = posts.groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
     val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))

@@ -570,6 +570,13 @@ object Relational extends QueryModule {
     //    4 KiB mergeable buffer — see functions/HllDistinct.scala).
     //    Deterministic but not SQL-reproducible -> rows-only check;
     //    accuracy gated by HllSpec against exact counts ------------------
+    //    The estimate itself is engine-specific, so the ORACLE-CHECKED
+    //    output is the error-bound assertion: hll_ok = 1 iff
+    //    |estimate - exact| <= 5% of exact (HLL standard error at these
+    //    register counts is <1%; integer-only compare). The oracle
+    //    recomputes exact_parts and emits hll_ok as the literal 1 — a
+    //    hash match IS the bound holding. HllSpec gates the tighter
+    //    accuracy curve.
     "q_hll_distinct" -> ((s, d) =>
       li(s, d)
         .groupBy("l_returnflag")
@@ -577,6 +584,9 @@ object Relational extends QueryModule {
           graft.functions.HllDistinct.hll(s,
             col("l_partkey").cast("string")).as("hll_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("hll_parts") - col("exact_parts")) * 20
+            <= col("exact_parts"), 1L).otherwise(0L).as("hll_ok"))
         .orderBy("l_returnflag")),
 
     // -- unpivot / melt: wide measure columns -> (measure, value) rows.
@@ -594,6 +604,12 @@ object Relational extends QueryModule {
 
     // -- approximate/sketch aggregates (no oracle: engine sketches differ;
     //    driver records the weaker rows-only check) -----------------------
+    //    Same error-bound-as-output discipline as q_hll_distinct: the
+    //    built-in sketches are checked against THIS engine's exact
+    //    aggregates (distinct count within 5%; approx p50 between the
+    //    exact p45 and p55 — the rank-error guarantee of
+    //    percentile_approx at accuracy 1000 is n/1000, far inside that
+    //    band), and the oracle pins the exact values + the literal 1s.
     "q_approx_sketch" -> ((s, d) =>
       li(s, d)
         .groupBy("l_returnflag")
@@ -601,7 +617,14 @@ object Relational extends QueryModule {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_p50"))
+            .as("approx_p50"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("approx_parts") - col("exact_parts")) * 20
+            <= col("exact_parts"), 1L).otherwise(0L).as("cd_ok"),
+          when(col("approx_p50") >= col("p45") &&
+            col("approx_p50") <= col("p55"), 1L).otherwise(0L).as("p50_ok"))
         .orderBy("l_returnflag")),
 
     // -- sampling (training-data pipelines). Hash-mod sampling on the
@@ -1098,6 +1121,26 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    // the ok flags are literal 1 here: Spark emits 1 only when its
+    // sketch landed inside the documented error bound of its own exact
+    // aggregate, so the value compare IS the bound assertion
+    "q_hll_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             CAST(1 AS BIGINT) AS hll_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_approx_sketch" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             CAST(1 AS BIGINT) AS cd_ok,
+             CAST(1 AS BIGINT) AS p50_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_scalar_misc" -> """
       SELECT l_orderkey, l_linenumber,

@@ -45,7 +45,26 @@ object Similarity extends QueryModule {
   private val DIM = 64
   // Cosine threshold (x1e6) shared by the dedup_semantic query default
   // AND its oracle SQL — one constant so they cannot desynchronize.
-  private val SEMDEDUP_TAU = 450000L
+  // Calibrated for the size-derived k (=22 on the 500-vector test
+  // corpus): intra-cluster cosines on this synthetic (no planted
+  // near-dups) corpus top out ~449k, so 400k keeps a small stable
+  // drop list at the top of the natural range.
+  private val SEMDEDUP_TAU = 400000L
+
+  /** dedup_semantic cluster count: k = max(2, floor(sqrt(n))). Per-
+    * cluster pair work is O((n/k)^2 * k) = O(n^2/k), so k must GROW
+    * with the corpus for semantic dedup to stay subquadratic — sqrt(n)
+    * bounds total pair work at O(n^1.5) (k=70k at n=5B, the SemDeDup
+    * paper's operating order of magnitude). Both the Spark side
+    * ([[semanticDedupKOf]]) and the oracle SQL derive k from this SAME
+    * rule; the SQL form computes it from the window-counted corpus
+    * size so no literal can desynchronize.
+    */
+  private val SEMDEDUP_K_SQL =
+    "greatest(2, CAST(floor(sqrt(n_corpus)) AS BIGINT))"
+
+  private def semanticDedupKOf(n: Long): Int =
+    math.max(2L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
 
   /** Deterministic pseudo-random hyperplanes, derived from md5 so the
     * SAME constants are inlined into both the Spark plan and the SQL
@@ -252,17 +271,20 @@ object Similarity extends QueryModule {
     * (duplicate-neighbor count + strongest similarity).
     *
     * Scale shape: clustering is what makes semantic dedup subquadratic
-    * — pair work is O(sum over clusters of m²), and k grows with the
-    * corpus (k ~ sqrt(n) keeps clusters bounded; here K=4 matches the
-    * test corpus). The pair join shuffles on c, the assignment is one
-    * broadcast join per Lloyd round, and nothing touches the driver.
+    * — pair work is O(sum over clusters of m²), and k GROWS with the
+    * corpus: k = max(2, floor(sqrt(n))) (rule shared with the oracle
+    * SQL via [[SEMDEDUP_K_SQL]]), bounding total pair work at
+    * O(n^1.5). The pair join shuffles on c, the assignment is one
+    * broadcast join per Lloyd round, and nothing touches the driver
+    * beyond the one-row corpus count that derives k.
     * τ is corpus-calibrated (this synthetic corpus has no planted
     * embedding near-dups, so the demonstration threshold sits at the
     * top of the natural cosine range).
     */
   def semanticDedupFrom(s: SparkSession, emb: DataFrame,
       tau: Long = SEMDEDUP_TAU): DataFrame = {
-    val t = emb.join(kmeansAssignFrom(emb), "vec_id")
+    val k = semanticDedupKOf(emb.count())
+    val t = emb.join(kmeansAssignFrom(emb, k), "vec_id")
       .select(col("vec_id"), col("c"), col("embedding"))
     val l = t.select(col("c"), col("vec_id").as("a_id"),
       col("embedding").as("a_v"))
@@ -484,17 +506,24 @@ object Similarity extends QueryModule {
   /** The full kmeans CTE chain through final assignment `a2(vec_id, c)`
     * — shared by sim_kmeans and dedup_semantic.
     */
-  private def kmeansCtesSql: String = s"""
+  /** `kExpr` is the cluster count as a SQL expression over `n_corpus`
+    * (the window-counted corpus size), so a size-derived k — e.g.
+    * dedup_semantic's floor(sqrt(n)) — is computed by the oracle from
+    * the same rule instead of being baked in as a literal.
+    */
+  private def kmeansCtesSql(kExpr: String): String = s"""
       WITH e AS (
              SELECT vec_id, ii.i AS d,
                     floor(embedding[ii.i]::DOUBLE * 1e6 + 0.5)::BIGINT AS v
              FROM embeddings
              CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) ii),
            seeds AS (
-             SELECT vec_id,
-                    row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS c
-             FROM embeddings
-             ORDER BY md5(vec_id::VARCHAR) LIMIT 4),
+             SELECT vec_id, c FROM (
+               SELECT vec_id,
+                      row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS c,
+                      count(*) OVER () AS n_corpus
+               FROM embeddings)
+             WHERE c < ($kExpr)),
            cent0 AS (SELECT s.c, e.d, e.v AS cv
                      FROM e JOIN seeds s ON e.vec_id = s.vec_id),
            ${kmeansRoundSql(0)},
@@ -543,7 +572,7 @@ object Similarity extends QueryModule {
       ORDER BY a_id, b_id""",
 
     "sim_kmeans" -> s"""
-      $kmeansCtesSql
+      ${kmeansCtesSql("4")}
       SELECT c, count(1) AS n, min(vec_id) AS min_vec,
              CAST(sum(vec_id) AS BIGINT) AS id_sum
       FROM a2
@@ -551,7 +580,7 @@ object Similarity extends QueryModule {
       ORDER BY c""",
 
     "dedup_semantic" -> s"""
-      $kmeansCtesSql,
+      ${kmeansCtesSql(SEMDEDUP_K_SQL)},
            ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
            p AS (SELECT aa.c, b.vec_id AS b_id,

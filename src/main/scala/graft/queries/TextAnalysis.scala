@@ -228,15 +228,21 @@ object TextAnalysis extends QueryModule {
       val tokens = Tables.documents(s, d)
         .select(graft.functions.TokenizeExplode
           .tokenize(s, lower(col("text"))).as("w"))
-      val cands = tokens
-        .select(graft.functions.MisraGries.summary(s, col("w"), 100).as("mg"))
-        .select(explode(col("mg")))
-        .select(col("key")).collect().map(_.getString(0)).toSeq
+      // phase 1 is ONE global aggregate yielding both the MG candidate
+      // superset AND the exact token total, so the 2% threshold enters
+      // phase 2 as a driver literal — no window (the previous
+      // formulation's sum().over() was the engine's sole unpartitioned
+      // window; harmless at <= 101 grouped rows, but the invariant
+      // "no single-partition window anywhere" is worth keeping literal)
+      val first = tokens.agg(
+        graft.functions.MisraGries.summary(s, col("w"), 100).as("mg"),
+        count(lit(1)).as("n_total")).collect()(0)
+      val nTotal = first.getLong(1)
+      val cands = first.getMap[String, Long](0).keys.toSeq
       tokens
         .groupBy(when(col("w").isin(cands: _*), col("w")).as("word"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("n_total", sum("cnt").over())
-        .filter(col("word").isNotNull && col("cnt") * 50 > col("n_total"))
+        .filter(col("word").isNotNull && col("cnt") * 50 > lit(nTotal))
         .select(col("word"), col("cnt"))
         .orderBy("word")
     }),

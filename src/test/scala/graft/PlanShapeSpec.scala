@@ -50,11 +50,15 @@ class PlanShapeSpec extends AnyFunSuite {
   test("wordcount runs the fused TokenCounts operator with minimal shuffles") {
     val p = plan("wordcount")
     assert(p.contains("TokenCounts"), p)
-    // tree lines read "Exchange (7)"; detail sections "(7) Exchange" —
-    // count tree occurrences only
+    // reference-parity shape: merge agg runs ONCE, then the aggregated
+    // vocabulary moves to one partition for the sort — no
+    // RangePartitioning exchange (whose boundary sampling would
+    // re-execute the whole aggregate as a second job)
     val nExchange = "Exchange \\(\\d+\\)".r.findAllIn(p).size
-    // one hash exchange (merge agg) + one range exchange (total order)
-    assert(nExchange == 2, s"expected 2 exchanges, got $nExchange:\n$p")
+    assert(nExchange == 2, s"expected 2 exchanges (hash merge + single), got $nExchange:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"sampled range sort crept back in:\n$p")
+    assert(p.contains("SinglePartition"), s"expected single-partition sort tail:\n$p")
   }
 
   test("q_topk plans as TakeOrderedAndProject, not global sort") {
@@ -181,8 +185,13 @@ class PlanShapeSpec extends AnyFunSuite {
   test("ppjoin and sparse cosine run the fused generator, never a cartesian") {
     for (q <- Seq("dedup_ppjoin_pairs", "sim_sparse_pairs")) {
       val p = plan(q)
-      assert(p.contains("graft_ngrams"),
-        s"$q lost the fused n-gram generator:\n" + p)
+      // ppjoin materializes its posting table once (localCheckpoint), so
+      // the generator runs in the checkpoint job and the visible plan
+      // starts from the checkpoint scan — the generator assertion then
+      // lives on the posting subplan, not the final plan
+      if (q != "dedup_ppjoin_pairs")
+        assert(p.contains("graft_ngrams"),
+          s"$q lost the fused n-gram generator:\n" + p)
       assert(!p.contains("transform("),
         s"$q: interpreted HOFs back in the plan:\n" + p)
       assert(!p.contains("CartesianProduct") &&
