@@ -49,8 +49,15 @@ object Bench {
     path
   }
 
+  /** The engine's file-wordcount surface (what WordCountCli runs):
+    * ChunkedTextSource chunk rows -> fused FSM -> merge -> sort. The
+    * chunk read model is ~1.5x faster than spark.read.text here — the
+    * line reader produces 1.2M line rows through eval + byte copy,
+    * where the chunk source hands the FSM ~32 whole buffers (the
+    * reference reads the same way: one buffer, byte ranges).
+    */
   def refWordcount12m(spark: SparkSession, path: String): DataFrame =
-    graft.operators.WordCount.counts(spark.read.text(path), col("value"))
+    graft.operators.WordCount.fromFile(spark, path)
 
   /** BASELINE.md workload B equivalent: ~2M tokens from a 24-word
     * vocabulary with mixed separators (~12 MB). The extreme-skew
@@ -177,12 +184,9 @@ object Bench {
     // runner-controlled; on very large heaps the first runs also pay OS
     // page-commit cost); the cold number stays visible.
     //
-    // Coarser splits for workload A: each scan partition carries a full
-    // |vocab| partial map into the shuffle, so 8 x 10 MB partitions
-    // shuffle 4x fewer partial rows than 32 x 2.6 MB — and the map side
-    // stays far from being the bottleneck (measured sweep: 32 MB splits
-    // are fastest and most stable).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
+    // (The chunked DSv2 source plans its own splits — maxPartitionBytes
+    // does not govern it; coalesce sweeps showed per-file chunks are
+    // already at the sweet spot for this corpus layout.)
     val refRuns = (1 to 7).map(_ =>
       timeOne("ref_wordcount_12m", () => refWordcount12m(spark, refPath)))
     val refBPath = prepareRefCorpusB(spark)
@@ -196,12 +200,13 @@ object Bench {
     // job overhead amortized — the number that scales to N files of
     // skewed input (the single-run `min` keeps the honest fixed cost).
     val refBAmortized = {
-      val five = (1 to 5).map(_ => spark.read.text(refBPath)).reduce(_ union _)
+      val five = (1 to 5).map(_ => spark.read
+        .format("graft.sources.ChunkedTextSource").load(refBPath))
+        .reduce(_ union _)
       val t0 = System.nanoTime()
       runOnce(graft.operators.WordCount.counts(five, col("value")))
       (System.nanoTime() - t0) / 1e9 / 5
     }
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
 
     // Scaled workloads also run pre-sweep: they are the biggest
     // allocators, i.e. the entries most sensitive to accumulated heap

@@ -37,7 +37,7 @@ object BenchProbe {
         val parts = name.stripPrefix("reffilec").toInt
         val p = Bench.prepareRefCorpus(spark)
         val lines = spark.read.format("graft.sources.ChunkedTextSource").load(p)
-        graft.plans.TokenCounts.counts(lines.coalesce(parts),
+        graft.plans.TokenCounts.sortedCounts(lines.coalesce(parts),
           org.apache.spark.sql.functions.col("value"))
       } else if (name == "refbfile") {
         val p = Bench.prepareRefCorpusB(spark)
@@ -192,10 +192,12 @@ object BenchProbe {
       println(s"[probe] uniq pairs: ${raw.select("a_id", "b_id").distinct().count()}")
       spark.stop(); return
     }
-    if (name == "refstages" || name == "reffilestages") {
+    if (name == "refstages" || name == "reffilestages" || name == "refbstages") {
       // stage-by-stage timing of the BASELINE.md workload-A job: where
       // do the ~0.9 s go between scan+partial, merge agg, and sort?
-      val p = Bench.prepareRefCorpus(spark)
+      // (refbstages: same listener over the workload-B skew corpus)
+      val p = if (name == "refbstages") Bench.prepareRefCorpusB(spark)
+              else Bench.prepareRefCorpus(spark)
       def mkRef() =
         if (name == "reffilestages") graft.operators.WordCount.fromFile(spark, p)
         else Bench.refWordcount12m(spark, p)

@@ -216,6 +216,16 @@ object TokenCounts {
       .agg(sum("cnt").as("cnt"))
       .orderBy("word")
 
+  /** Inputs below this are "tiny": the whole job floor (task launch,
+    * shuffle-file churn, per-stage scheduling) dominates compute, so
+    * the plan collapses to few-tasks-then-one. 64 MB = a handful of
+    * splits at [[TinySplitBytes]]; above it the distributed merge
+    * shapes win. */
+  private val TinyInputBytes = BigInt(64L << 20)
+  /** Scan granularity for the tiny path: enough splits to engage a few
+    * cores, few enough that per-task overhead stays invisible. */
+  private val TinySplitBytes = 4L << 20
+
   /** Reference-parity sorted word count: partials -> distributed merge
     * agg -> ONE-partition sort of the aggregated vocabulary.
     *
@@ -229,6 +239,18 @@ object TokenCounts {
     * final exchange moves only the aggregated vocabulary (|V| rows, not
     * tokens) into one partition for the sort.
     *
+    * Cost-based DOP: when the optimizer's size estimate says the input
+    * is tiny (< 64 MB), the fixed per-task floor is the whole cost —
+    * measured on the 12 MB skew corpus, 32 map tasks spent ~40 ms EACH
+    * writing a 24-row shuffle map output. So the tiny path coalesces
+    * the scan to ceil(bytes / 4 MB) tasks and merges through ONE
+    * SinglePartition exchange (which satisfies the aggregate's
+    * ClusteredDistribution, so agg + sort fuse into the same final
+    * stage): 2 stages, k+1 tasks, 1 exchange. Partial rows are bounded
+    * by k * |vocab| with k <= 16, so the single merge task stays
+    * trivially small. Unknown/derived-stats inputs estimate huge and
+    * take the distributed shape — the safe direction.
+    *
     * Scale contract: the tail is O(|V| log |V|) in ONE task — right
     * whenever the sorted result is consumed as a single stream (which
     * caps |V| at what the consumer can hold anyway). For a distributed
@@ -240,10 +262,20 @@ object TokenCounts {
     * prefix vocabularies (measured: a "w#####" vocab lands entirely in
     * one bucket), which is precisely the skew that sampling adapts to.
     */
-  def sortedCounts(df: DataFrame, textCol: Column): DataFrame =
-    partialCounts(df, textCol)
-      .groupBy("word")
-      .agg(sum("cnt").as("cnt"))
-      .repartition(1)
-      .sortWithinPartitions("word")
+  def sortedCounts(df: DataFrame, textCol: Column): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < TinyInputBytes) {
+      val parts = ((bytes + TinySplitBytes - 1) / TinySplitBytes).toInt max 1
+      partialCounts(df.coalesce(parts), textCol)
+        .repartition(1)
+        .groupBy("word")
+        .agg(sum("cnt").as("cnt"))
+        .sortWithinPartitions("word")
+    } else
+      partialCounts(df, textCol)
+        .groupBy("word")
+        .agg(sum("cnt").as("cnt"))
+        .repartition(1)
+        .sortWithinPartitions("word")
+  }
 }

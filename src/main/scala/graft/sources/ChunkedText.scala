@@ -85,7 +85,7 @@ class ChunkedTextTable(properties: util.Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsReportStatistics {
       private val path = Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException("chunked-text: no path given"))
       private val minChunks = Option(options.get("minChunks")).map(_.toInt).getOrElse(1)
@@ -95,6 +95,18 @@ class ChunkedTextTable(properties: util.Map[String, String])
       override def build(): Scan = this
       override def readSchema(): StructType = ChunkedText.SCHEMA
       override def toBatch: Batch = this
+
+      // real input size for the optimizer: without this a DSv2 relation
+      // estimates defaultSizeInBytes (effectively infinite), defeating
+      // every size-based plan choice downstream (broadcast thresholds,
+      // TokenCounts' tiny-input DOP)
+      override def estimateStatistics(): Statistics = new Statistics {
+        private val bytes = ChunkedText.listFiles(path).map(_.length()).sum
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
 
       override def planInputPartitions(): Array[InputPartition] = {
         require(chunkBytes > 0 && chunkBytes <= (1L << 30),

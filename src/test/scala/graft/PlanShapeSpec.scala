@@ -53,9 +53,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // reference-parity shape: merge agg runs ONCE, then the aggregated
     // vocabulary moves to one partition for the sort — no
     // RangePartitioning exchange (whose boundary sampling would
-    // re-execute the whole aggregate as a second job)
+    // re-execute the whole aggregate as a second job). At the test SF
+    // the input is under the tiny-input threshold, so the cost-based
+    // DOP path collapses to ONE SinglePartition exchange (agg + sort
+    // fused into the final stage); large inputs add the hash-merge
+    // exchange back — either way, never more than 2 and never a range.
     val nExchange = "Exchange \\(\\d+\\)".r.findAllIn(p).size
-    assert(nExchange == 2, s"expected 2 exchanges (hash merge + single), got $nExchange:\n$p")
+    assert(nExchange <= 2, s"expected <=2 exchanges, got $nExchange:\n$p")
     assert(!p.toLowerCase.contains("rangepartitioning"),
       s"sampled range sort crept back in:\n$p")
     assert(p.contains("SinglePartition"), s"expected single-partition sort tail:\n$p")
