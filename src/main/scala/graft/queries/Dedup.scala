@@ -211,29 +211,32 @@ object Dedup extends QueryModule {
     // must never be the build side. Past reach the hint drops away and
     // every loop join runs as a key shuffle.
     val hint = DedupOps.sizeHint(docs)
-    // the edge list is the loop's big retained frame (2x pairs, alive
-    // every round) — materialize it SERIALIZED first: UnsafeRows pack
-    // ~3x tighter than the deserialized default, which OOM'd an 8 GiB
-    // heap at the x100 corpus (50M directed edges). Serialized reads
-    // pay a per-round deserialization tax, though, so once the edge
-    // count is known EXACTLY (a count over materialized blocks is
-    // ~free), convert to deserialized storage when that form safely
-    // fits — small corpora get the fast loop, huge ones keep the
-    // compact safe one. ~120 B/edge deserialized (row + object + block
-    // bookkeeping, measured); "safely" = under 1/8 of the heap.
-    val edgesSer = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // Materialize the PAIR set once, serialized (UnsafeRows pack ~3x
+    // tighter than deserialized objects): the naive
+    // `pairs.union(pairs.swapped)` subplan embeds the whole candidate
+    // pipeline TWICE in the edge checkpoint job, so pinning pairs first
+    // halves the expensive part outright — and makes the edge count
+    // known (a count over materialized blocks is ~free) BEFORE the edge
+    // list's storage level must be chosen.
+    val pairsCp = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // The edge list (2x pairs, alive every round) is the loop's big
+    // retained frame. Deserialized storage reads fastest per round but
+    // OOM'd an 8 GiB heap at the x100 corpus (50M directed edges,
+    // ~120 B/edge as row + object + block bookkeeping, measured); pick
+    // it only when that form safely fits (< 1/8 heap), else keep the
+    // compact serialized form. One checkpoint either way.
     val deserBytesPerEdge = 120L
-    val edges =
-      if (edgesSer.count() * deserBytesPerEdge <
-          Runtime.getRuntime.maxMemory() / 8) {
-        val e = edgesSer.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edgesSer)
-        e
-      } else edgesSer
+    val edgeLevel =
+      if (2 * pairsCp.count() * deserBytesPerEdge <
+          Runtime.getRuntime.maxMemory() / 8)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val edges = pairsCp
+      .union(pairsCp.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true, edgeLevel)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(pairsCp)
     // Round 1 collapsed into a join-free aggregation: with labels
     // initialized to ids, min neighbor LABEL == min neighbor ID, so the
     // heaviest round (every node active) is one groupBy over the edge
