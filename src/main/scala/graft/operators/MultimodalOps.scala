@@ -123,38 +123,107 @@ object MultimodalOps {
     }
   }
 
-  /** Perceptual-hash signature (STUB transform, pHash-shaped): 60 block
-    * sums over the payload bytes (lane = position mod 60), bit b set
-    * iff its block sum exceeds the per-lane average — i.e. the classic
-    * "DCT coefficient vs median" rule with the stub's block sums
-    * standing in for frequency coefficients. 60 bits (not 64) keeps the
-    * signature positive in int64 for both engines, matching the SimHash
-    * discipline. Byte-identical payloads always collide; payloads with
-    * small localized edits land within a few bits.
+  /** Fixed-point DCT-II basis, Q14: `DctCosQ(u)(x) = round(2^14 *
+    * cos((2x+1) * u * pi / 64))` for kept frequency u in 0..7 over
+    * spatial position x in 0..31 — the 32-point DCT rows that project
+    * onto the 8 lowest frequencies (the classic pHash keeps the top-left
+    * 8x8 of a 32x32 DCT). Single source of truth for BOTH the Scala
+    * transform and the DuckDB oracle: Multimodal inlines these exact
+    * integers into the oracle SQL, so the compare is bit-exact with no
+    * floating point anywhere downstream of this table.
+    */
+  val DctCosQ: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.round(16384.0 * math.cos((2 * x + 1) * u * math.Pi / 64)))
+
+  /** Synthetic decode+resize: payload bytes -> 32x32 8-bit luma plane.
+    * Lane i accumulates bytes at positions congruent to i (mod 1024) —
+    * a strided box filter standing in for codec decode + area resize
+    * (no image codecs in this container); a production build swaps this
+    * one function for `decode(payload) |> grayscale |> resize(32,32)`
+    * and the DCT/hash stages below run unchanged. mod 256 keeps each
+    * pixel in the 8-bit range a real luma plane would have.
+    */
+  private[graft] def lumaOf(payload: Array[Byte]): Array[Int] = {
+    val acc = new Array[Long](1024)
+    var j = 0
+    while (j < payload.length) { acc(j & 1023) += payload(j) & 0xffL; j += 1 }
+    val pix = new Array[Int](1024)
+    var i = 0
+    while (i < 1024) { pix(i) = (acc(i) % 256).toInt; i += 1 }
+    pix
+  }
+
+  /** 2-D DCT-II of a 32x32 luma plane, keeping the 8x8 low-frequency
+    * block: `F(u,v) = sum_{x,y} pix(x,y) * cos_u(x) * cos_v(y)` in Q28
+    * fixed point (two Q14 factors), computed separably — row pass then
+    * column pass, integer-exact (multiplication distributes over the
+    * sums, so the separable result equals the direct double sum term
+    * for term). Max magnitude ~7e13, far inside int64. Returned
+    * row-major: index u*8+v; (0,0) is the DC term.
+    */
+  private[graft] def dctCoefs(pix: Array[Int]): Array[Long] = {
+    val g = Array.ofDim[Long](32, 8) // g(x)(v) = sum_y pix(x,y) * cos_v(y)
+    var x = 0
+    while (x < 32) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += pix(x * 32 + y) * DctCosQ(v)(y); y += 1 }
+        g(x)(v) = s
+        v += 1
+      }
+      x += 1
+    }
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var xx = 0
+        while (xx < 32) { s += g(xx)(v) * DctCosQ(u)(xx); xx += 1 }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    f
+  }
+
+  /** DCT perceptual hash of one payload: luma -> 2-D DCT -> the 60
+    * lowest-frequency AC coefficients (row-major u*8+v in 1..60 — DC
+    * dropped, and 60 rather than 63 keeps the signature positive in
+    * int64 and on the 4x15-bit pigeonhole grid the pair pipeline
+    * shares with SimHash) -> bit b set iff coefficient b+1 exceeds the
+    * LOWER MEDIAN (30th smallest of 60; an order statistic, so it is
+    * tie-stable and integer-exact in any engine). Median thresholding
+    * is what makes the hash brightness/contrast-invariant: any
+    * monotone per-coefficient scaling preserves every bit.
+    */
+  private[graft] def phashOf(payload: Array[Byte]): Long = {
+    val f = dctCoefs(lumaOf(payload))
+    val kept = java.util.Arrays.copyOfRange(f, 1, 61)
+    val sorted = kept.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(29)
+    var h = 0L
+    var b = 0
+    while (b < 60) { if (kept(b) > med) h |= 1L << b; b += 1 }
+    h
+  }
+
+  /** Perceptual-hash signatures: the real DCT pHash transform
+    * ([[phashOf]]) over every payload. Byte-identical payloads always
+    * collide (Hamming 0); small localized edits move a few low-order
+    * coefficients and land within a few bits.
     */
   def phash(media: Dataset[MediaRecord]): Dataset[MediaPhash] = {
     val sp = media.sparkSession
     import sp.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val lanes = new Array[Long](60)
-        var i = 0
-        while (i < m.payload.length) {
-          lanes(i % 60) += m.payload(i) & 0xffL
-          i += 1
-        }
-        var total = 0L
-        var b = 0
-        while (b < 60) { total += lanes(b); b += 1 }
-        // bit b <=> 60 * lane_b > total (exact integer compare)
-        var h = 0L
-        b = 0
-        while (b < 60) {
-          if (lanes(b) * 60 > total) h |= (1L << b)
-          b += 1
-        }
-        MediaPhash(m.doc_id, h)
-      }
+      it.map(m => MediaPhash(m.doc_id, phashOf(m.payload)))
     }
   }
 

@@ -100,9 +100,11 @@ object Multimodal extends QueryModule {
           sum("n_frames").as("total_frames"))
         .orderBy("kind")),
 
-    // perceptual-hash signatures (pHash-shaped stub): 60-bit
-    // block-sum-vs-average signature per payload — the NEAR-dup
-    // counterpart of mm_dedup's exact byte hash
+    // perceptual-hash signatures: real DCT pHash (32x32 luma -> Q14
+    // 2-D DCT-II -> 60 low-frequency AC bits vs their median; see
+    // MultimodalOps.phashOf) — the NEAR-dup counterpart of mm_dedup's
+    // exact byte hash. Only the luma step is a synthetic decode; the
+    // resize/DCT/median-threshold pipeline is the published algorithm.
     "mm_phash" -> ((s, d) =>
       MultimodalOps.phash(MultimodalOps.toMedia(Tables.documents(s, d)))
         .toDF()
@@ -163,28 +165,53 @@ object Multimodal extends QueryModule {
     })
   )
 
-  /** DuckDB mirror of MultimodalOps.phash: 60 block sums over payload
-    * bytes (lane = position mod 60), bit b set iff 60 * lane_b > total.
+  /** DuckDB mirror of MultimodalOps.phashOf — the SAME fixed-point DCT
+    * pHash, term for term: 1024-lane luma (byte sums mod 256), 2-D
+    * DCT-II against the Q14 cosine table (`ct` VALUES are inlined from
+    * MultimodalOps.DctCosQ, the one source of truth), coefficients
+    * u*8+v in 1..60, bit set iff above the 30th-smallest (lower
+    * median). All integer arithmetic; the row/column pass split here
+    * mirrors the Scala separable computation exactly because integer
+    * multiplication distributes over the sums.
     */
-  private val sqlPhash = """
-      (WITH pl AS (
-        SELECT doc_id,
-               list_transform(range(0, 60),
-                 b -> list_aggregate(list_transform(
-                        range(1, length(text) + 1),
-                        p -> CASE WHEN (p - 1) % 60 = b
-                                  THEN ord(text[p]) ELSE 0 END),
-                        'sum')::BIGINT) AS lanes
-        FROM documents),
-      pt AS (SELECT doc_id, lanes,
-                    list_aggregate(lanes, 'sum')::BIGINT AS total
-             FROM pl)
-      SELECT doc_id,
-             list_aggregate(list_transform(range(0, 60),
-               b -> CASE WHEN lanes[b + 1] * 60 > total
-                         THEN (1::BIGINT << b) ELSE 0::BIGINT END),
-               'sum')::BIGINT AS phash
-      FROM pt)"""
+  private val sqlPhash = {
+    val ctRows = (for {u <- 0 until 8; x <- 0 until 32}
+      yield s"($u,$x,${MultimodalOps.DctCosQ(u)(x)})").mkString(",")
+    s"""
+      (WITH bytes AS (
+        SELECT doc_id, p, ord(text[p]) AS byte
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS p
+              FROM documents)),
+      lanes AS (
+        SELECT doc_id, ((p - 1) % 1024)::BIGINT AS i,
+               (sum(byte) % 256)::BIGINT AS pix
+        FROM bytes GROUP BY doc_id, (p - 1) % 1024),
+      ct(u, x, c) AS (VALUES $ctRows),
+      rowp AS (
+        SELECT l.doc_id, (l.i // 32)::BIGINT AS x, ct.u AS v,
+               sum(l.pix * ct.c)::BIGINT AS g
+        FROM lanes l JOIN ct ON ct.x = l.i % 32
+        GROUP BY l.doc_id, l.i // 32, ct.u),
+      coef AS (
+        SELECT r.doc_id, ct.u AS u, r.v AS v,
+               sum(r.g * ct.c)::BIGINT AS f
+        FROM rowp r JOIN ct ON ct.x = r.x
+        GROUP BY r.doc_id, ct.u, r.v),
+      sel AS (
+        SELECT doc_id, (u * 8 + v - 1)::BIGINT AS b, f,
+               row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rk
+        FROM coef WHERE u * 8 + v BETWEEN 1 AND 60),
+      med AS (SELECT doc_id, f AS fmed FROM sel WHERE rk = 30),
+      h AS (
+        SELECT s.doc_id,
+               sum(CASE WHEN s.f > m.fmed THEN 1::BIGINT << s.b
+                        ELSE 0::BIGINT END)::BIGINT AS phash
+        FROM sel s JOIN med m USING (doc_id)
+        GROUP BY s.doc_id)
+      SELECT d.doc_id, coalesce(h.phash, 0)::BIGINT AS phash
+      FROM documents d LEFT JOIN h USING (doc_id))"""
+  }
 
   private val sqlMeta = """
     SELECT doc_id,
