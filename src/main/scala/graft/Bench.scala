@@ -284,6 +284,12 @@ object Bench {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
     }))
+    // exact-substring span dedup at x20 (~20M token positions through
+    // the rolling-fingerprint pass; the 20-replica packs make nearly
+    // every window a duplicate — worst case for the verify stage)
+    val substr = (1 to 3).map(_ => timeOne("scaled_substr_x20", () =>
+      graft.queries.Dedup.duplicatedSpansFrom(
+        spark.read.parquet(scaledPath), graft.queries.Dedup.SUBSTR_L)))
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
@@ -315,7 +321,8 @@ object Bench {
       "scaled_winnow_x20" -> winnow.min,
       "scaled_ppjoin_x20" -> ppjoin.min,
       "scaled_sparse_x20" -> sparse.min,
-      "scaled_inc_x20" -> inc.min)
+      "scaled_inc_x20" -> inc.min,
+      "scaled_substr_x20" -> substr.min)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -323,7 +330,7 @@ object Bench {
     val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
       mh.min + cc.min + contam.min + bloomC.min + contamS.min +
       bloomS.min + chunk.min + winnow.min + ppjoin.min + sparse.min +
-      inc.min
+      inc.min + substr.min
     val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
       mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ contamS.head :+
       bloomS.head :+ chunk.head :+ winnow.head :+ ppjoin.head :+

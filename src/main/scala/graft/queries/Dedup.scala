@@ -496,6 +496,74 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Window length (tokens) for [[duplicatedSpansFrom]]'s registered
+    * query. Lee et al. deduplicate exact substrings of >= 50 BPE
+    * tokens; the operator defaults to 50, but this synthetic corpus'
+    * docs are 10-99 words (median 56), so the REGISTERED query runs
+    * L=20 to exercise real span structure (multiple merged windows per
+    * doc) rather than whole-doc matches.
+    */
+  val SUBSTR_L = 20
+
+  /** Maximal duplicated-substring spans (exact-substring dedup, Lee et
+    * al. 2022): for every document, the maximal token ranges covered by
+    * some L-token window whose exact content occurs >= 2 times anywhere
+    * in the corpus (multiplicity counts within-doc repeats too) — the
+    * ranges an exact-substring dedup pass cuts out of the training set.
+    *
+    * Distributed shape (O(corpus tokens), nothing quadratic):
+    *  1. [[graft.functions.WindowHashExplode]]: fused FSM + 128-bit
+    *     ROLLING window content fingerprints — one fixed 24-byte
+    *     (pos, h1, h2) row per token position. This replaces the
+    *     suffix array of the paper's single-node implementation: a
+    *     suffix array finds repeated substrings within its slice, but
+    *     cross-slice repeats (the common case once a corpus is
+    *     partitioned) still need a global exchange of per-position
+    *     keys, which is exactly what the fingerprints are — with O(1)
+    *     state per position and no suffix-sorting pass. Duplicate
+    *     detection is exact up to a 2^-128 fingerprint collision (the
+    *     generator's scaladoc states the contract; mm_dedup keys
+    *     binary payloads on md5 under the same discipline).
+    *  2. ONE corpus-wide groupBy on the fingerprint keeps multiplicity
+    *     >= 2 keys (map-side partial agg collapses each partition's
+    *     repeats before the shuffle).
+    *  3. Duplicated positions join back (fingerprint-keyed; the second
+    *     generator pass costs one more corpus scan, which at corpus
+    *     scale beats pinning O(positions) rows in the block manager).
+    *  4. Per-doc span merge: runs of duplicated window starts with gap
+    *     <= L union into maximal spans (lag + running break-count, all
+    *     windows partitioned by doc_id — bounded by doc length).
+    *
+    * At 100 TB the dominant cost is step 2's shuffle: O(positions)
+    * 24-byte rows — vs O(positions * L) bytes if window TEXT were the
+    * shuffle key. Steps 3-4 touch only the duplicated subset.
+    */
+  def duplicatedSpansFrom(docs: DataFrame, minTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = docs.sparkSession
+    val wins = docs.select(col("doc_id"),
+      graft.functions.WindowHashExplode
+        .windowHashes(ss, col("text"), minTokens).as(Seq("pos", "h1", "h2")))
+    val dupKeys = wins.groupBy("h1", "h2").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("h1", "h2")
+    val verified = wins.join(dupKeys, Seq("h1", "h2")).select("doc_id", "pos")
+    // maximal spans: union of overlapping/adjacent duplicated windows
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    verified
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > minTokens, 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum("brk").over(byDoc))
+      .groupBy("doc_id", "gid")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + minTokens).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Incremental near-dup probe — the daily-ingest shape: a small NEW
     * batch is screened against the big EXISTING corpus without
     * recomputing (or even touching) the corpus's own pair graph. Same
@@ -860,6 +928,12 @@ object Dedup extends QueryModule {
     // -- C4-style span-level dedup report (see spanDedupFrom) -------------
     "dedup_spans" -> ((s, d) =>
       spanDedupFrom(Tables.documents(s, d))),
+
+    // -- maximal duplicated-substring spans (Lee et al. exact-substring
+    //    dedup; see duplicatedSpansFrom). L=SUBSTR_L on this short-doc
+    //    corpus; production default is the paper's 50 ------------------
+    "dedup_substrings" -> ((s, d) =>
+      duplicatedSpansFrom(Tables.documents(s, d), SUBSTR_L)),
 
     // -- incremental ingest probe: new batch (doc_id % 5 == 0) screened
     //    against the existing corpus (the rest) without touching the
@@ -1307,6 +1381,39 @@ object Dedup extends QueryModule {
       FROM fk
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // self-join-on-expanded-windows mirror of duplicatedSpansFrom: the
+    // oracle pays the O(positions * L) window-text blowup the Spark
+    // side's rolling fingerprints avoid — affordable at sf0.01, which
+    // is exactly why the engine side doesn't do it this way
+    "dedup_substrings" -> s"""
+      WITH t AS (SELECT doc_id,
+                        list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                    x -> x <> '') AS ts
+                 FROM documents),
+           w AS (SELECT doc_id, i - 1 AS pos,
+                        array_to_string(ts[i : i + $SUBSTR_L - 1], ' ') AS win
+                 FROM (SELECT doc_id, ts,
+                              unnest(range(1, len(ts) - $SUBSTR_L + 2)) AS i
+                       FROM t WHERE len(ts) >= $SUBSTR_L)),
+           d AS (SELECT win FROM w GROUP BY win HAVING count(1) >= 2),
+           s AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM d)),
+           m AS (SELECT doc_id, pos,
+                        CASE WHEN lag(pos) OVER
+                               (PARTITION BY doc_id ORDER BY pos) IS NULL
+                             OR pos - lag(pos) OVER
+                               (PARTITION BY doc_id ORDER BY pos) > $SUBSTR_L
+                             THEN 1 ELSE 0 END AS brk
+                 FROM s),
+           g AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+                 FROM m)
+      SELECT doc_id, min(pos)::BIGINT AS span_start,
+             (max(pos) + $SUBSTR_L)::BIGINT AS span_end,
+             (max(pos) + $SUBSTR_L - min(pos))::BIGINT AS span_tokens
+      FROM g
+      GROUP BY doc_id, gid
+      ORDER BY doc_id, span_start""",
 
     "dedup_incremental" -> incrementalSql,
 
