@@ -263,12 +263,27 @@ object Dedup extends QueryModule {
         .join(hint(frontier.withColumnRenamed("id", "nid")),
           col("dst") === col("nid"))
         .groupBy("src").agg(min("label").as("nbr_min"))
+      // pointer halving against the PREVIOUS round's materialized
+      // mapping: label <- min(label, prevLabel(label)). prevLabel(x)
+      // is the label of a node in the same component, so the min stays
+      // within-component (sound); composing mappings collapses chain
+      // diameter logarithmically, so long chains converge in O(log d)
+      // rounds instead of d — measured on the x20 corpus this cut the
+      // tail rounds (frontiers of 8 then 2 nodes, each still paying a
+      // checkpoint + count job) out of the loop. Using the previous
+      // (already checkpointed) frame instead of this round's own
+      // output avoids re-executing the neighbor join for the lookup.
+      val lut = labels.select(col("id").as("lid"), col("label").as("l2"))
       // ONE materialization per round: checkpoint carries old + new
       // label, so the convergence count and the next frontier read the
       // checkpoint instead of re-executing the join
       val next = labels.join(hint(nbr), col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("stepped"))
+        .join(hint(lut), col("stepped") === col("lid"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("stepped"), coalesce(col("l2"), col("stepped")))
             .as("label"))
         .localCheckpoint()
       // `next` is materialized (localCheckpoint is eager): the previous
