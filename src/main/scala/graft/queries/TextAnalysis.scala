@@ -81,7 +81,127 @@ object TextAnalysis extends QueryModule {
       .drop("_shard", "_lcum", "_off")
   }
 
+  /** Number of BPE merge rounds for the registered queries — small
+    * enough that the DuckDB oracle can unroll one CTE chain per round
+    * (the kmeansRoundSql discipline), large enough that multi-char
+    * subwords emerge ("th", "the", "in", ...).
+    */
+  val BPE_MERGES = 10
+
+  /** Prefix-free segmentation encoding shared by training and encode:
+    * every symbol is wrapped as `|sym|`, so one left-to-right
+    * non-overlapping `replace("|l||r|" -> "|lr|")` pass is EXACTLY one
+    * BPE merge application — a pattern can never match across symbol
+    * boundaries (symbols contain no '|', and both delimiters travel
+    * with the symbol), and one pass reaches the rank's fixpoint
+    * (merging (l,r) never creates a new (l,r) adjacency: the merged
+    * symbol is `lr`, not `l`). String replace has identical
+    * left-to-right semantics in Spark and DuckDB, which is what makes
+    * BOTH training and encoding value-exact under the oracle.
+    */
+  private def segInit(w: Column): Column =
+    concat(lit("|"),
+      array_join(filter(split(w, ""), c => length(c) > 0), "||"), lit("|"))
+
+  /** Corpus word-frequency table — the input BPE trains on (training
+    * statistics live on the deduplicated word table, not the raw
+    * corpus: the distributed part of tokenizer training is exactly
+    * this aggregation; the merge loop below is bounded by |vocab|).
+    */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(graft.functions.TokenizeExplode
+        .tokenize(s, lower(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** BPE training (Sennrich et al. 2016): `nMerges` rounds of
+    * argmax-pair-then-merge over the word-frequency table. Each round
+    * is one distributed pair-count aggregate (adjacent symbol pairs,
+    * weighted by word frequency; overlapping occurrences count, the
+    * standard convention) + a ONE-ROW collect of the winner
+    * (cnt DESC, l, r — total order, engine-exact) + one codegen'd
+    * string replace over the vocab-sized segmentation table. Driver
+    * state is nMerges rows — bounded metadata, the MisraGries
+    * discipline. Returns (rank, l, r, cnt) merges in training order.
+    */
+  def bpeTrain(words: DataFrame, nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var seg = words.select(col("freq"), segInit(col("w")).as("seg"))
+      .localCheckpoint() // vocab-sized; truncates the per-round lineage
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val pairs = seg
+        .withColumn("sy", split(trim(col("seg"), "|"), "\\|\\|"))
+        .filter(size(col("sy")) >= 2) // sequence(1,0) would DESCEND in Spark
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> named_struct('l', sy[i-1], 'r', sy[i]))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k.toLong, l, r, cnt))
+        seg = seg.withColumn("seg", call_function("replace",
+          col("seg"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Per-word subword counts under a trained merge list: apply the
+    * merges in rank order (one replace pass each — see [[segInit]]),
+    * then count symbols from the delimiter arithmetic. All codegen'd
+    * string ops over the vocab-sized table.
+    */
+  private def bpeWordSubwords(words: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    var seg = words.select(col("w"), segInit(col("w")).as("seg"))
+    merges.foreach { case (_, l, r, _) =>
+      seg = seg.withColumn("seg", call_function("replace",
+        col("seg"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+    }
+    seg.select(col("w"), expr(
+      "(length(seg) - length(replace(seg, '|', ''))) DIV 2").as("n_sub"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- BPE tokenizer TRAINING (Sennrich et al.): the learned merge
+    //    table itself, value-exact vs an oracle that unrolls the same
+    //    rounds as CTEs (see bpeTrain for the shape) ------------------
+    "txt_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      bpeTrain(bpeWords(s, d), BPE_MERGES)
+        .toDF("rank", "l", "r", "cnt")
+        .orderBy("rank")
+    }),
+
+    // -- tokenizer-AWARE token counting: encode every doc with the
+    //    corpus-trained BPE and report true subword budgets (vs
+    //    txt_token_estimate's chars/4 heuristic). Encode runs on the
+    //    distinct-word table and joins back by word — the corpus-scale
+    //    application never re-segments repeated words ------------------
+    "txt_token_bpe" -> ((s, d) => {
+      val words = bpeWords(s, d).localCheckpoint() // train + encode share it
+      val wsub = bpeWordSubwords(words, bpeTrain(words, BPE_MERGES))
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.TokenizeExplode
+          .tokenize(s, lower(col("text"))).as("w"))
+        .join(broadcast(wsub), Seq("w")) // vocab-sized build side
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // -- context-window chunking (width 64 tokens, stride 48) -------------
     //    The packing step an LLM pipeline runs over every document,
     //    as a fused Generator (ChunkExplode): token boundaries found
@@ -664,6 +784,44 @@ object TextAnalysis extends QueryModule {
   private val sqlToksLower =
     "list_filter(string_split_regex(lower(text), '[^A-Za-z0-9]+'), t -> t <> '')"
 
+  /** DuckDB mirror of [[bpeTrain]]: the word-frequency CTE, the char
+    * segmentation, then one (pairs -> argmax -> replace) CTE chain per
+    * merge round, unrolled [[BPE_MERGES]] times (the kmeansRoundSql
+    * discipline). `replace` has the same left-to-right non-overlapping
+    * semantics in both engines, and the `|sym|` encoding makes one
+    * pass one exact merge application — see [[segInit]].
+    */
+  private def bpeCtesSql(rounds: Int): String = {
+    val head = s"""
+      WITH wf AS (
+        SELECT w, count(1)::BIGINT AS freq
+        FROM (SELECT unnest($sqlToksLower) AS w FROM documents)
+        GROUP BY w),
+      s0 AS (
+        SELECT w, freq,
+               '|' || array_to_string(
+                 list_transform(range(1, length(w) + 1), i -> w[i]),
+                 '||') || '|' AS seg
+        FROM wf)"""
+    val roundCtes = (1 to rounds).map { k =>
+      s"""
+      p$k AS (
+        SELECT sy[i] AS l, sy[i + 1] AS r, sum(freq)::BIGINT AS cnt
+        FROM (SELECT freq,
+                     string_split(trim(seg, '|'), '||') AS sy,
+                     unnest(range(1, len(string_split(trim(seg, '|'), '||')))) AS i
+              FROM s${k - 1})
+        GROUP BY 1, 2),
+      m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+      s$k AS (
+        SELECT w, freq,
+               replace(seg, '|' || m.l || '||' || m.r || '|',
+                       '|' || m.l || m.r || '|') AS seg
+        FROM s${k - 1}, m$k m)"""
+    }.mkString(",")
+    head + "," + roundCtes
+  }
+
   /** DuckDB subquery yielding the (doc_id, fp) winnowing fingerprints —
     * the HOF mirror of [[winnowFrom]] / WinnowExplode (k=3, w=4, poly
     * hash base 31 mod 1e9+7). Shared with Dedup's winnow-pair oracle.
@@ -769,6 +927,32 @@ object TextAnalysis extends QueryModule {
              len($sqlToks) + floor(length(text)::DOUBLE / 8)::BIGINT AS est_bpe_blend
       FROM documents
       ORDER BY doc_id""",
+
+    "txt_bpe_merges" -> {
+      val rows = (1 to BPE_MERGES).map(k =>
+        s"SELECT ${k}::BIGINT AS rank, l, r, cnt FROM m$k")
+        .mkString("\n      UNION ALL ")
+      s"""
+      ${bpeCtesSql(BPE_MERGES)}
+      $rows
+      ORDER BY rank"""
+    },
+
+    "txt_token_bpe" -> s"""
+      ${bpeCtesSql(BPE_MERGES)},
+      ws AS (SELECT w,
+                    (length(seg) - length(replace(seg, '|', ''))) // 2 AS n_sub
+             FROM s$BPE_MERGES),
+      tok AS (SELECT doc_id, unnest($sqlToksLower) AS w FROM documents),
+      agg AS (SELECT t.doc_id, count(1)::BIGINT AS n_words,
+                     sum(ws.n_sub)::BIGINT AS n_bpe
+              FROM tok t JOIN ws USING (w)
+              GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_words, 0)::BIGINT AS n_words,
+             coalesce(a.n_bpe, 0)::BIGINT AS n_bpe
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "txt_rolling_hash" -> s"""
       SELECT doc_id,
