@@ -204,6 +204,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("substring spans: fused window-hash generator, equi-join, no text shuffle") {
+    val p = plan("dedup_substrings")
+    assert(p.contains("graft_window_hashes"),
+      "lost the fused rolling-fingerprint generator:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "duplicate join-back must be an equi-join on the fingerprint:\n" + p)
+    // the shuffles carry (pos, h1, h2) / (doc_id, pos) — never window
+    // TEXT; a slice/array_join of token windows reappearing in the plan
+    // means the O(positions * L) content blowup crept back
+    assert(!p.contains("array_join") && !p.contains("slice("),
+      "window text materialization crept back into the plan:\n" + p)
+  }
+
   test("span dedup: one window over the span key, no self-join back") {
     val p = plan("dedup_spans")
     assert(p.contains("graft_chunks"), p)
