@@ -39,8 +39,8 @@ object Similarity extends QueryModule {
   private val RANGE_TAU = 250000L
   private val NPROBE = 2
   private val IVFK = 5
-  private val NPLANES = 8 // deterministic hyperplane pool (shared by LSH tables)
-  private val LSH_TABLES = 2 // multi-table LSH: independent signatures
+  private val NPLANES = 16 // deterministic hyperplane pool (shared by LSH tables)
+  private val LSH_TABLES = 4 // multi-table LSH: independent signatures
   private val LSH_PLANES_PER = 4 // planes per table -> 2^4 buckets each
   private val DIM = 64
   // Cosine threshold (x1e6) shared by the dedup_semantic query default

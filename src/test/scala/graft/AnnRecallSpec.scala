@@ -39,8 +39,15 @@ class AnnRecallSpec extends AnyFunSuite {
     val exact = byQuery("sim_brute_topk", 5)
     val lsh = byQuery("sim_lsh_topk", 5)
     val r = recallAt(5, lsh, exact)
-    // single-table 8-plane LSH is the cheap/recall-light end by design
-    assert(r >= 0.15, s"LSH recall@5 = $r")
+    // 4 tables x 4 planes = recall ~0.40 at a ~23% candidate union —
+    // a deliberate point on the selectivity/recall curve. This
+    // corpus's true top-5 neighbors sit at cos ~0.3 (collision prob
+    // p ~0.6/plane), so pushing sign-LSH recall toward 1.0 requires
+    // scanning most of the corpus (16x3 tables => ~87% candidate
+    // union: brute force wearing an index); the gate pins the useful
+    // regime instead — recall well above the candidate fraction
+    // (~1.7x lift), i.e. the buckets are informative, not just big.
+    assert(r >= 0.35, s"LSH recall@5 = $r")
   }
 
   test("PQ/ADC codes recover exact L2 top-5 neighbors") {
