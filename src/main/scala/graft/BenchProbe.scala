@@ -49,6 +49,25 @@ object BenchProbe {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Dedup.duplicatedSpansFrom(
           spark.read.parquet(p), graft.queries.Dedup.SUBSTR_L)
+      } else if (name == "scaledsubstr100") {
+        // x100 = 500k docs / ~18M positions at sf0.1: the shuffle is
+        // O(positions) fixed-width rows, so this should scale ~linearly
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        graft.queries.Dedup.duplicatedSpansFrom(
+          spark.read.parquet(p), graft.queries.Dedup.SUBSTR_L)
+      } else if (name == "scaledbpe") {
+        // BPE training at x20: 10 pair-count rounds over the scaled
+        // corpus's word-frequency table
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        import spark.implicits._
+        val words = spark.read.parquet(p)
+          .select(graft.functions.TokenizeExplode.tokenize(spark,
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text"))).as("w"))
+          .groupBy("w").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("freq"))
+        graft.queries.TextAnalysis.bpeTrain(words, 10)
+          .toDF("rank", "l", "r", "cnt")
       } else if (name == "scaledmh") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.scaledMinhash(spark, p)
