@@ -568,8 +568,6 @@ object Relational extends QueryModule {
 
     // -- HLL distinct-count sketch (TypedImperativeAggregate; constant
     //    4 KiB mergeable buffer — see functions/HllDistinct.scala).
-    //    Deterministic but not SQL-reproducible -> rows-only check;
-    //    accuracy gated by HllSpec against exact counts ------------------
     //    The estimate itself is engine-specific, so the ORACLE-CHECKED
     //    output is the error-bound assertion: hll_ok = 1 iff
     //    |estimate - exact| <= 5% of exact (HLL standard error at these
@@ -602,8 +600,7 @@ object Relational extends QueryModule {
             AS (measure, v_cents)"""))
         .orderBy("l_orderkey", "l_linenumber", "measure")),
 
-    // -- approximate/sketch aggregates (no oracle: engine sketches differ;
-    //    driver records the weaker rows-only check) -----------------------
+    // -- approximate/sketch aggregates (engine-specific sketch values) --
     //    Same error-bound-as-output discipline as q_hll_distinct: the
     //    built-in sketches are checked against THIS engine's exact
     //    aggregates (distinct count within 5%; approx p50 between the
