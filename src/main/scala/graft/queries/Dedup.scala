@@ -579,6 +579,75 @@ object Dedup extends QueryModule {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The CUT step on top of [[duplicatedSpansFrom]] — what Lee et al.
+    * actually do to the training set: remove duplicated substrings,
+    * keeping ONE occurrence. Rule (deterministic, mirrored exactly in
+    * the oracle): a token is cut iff it is covered by an L-window
+    * occurrence whose content occurs >= 2 times corpus-wide AND that
+    * occurrence is not the content's FIRST (first = smallest packed
+    * (doc_id, pos) key — the dedup_spans first-occurrence discipline).
+    *
+    * Shapes: the fingerprint scan + one groupBy carrying (count,
+    * min key) — same O(positions) 24-byte-row shuffle as the span
+    * report; non-first occurrences join back and merge into cut spans
+    * per doc. The REBUILD (token slice minus cut ranges -> cleaned
+    * md5) runs as array HOFs over each doc row — corpus-linear,
+    * per-doc bounded, and only the final fingerprint leaves the row.
+    * Output: per-doc token/cut counts + md5 of the cleaned canonical
+    * token stream, so the oracle value-checks the cut text itself
+    * without shipping document bodies through the compare.
+    */
+  def substrCutFrom(docs: DataFrame, minTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = docs.sparkSession
+    val wins = docs.select(col("doc_id"),
+      graft.functions.WindowHashExplode
+        .windowHashes(ss, lower(col("text")), minTokens)
+        .as(Seq("pos", "h1", "h2")))
+      // (doc_id, pos) packs into one long so "first occurrence" is a
+      // primitive min in both engines; range-guarded like dedup_spans
+      .withColumn("k",
+        when(col("pos") < lit(1L << 20),
+          col("doc_id") * lit(1L << 20) + col("pos"))
+          .otherwise(raise_error(concat(
+            lit("substrCut: pos overflows the doc key pack for doc "),
+            col("doc_id").cast("string")))))
+    val grp = wins.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("n_occ"), min("k").as("first_k"))
+      .filter(col("n_occ") >= 2)
+    val cut = wins.join(grp, Seq("h1", "h2"))
+      .filter(col("k") =!= col("first_k"))
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = cut
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > minTokens, 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum("brk").over(byDoc))
+      .groupBy("doc_id", "gid")
+      .agg(min("pos").as("s"), (max("pos") + minTokens).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")
+          .as("ts"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("cuts"), array()).as("cuts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        expr("""filter(transform(ts, (t, i) ->
+                  CASE WHEN exists(cuts, c -> i >= c.s AND i < c.e)
+                       THEN CAST(NULL AS STRING) ELSE t END),
+                x -> x IS NOT NULL)""").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_cut"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dup probe — the daily-ingest shape: a small NEW
     * batch is screened against the big EXISTING corpus without
     * recomputing (or even touching) the corpus's own pair graph. Same
@@ -949,6 +1018,11 @@ object Dedup extends QueryModule {
     //    corpus; production default is the paper's 50 ------------------
     "dedup_substrings" -> ((s, d) =>
       duplicatedSpansFrom(Tables.documents(s, d), SUBSTR_L)),
+
+    // -- the CUT step: remove non-first duplicated-substring spans and
+    //    fingerprint the cleaned token stream (see substrCutFrom) ------
+    "pipe_substr_cut" -> ((s, d) =>
+      substrCutFrom(Tables.documents(s, d), SUBSTR_L)),
 
     // -- incremental ingest probe: new batch (doc_id % 5 == 0) screened
     //    against the existing corpus (the rest) without touching the
@@ -1429,6 +1503,54 @@ object Dedup extends QueryModule {
       FROM g
       GROUP BY doc_id, gid
       ORDER BY doc_id, span_start""",
+
+    // mirror of substrCutFrom: windows over the LOWERCASED token
+    // stream, first occurrence by packed (doc_id, pos) key, non-first
+    // occurrences expand to cut positions, cleaned stream fingerprinted
+    "pipe_substr_cut" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToksL AS ts FROM documents),
+           w AS (SELECT doc_id, i - 1 AS pos,
+                        doc_id * ${1L << 20} + i - 1 AS k,
+                        array_to_string(ts[i : i + $SUBSTR_L - 1], ' ') AS win
+                 FROM (SELECT doc_id, ts,
+                              unnest(range(1, len(ts) - $SUBSTR_L + 2)) AS i
+                       FROM t WHERE len(ts) >= $SUBSTR_L)),
+           g AS (SELECT win, min(k) AS first_k FROM w
+                 GROUP BY win HAVING count(1) >= 2),
+           c AS (SELECT w.doc_id, w.pos FROM w JOIN g USING (win)
+                 WHERE w.k <> g.first_k),
+           m AS (SELECT doc_id, pos,
+                        CASE WHEN lag(pos) OVER
+                               (PARTITION BY doc_id ORDER BY pos) IS NULL
+                             OR pos - lag(pos) OVER
+                               (PARTITION BY doc_id ORDER BY pos) > $SUBSTR_L
+                             THEN 1 ELSE 0 END AS brk
+                 FROM c),
+           gg AS (SELECT doc_id, pos,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+                  FROM m),
+           sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $SUBSTR_L AS e
+                  FROM gg GROUP BY doc_id, gid),
+           cutpos AS (SELECT doc_id, unnest(range(s, e)) AS p FROM sp),
+           tokpos AS (SELECT doc_id, i - 1 AS p, ts[i] AS tok
+                      FROM (SELECT doc_id, ts,
+                                   unnest(range(1, len(ts) + 1)) AS i
+                            FROM t)),
+           ka AS (SELECT tp.doc_id,
+                         count(1)::BIGINT AS n_tokens,
+                         count(1) FILTER (WHERE cp.p IS NOT NULL)::BIGINT AS n_cut,
+                         md5(coalesce(
+                           string_agg(tp.tok, ' ' ORDER BY tp.p)
+                             FILTER (WHERE cp.p IS NULL), '')) AS cleaned_md5
+                  FROM tokpos tp
+                  LEFT JOIN cutpos cp ON tp.doc_id = cp.doc_id AND tp.p = cp.p
+                  GROUP BY tp.doc_id)
+      SELECT d.doc_id,
+             coalesce(ka.n_tokens, 0)::BIGINT AS n_tokens,
+             coalesce(ka.n_cut, 0)::BIGINT AS n_cut,
+             coalesce(ka.cleaned_md5, md5('')) AS cleaned_md5
+      FROM documents d LEFT JOIN ka USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "dedup_incremental" -> incrementalSql,
 

@@ -85,4 +85,68 @@ class SubstringSpec extends AnyFunSuite {
     assert(engineSpans(docs, 1) == engineSpans(docs, 7))
     assert(engineSpans(docs, 1) == bruteSpans(docs))
   }
+
+  // ---- the CUT step (substrCutFrom) --------------------------------
+
+  /** Brute-force cut reference: non-first duplicated window positions
+    * (first = min packed (doc, pos)) merge into spans; covered tokens
+    * are removed; returns (n_tokens, n_cut, cleaned string) per doc.
+    */
+  private def bruteCut(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> "[^a-z0-9]+".r.split(t.toLowerCase).filter(_.nonEmpty).toSeq
+    }.toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(L).zipWithIndex.collect {
+        case (w, i) if w.size == L => (id, i.toLong, w.mkString(" "))
+      }
+    }
+    val byWin = wins.groupBy(_._3).filter(_._2.size >= 2)
+    val cutPos = byWin.values.flatMap { occ =>
+      val firstK = occ.map(o => o._1 * (1L << 20) + o._2).min
+      occ.filter(o => o._1 * (1L << 20) + o._2 != firstK)
+    }.toSeq
+    val cutByDoc = cutPos.groupBy(_._1).view.mapValues { ps =>
+      // merged spans then expanded to covered positions
+      val sorted = ps.map(_._2).sorted
+      val spans = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      for (p <- sorted) {
+        if (spans.nonEmpty && p <= spans.last._2) {
+          val (s0, _) = spans.remove(spans.size - 1); spans += ((s0, p + L))
+        } else spans += ((p, p + L))
+      }
+      spans.flatMap { case (s, e) => s until e }.toSet
+    }.toMap
+    toks.map { case (id, ts) =>
+      val cut = cutByDoc.getOrElse(id, Set.empty)
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !cut.contains(i.toLong) => t
+      }
+      id -> ((ts.size.toLong, cut.size.toLong, kept.mkString(" ")))
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("cut removes exactly the non-first duplicated spans") {
+    val run = (0 until 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 $run a3 a4",                 // first occurrence: kept
+      2L -> s"b1 $run b2 b3 b4",                 // second: span cut
+      3L -> "u1 u2 u3 u4 u5 u6 u7",              // unique: untouched
+      4L -> s"$run x1 $run")                     // within-doc repeat
+    val exp = bruteCut(docs)
+    // sanity of the plant: doc 1 keeps everything, doc 2 loses 8 tokens
+    assert(exp(1L)._2 == 0L && exp(2L)._2 == 8L && exp(3L)._2 == 0L)
+    val out = Dedup.substrCutFrom(docs.toDF("doc_id", "text").repartition(3), L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == exp.keySet)
+    for ((id, (n, cut, cleaned)) <- exp)
+      assert(out(id) == ((n, cut, md5hex(cleaned))),
+        s"doc $id: ${out(id)} vs ($n, $cut, ${md5hex(cleaned)} [$cleaned])")
+  }
 }
