@@ -211,32 +211,25 @@ object Dedup extends QueryModule {
     // must never be the build side. Past reach the hint drops away and
     // every loop join runs as a key shuffle.
     val hint = DedupOps.sizeHint(docs)
-    // Materialize the PAIR set once, serialized (UnsafeRows pack ~3x
-    // tighter than deserialized objects): the naive
-    // `pairs.union(pairs.swapped)` subplan embeds the whole candidate
-    // pipeline TWICE in the edge checkpoint job, so pinning pairs first
-    // halves the expensive part outright — and makes the edge count
-    // known (a count over materialized blocks is ~free) BEFORE the edge
-    // list's storage level must be chosen.
-    val pairsCp = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // The edge list (2x pairs, alive every round) is the loop's big
+    // retained frame. Built in ONE pass: each pair explodes into both
+    // directions inside the same job, so the candidate pipeline
+    // executes exactly once and only one frame is ever materialized
+    // (a pairs.union(pairs.swapped) subplan embedded the pipeline
+    // twice; a pin-pairs-then-union shape paid a second checkpoint).
+    // Stored SERIALIZED unconditionally: UnsafeRows pack ~3x tighter
+    // than deserialized objects — the form that kept the x100 corpus
+    // (50M directed edges) inside a 32 GiB heap where deserialized
+    // OOM'd 8 GiB — and an A/B at x20 showed the per-round
+    // deserialization tax is within measurement noise of the
+    // deserialized form's GC cost.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // The edge list (2x pairs, alive every round) is the loop's big
-    // retained frame. Deserialized storage reads fastest per round but
-    // OOM'd an 8 GiB heap at the x100 corpus (50M directed edges,
-    // ~120 B/edge as row + object + block bookkeeping, measured); pick
-    // it only when that form safely fits (< 1/8 heap), else keep the
-    // compact serialized form. One checkpoint either way.
-    val deserBytesPerEdge = 120L
-    val edgeLevel =
-      if (2 * pairsCp.count() * deserBytesPerEdge <
-          Runtime.getRuntime.maxMemory() / 8)
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val edges = pairsCp
-      .union(pairsCp.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true, edgeLevel)
-    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(pairsCp)
     // Round 1 collapsed into a join-free aggregation: with labels
     // initialized to ids, min neighbor LABEL == min neighbor ID, so the
     // heaviest round (every node active) is one groupBy over the edge
