@@ -348,7 +348,7 @@ object Bench {
     val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
       mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ contamS.head :+
       bloomS.head :+ chunk.head :+ winnow.head :+ ppjoin.head :+
-      sparse.head :+ inc.head).sum
+      sparse.head :+ inc.head :+ substr.head).sum
     println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -82,18 +82,29 @@ case class WindowHashExplode(child: Expression, n: Int)
     val nTok = starts.size()
     if (nTok < n) return Iterator.empty
 
-    // per-token hashes (each token byte-scanned exactly once): FNV-1a
-    // over the token bytes, then independently seeded avalanche mixes
+    // per-token hashes (each token byte-scanned exactly once): TWO
+    // INDEPENDENT byte-level accumulations — distinct bases and
+    // multipliers (FNV-1a and an xxhash-prime xor-mul) — then avalanche
+    // mixes. Deriving both streams from one 64-bit value would cap the
+    // pair's entropy at 64 bits: any two tokens colliding in that one
+    // hash would collide in BOTH streams, and at corpus scale (billions
+    // of distinct tokens) a 64-bit birthday collision is expected.
     val th1 = new Array[Long](nTok)
     val th2 = new Array[Long](nTok)
     var t = 0
     while (t < nTok) {
-      var h = 0xcbf29ce484222325L
+      var ha = 0xcbf29ce484222325L
+      var hb = 0x27D4EB2F165667C5L
       var j = starts.get(t)
       val e = ends.get(t)
-      while (j < e) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
-      th1(t) = mix(h)
-      th2(t) = mix(h + 0x632BE59BD9B4E019L)
+      while (j < e) {
+        val b = bytes(j) & 0xffL
+        ha = (ha ^ b) * 0x100000001b3L
+        hb = (hb ^ b) * 0xC2B2AE3D27D4EB4FL
+        j += 1
+      }
+      th1(t) = mix(ha)
+      th2(t) = mix(hb)
       t += 1
     }
 

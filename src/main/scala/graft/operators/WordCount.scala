@@ -42,6 +42,13 @@ object WordCount {
   def counts(df: DataFrame, textCol: Column): DataFrame =
     graft.plans.TokenCounts.sortedCounts(df, textCol)
 
+  /** [[counts]] with an explicit parallelism floor: `minParts` (the
+    * CLI's num_threads knob) survives the tiny-input cost-based
+    * coalescing in [[graft.plans.TokenCounts.sortedCounts]].
+    */
+  def counts(df: DataFrame, textCol: Column, minParts: Int): DataFrame =
+    graft.plans.TokenCounts.sortedCounts(df, textCol, minParts)
+
   /** Reference parity: counts for a text file at `path`.
     *
     * Reads through [[graft.sources.ChunkedTextSource]] — byte-range
@@ -59,7 +66,7 @@ object WordCount {
     val lines =
       (if (minPartitions > 0) reader.option("minChunks", minPartitions.toString)
        else reader).load(path)
-    counts(lines, col("value"))
+    counts(lines, col("value"), minPartitions)
   }
 
   /** Reference output format: one `word=cnt` line per row (main.c:172-174). */

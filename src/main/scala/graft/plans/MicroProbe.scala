@@ -30,9 +30,16 @@ object MicroProbe {
   def main(args: Array[String]): Unit = {
     val threads = if (args.nonEmpty) args(0).toInt else 1
     val dir = new java.io.File("target/bench_scratch/ref_corpus_12m")
-    val files = dir.listFiles.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val files = Option(dir.listFiles)
+      .getOrElse(sys.error(s"$dir missing — run graft.Bench once to create it"))
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val all = files.map(f => Files.readAllBytes(f.toPath))
-    println(s"files=${all.length} bytes=${all.map(_.length.toLong).sum}")
+    // report the bytes of the TIMED subset (1 file single-threaded,
+    // `threads` files otherwise) — per-byte throughput read off this
+    // probe must divide by what the loop actually scanned
+    val timed = all.take(math.max(1, threads))
+    println(s"files=${all.length} timed_files=${timed.length} " +
+      s"timed_bytes=${timed.map(_.length.toLong).sum}")
     for (rep <- 1 to 8) {
       val t0 = System.nanoTime()
       if (threads <= 1) countOne(all(0))

@@ -262,10 +262,14 @@ object TokenCounts {
     * prefix vocabularies (measured: a "w#####" vocab lands entirely in
     * one bucket), which is precisely the skew that sampling adapts to.
     */
-  def sortedCounts(df: DataFrame, textCol: Column): DataFrame = {
+  def sortedCounts(df: DataFrame, textCol: Column,
+      minParts: Int = 0): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < TinyInputBytes) {
-      val parts = ((bytes + TinySplitBytes - 1) / TinySplitBytes).toInt max 1
+      // an explicit caller DOP (the CLI's num_threads knob) is a floor:
+      // cost-based coalescing must not silently discard it
+      val parts = (((bytes + TinySplitBytes - 1) / TinySplitBytes).toInt max 1)
+        .max(minParts)
       partialCounts(df.coalesce(parts), textCol)
         .repartition(1)
         .groupBy("word")

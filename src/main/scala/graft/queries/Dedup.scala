@@ -801,22 +801,28 @@ object Dedup extends QueryModule {
     * as the corpus grows. The default query keeps t=0.5 to mirror the
     * MinHash op; the scaled bench entry runs the t=0.9 regime.
     */
+  /** PPJoin's distinct (doc, shingle) posting table, PRE-checkpoint —
+    * exposed so PlanShapeSpec can pin that the fused generator (never
+    * the interpreted transform/slice HOF formulation, which is
+    * O(tokens^2) per doc: minutes vs seconds on the x20 corpus) feeds
+    * it; the checkpoint in [[ppjoinPairsFrom]] hides this subplan from
+    * the final query's explain output.
+    */
+  private[graft] def ppjoinPosts(docs: DataFrame, shingleN: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.NgramExplode
+          .ngrams(docs.sparkSession, lower(col("text")), shingleN).as("s"))
+      .dropDuplicates("doc_id", "s")
+
   def ppjoinPairsFrom(docs: DataFrame, tNum: Int = 1, tDen: Int = 2,
       shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(0 < tNum && tNum <= tDen, s"need 0 < t <= 1, got $tNum/$tDen")
-    val ses = docs.sparkSession
-    // distinct (doc, shingle) postings from the fused generator — the
-    // transform/slice HOF array formulation is interpreted AND
-    // O(tokens^2) per doc, minutes-vs-seconds on the x20 corpus.
-    // Materialized ONCE (serialized, lineage-truncated): the subplan is
-    // consumed by sets, dfreq, and ranked (which nests dfreq), so as a
-    // plain subtree the fused n-gram scan + (doc, s) dedup shuffle
-    // would re-execute ~4x per run
-    val posts = docs.select(col("doc_id"),
-        graft.functions.NgramExplode
-          .ngrams(ses, lower(col("text")), shingleN).as("s"))
-      .dropDuplicates("doc_id", "s")
+    // Materialized ONCE (serialized, lineage-truncated): the posting
+    // subplan is consumed by sets, dfreq, and ranked (which nests
+    // dfreq), so as a plain subtree the fused n-gram scan + (doc, s)
+    // dedup shuffle would re-execute ~4x per run
+    val posts = ppjoinPosts(docs, shingleN)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // per-doc distinct-shingle arrays for the exact verification leg

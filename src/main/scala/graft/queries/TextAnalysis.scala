@@ -814,10 +814,15 @@ object TextAnalysis extends QueryModule {
         GROUP BY 1, 2),
       m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
       s$k AS (
+        -- LEFT JOIN ON TRUE: when a round has no pairs left, m$k is
+        -- empty and the segmentation must pass through unchanged
+        -- (mirroring bpeTrain's early stop) — a plain cross join would
+        -- wipe the table and zero every downstream count
         SELECT w, freq,
-               replace(seg, '|' || m.l || '||' || m.r || '|',
-                       '|' || m.l || m.r || '|') AS seg
-        FROM s${k - 1}, m$k m)"""
+               CASE WHEN m.l IS NULL THEN seg
+                    ELSE replace(seg, '|' || m.l || '||' || m.r || '|',
+                                 '|' || m.l || m.r || '|') END AS seg
+        FROM s${k - 1} LEFT JOIN m$k m ON true)"""
     }.mkString(",")
     head + "," + roundCtes
   }

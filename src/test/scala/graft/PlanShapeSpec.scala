@@ -189,10 +189,6 @@ class PlanShapeSpec extends AnyFunSuite {
   test("ppjoin and sparse cosine run the fused generator, never a cartesian") {
     for (q <- Seq("dedup_ppjoin_pairs", "sim_sparse_pairs")) {
       val p = plan(q)
-      // ppjoin materializes its posting table once (localCheckpoint), so
-      // the generator runs in the checkpoint job and the visible plan
-      // starts from the checkpoint scan — the generator assertion then
-      // lives on the posting subplan, not the final plan
       if (q != "dedup_ppjoin_pairs")
         assert(p.contains("graft_ngrams"),
           s"$q lost the fused n-gram generator:\n" + p)
@@ -202,6 +198,34 @@ class PlanShapeSpec extends AnyFunSuite {
         !p.contains("BroadcastNestedLoopJoin"),
         s"$q: pair generation must be an equi-join on the posting key:\n" + p)
     }
+    // ppjoin materializes its posting table once (localCheckpoint), so
+    // the final plan starts at the checkpoint scan — the generator
+    // guard lives on the PRE-checkpoint posting subplan (the round-5
+    // incident this pins: the interpreted transform/slice shingle form
+    // is O(tokens^2)/doc, 15+ min vs seconds at x20)
+    val docs = Tables.documents(spark, sf)
+    val posts = graft.queries.Dedup.ppjoinPosts(docs, 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(posts.contains("graft_ngrams"),
+      "ppjoin posting table lost the fused n-gram generator:\n" + posts)
+    assert(!posts.contains("transform("),
+      "ppjoin posting table: interpreted HOFs crept back:\n" + posts)
+  }
+
+  test("substring cut: fingerprint shuffle shape, rebuild stays row-local") {
+    val p = plan("pipe_substr_cut")
+    assert(p.contains("graft_window_hashes"),
+      "cut op lost the fused rolling-fingerprint generator:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cut lookup must be an equi-join on the fingerprint:\n" + p)
+    // the per-doc rebuild (indexed-lambda filter over the token array)
+    // is the ONE place interpreted HOFs are accepted: output-sized,
+    // per-doc bounded, no shuffle of rebuilt text — pin that the plan
+    // has no window-content exchange by checking the only exchanges are
+    // on ids/fingerprints (span collect + final sort are doc_id-keyed)
+    assert(!p.contains("Exchange hashpartitioning(win"),
+      "window text became a shuffle key:\n" + p)
   }
 
   test("substring spans: fused window-hash generator, equi-join, no text shuffle") {
