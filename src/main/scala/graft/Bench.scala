@@ -178,11 +178,20 @@ object Bench {
       headline.filter(SparkEntry.queries.contains)
         .map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 
+    // A failed query must never masquerade as a fast one: its name lands
+    // in `failed` (reported in the JSON line + nonzero exit code), and
+    // its elapsed time is the exception-throw time only.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    headline.filterNot(SparkEntry.queries.contains).foreach { n =>
+      failed += n
+      System.err.println(s"[bench] $n missing from SparkEntry.queries")
+    }
     def timeOne(name: String, mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       try runOnce(mk())
       catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -349,7 +358,9 @@ object Bench {
       mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ contamS.head :+
       bloomS.head :+ chunk.head :+ winnow.head :+ ppjoin.head :+
       sparse.head :+ inc.head :+ substr.head).sum
-    println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -23,19 +23,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as raw nanos (legacy conf) and truncate to microsecond
-    * TimestampType — same truncation DuckDB applies casting its
-    * TIMESTAMP_NS to TIMESTAMP, so derived values agree with the oracle.
+  /** Normalize a `ts` column to session-TZ `TimestampType` regardless of
+    * how the parquet writer encoded it. The testdata generator has shipped
+    * three flavors so far:
+    *
+    *   - parquet `TIMESTAMP(NANOS)`: Spark's reader rejects it outright;
+    *     with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    *     raw `LongType` of epoch nanos — truncate to micros, same
+    *     truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP.
+    *   - parquet `TIMESTAMP(isAdjustedToUTC=false, us)`: Spark reads
+    *     `TimestampNTZType`; cast to `TimestampType`. The session TZ is
+    *     pinned to UTC (Engine.builder), so the wall-clock field values
+    *     re-interpret as identical epoch micros — exactly what DuckDB's
+    *     `epoch_us` yields on its (TZ-less) TIMESTAMP.
+    *   - parquet `TIMESTAMP(isAdjustedToUTC=true, us)` / INT96: already
+    *     `TimestampType` — pass through.
+    *
+    * Works on batch and streaming DataFrames alike (pure projection).
     */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    normalizeTs(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -46,8 +46,13 @@ object EventsTime extends QueryModule {
       val parts = (if (src.isDirectory)
         Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
       else Seq(src)).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      // the normalized schema is part of the fingerprint: a scratch copy
+      // written before a ts-encoding change (e.g. the NTZ regeneration)
+      // must not replay against a schema-pinned stream expecting the new
+      // normalized type
       java.lang.Long.toHexString(
-        parts.mkString("|").hashCode.toLong & 0xffffffffL)
+        (parts.mkString("|") + "|" + batch.schema.catalogString)
+          .hashCode.toLong & 0xffffffffL)
     }
     val scratch = new java.io.File(
       sys.props("java.io.tmpdir"),

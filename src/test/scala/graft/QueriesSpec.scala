@@ -9,6 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("registry holds exactly the pinned query count") {
+    // Pin the registry size so silent shrinkage (a registry edit, a
+    // testdata-encoding drift that drops queries from the gate) fails
+    // loudly. Update the pin ONLY when deliberately adding queries.
+    val expected = 163
+    val n = SparkEntry.queries.size
+    assert(n == expected,
+      s"query registry has $n entries, expected $expected; " +
+        s"names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    assert(SparkEntry.oracleSql.size == expected,
+      s"oracleSql has ${SparkEntry.oracleSql.size} entries, expected $expected")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, TestSpark.sf0001).count()

@@ -137,8 +137,9 @@ class StreamingSpec extends AnyFunSuite {
       tmp.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(tmp.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // one normalization point for every ts encoding the generator has shipped
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(tmp.toString))
     val q = Streaming.windowedTypeCounts(stream, "1 hour", "1 hour", "2 hours")
       .writeStream.outputMode("complete")
       .format("memory").queryName("replay_out").start()

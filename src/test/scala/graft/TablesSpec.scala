@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `Tables.normalizeTs` must yield identical `TimestampType` epoch
+  * values for every `ts` encoding the testdata generator has shipped:
+  *
+  *   1. parquet TIMESTAMP(NANOS) — unreadable by Spark directly; with
+  *      `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a
+  *      raw LongType of epoch nanos (simulated here by writing a Long
+  *      column: the reader hands `normalizeTs` the same LongType input).
+  *   2. parquet TIMESTAMP(isAdjustedToUTC=false, us) — read as
+  *      TimestampNTZType (written here via `timestamp_ntz` cast).
+  *   3. parquet TIMESTAMP(isAdjustedToUTC=true, us) — read as
+  *      TimestampType (written here from TimestampType with
+  *      outputTimestampType=TIMESTAMP_MICROS).
+  *
+  * The generator has changed encoding twice across rounds; this pins the
+  * loader against a third drift.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // sub-millisecond micros on purpose: truncation bugs show up here
+  private val epochMicros = Seq(
+    1704067200000000L, // 2024-01-01 00:00:00.000000
+    1704067200123456L, // 2024-01-01 00:00:00.123456
+    1704070800999999L) // 2024-01-01 01:00:00.999999
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_tables_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def readNormalized(path: String): DataFrame =
+    Tables.normalizeTs(spark.read.parquet(path))
+
+  private def micros(df: DataFrame): Seq[Long] =
+    df.select(unix_micros(col("ts")).as("us"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  test("normalizeTs: all three parquet ts encodings agree") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    // flavor 1: raw Long nanos (what nanosAsLong yields for TIMESTAMP(NANOS))
+    val longPath = tmpDir("long")
+    epochMicros.map(_ * 1000L).toDF("ts")
+      .write.mode("overwrite").parquet(longPath)
+
+    // flavor 2: TIMESTAMP_NTZ micros
+    val ntzPath = tmpDir("ntz")
+    epochMicros.toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(ntzPath)
+
+    // flavor 3: UTC-adjusted TIMESTAMP micros
+    val utcPath = tmpDir("utc")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    epochMicros.toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(utcPath)
+
+    val dfs = Seq(longPath, ntzPath, utcPath).map(readNormalized)
+    dfs.foreach(df => assert(df.schema("ts").dataType == TimestampType,
+      s"expected TimestampType, got ${df.schema("ts").dataType}"))
+    dfs.foreach(df => assert(micros(df) == epochMicros.sorted))
+  }
+
+  test("Tables.events yields TimestampType on the live testdata") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    assert(ev.schema("ts").dataType == TimestampType)
+    // and event-time primitives analyze + run on it
+    assert(ev.select(unix_micros(col("ts"))).limit(1).count() == 1L)
+  }
+}
