@@ -275,6 +275,39 @@ object BenchProbe {
       Thread.sleep(2000)
       spark.stop(); return
     }
+    if (name == "ccseq") {
+      // Reproduce the BENCH session's state when the CC runs start:
+      // ref workloads (7+7+amortized) then minhash x3, then time CC x3
+      // with per-run prints — isolates which predecessor keeps the CC
+      // loop off its fresh-session steady state (~8 s).
+      import org.apache.spark.sql.functions.col
+      def noop(df: DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      noop(SparkEntry.queries("q_topk")(spark, sfDir))
+      val refPath = Bench.prepareRefCorpus(spark)
+      (1 to 7).foreach(_ => noop(Bench.refWordcount12m(spark, refPath)))
+      val refBPath = Bench.prepareRefCorpusB(spark)
+      (1 to 7).foreach(_ => noop(Bench.refWordcount12m(spark, refBPath)))
+      (1 to 2).foreach { _ =>
+        val five = (1 to 5).map(_ => spark.read
+          .format("graft.sources.ChunkedTextSource").load(refBPath))
+          .reduce(_ union _)
+        noop(graft.operators.WordCount.counts(five, col("value")))
+      }
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        noop(Bench.scaledMinhash(spark, p))
+        println(f"[probe] ccseq mh run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        noop(graft.queries.Dedup.clustersFrom(
+          spark.read.parquet(p), ordered = false))
+        println(f"[probe] ccseq cc run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     if (name == "substrstages") {
       // per-stage timing of the exact-substring span pipeline at x20
       val p = Bench.prepareScaledDocs(spark, sfDir)

@@ -23,6 +23,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Second line of defense behind Tables.normalizeTs: read parquet
+      // TIMESTAMP(isAdjustedToUTC=false) as TimestampType directly
+      // (identical epoch values under the pinned UTC session TZ), so
+      // event-time ops never see TIMESTAMP_NTZ even on a raw read that
+      // bypasses the Tables loader.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def session(

@@ -235,8 +235,42 @@ object Dedup extends QueryModule {
     // heaviest round (every node active) is one groupBy over the edge
     // list instead of an edges-x-labels join.
     val nbr0 = edges.groupBy("src").agg(min("dst").as("nbr_min"))
-    var labels = docs.select(col("doc_id").as("id"))
+    val lab1 = docs.select(col("doc_id").as("id"))
       .join(hint(nbr0), col("id") === col("src"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
+      .localCheckpoint()
+    // CONTRACT, then solve (Kiveris et al.'s star-contraction family):
+    // lab1 maps every node into its own component (itself or a direct
+    // neighbor), so collapsing nodes onto their round-1 labels preserves
+    // components exactly; the surviving graph keeps only edges BETWEEN
+    // round-1 clusters. Near-dup graphs are clique-ish, so this is
+    // typically a >100x edge reduction — the iterative loop below then
+    // scans the contracted remnant per round instead of the full edge
+    // set, which is what keeps per-round cost flat as the corpus grows
+    // (the full edge set is touched exactly twice: the round-1 min and
+    // this projection). The global min id m of a component satisfies
+    // lab1(m)=m, so it survives contraction and min-label propagation
+    // still converges to it.
+    val cEdges = edges
+      .join(hint(lab1.select(col("id").as("src"), col("label").as("csrc"))),
+        Seq("src"))
+      .join(hint(lab1.select(col("id").as("dst"), col("label").as("cdst"))),
+        Seq("dst"))
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // the full edge set is dead from here on — release it NOW, so the
+    // loop runs with only the contracted remnant + one label frame
+    // retained (vs pinning the |pairs|-sized frame for the whole loop)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edges)
+    val cNodes = lab1.select(col("label").as("id")).distinct()
+    // join-free round 1 again, now on the contracted graph
+    val cNbr0 = cEdges.groupBy("src").agg(min("dst").as("nbr_min"))
+    var labels = cNodes
+      .join(hint(cNbr0), col("id") === col("src"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
       .localCheckpoint()
@@ -252,7 +286,7 @@ object Dedup extends QueryModule {
     var rounds = 1
     val maxRounds = 50
     while (changed > 0 && rounds < maxRounds) {
-      val nbr = edges
+      val nbr = cEdges
         .join(hint(frontier.withColumnRenamed("id", "nid")),
           col("dst") === col("nid"))
         .groupBy("src").agg(min("label").as("nbr_min"))
@@ -290,21 +324,29 @@ object Dedup extends QueryModule {
       labels = next.select("id", "label")
       rounds += 1
     }
-    // The final labels are checkpointed (self-contained), so the edge
-    // set's blocks are dead no matter how the caller consumes the
-    // result — release them. Only the one final label frame outlives
-    // the call.
-    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edges)
     // The cap exists to bound a pathological input (diameter > 50 means
     // chains of thousands of near-identical docs, not dedup cliques);
     // returning silently-unconverged labels would diverge from the
-    // transitive-closure semantics, so fail loudly instead.
+    // transitive-closure semantics, so fail loudly instead. (The
+    // contraction above has already collapsed cliques, so the cap
+    // budget is spent only on genuine long inter-cluster chains.)
     if (changed > 0)
       throw new IllegalStateException(
         s"ccFromPairs: label propagation not converged after $maxRounds " +
           s"rounds ($changed labels still improving); pair-graph diameter " +
           "exceeds the cap — raise it or pre-contract the long chains")
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    // Compose: final(id) = ccLabel(lab1(id)). Materialize the composed
+    // corpus-sized frame once, then release every loop frame — only the
+    // one final label frame outlives the call, whatever the caller does
+    // with it.
+    val out = lab1
+      .join(hint(labels.select(col("label").as("cluster"),
+        col("id").as("cid"))), col("label") === col("cid"))
+      .select(col("id").as("doc_id"), col("cluster"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(cEdges)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(lab1)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(labelsCp)
     if (ordered) out.orderBy("doc_id") else out
   }
 

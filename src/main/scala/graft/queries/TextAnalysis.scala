@@ -123,6 +123,15 @@ object TextAnalysis extends QueryModule {
     * string replace over the vocab-sized segmentation table. Driver
     * state is nMerges rows — bounded metadata, the MisraGries
     * discipline. Returns (rank, l, r, cnt) merges in training order.
+    *
+    * Scale note: the loop is one driver round-trip (a 1-row collect +
+    * job submit) PER merge — fine at the tens of merges trained here,
+    * but a production 50k-merge vocabulary would be scheduler-bound at
+    * ~50k sequential jobs. The scale path is batched rounds: take the
+    * top-B non-overlapping pairs per round (pairs whose l/r symbols are
+    * all distinct commute — applying them in one pass equals applying
+    * them sequentially), cutting round-trips to nMerges/B at identical
+    * output. Not wired here because the oracle pins strict rank order.
     */
   def bpeTrain(words: DataFrame, nMerges: Int): Seq[(Long, String, String, Long)] = {
     var seg = words.select(col("freq"), segInit(col("w")).as("seg"))

@@ -69,6 +69,19 @@ class TablesSpec extends AnyFunSuite {
     dfs.foreach(df => assert(df.schema("ts").dataType == TimestampType,
       s"expected TimestampType, got ${df.schema("ts").dataType}"))
     dfs.foreach(df => assert(micros(df) == epochMicros.sorted))
+
+    // Engine disables NTZ inference (the NTZ file above read back as
+    // TimestampType already); exercise normalizeTs's NTZ branch too, as
+    // it's the only defense in sessions without Engine's conf.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try {
+      val ntzRaw = spark.read.parquet(ntzPath)
+      assert(ntzRaw.schema("ts").dataType == TimestampNTZType)
+      val norm = Tables.normalizeTs(ntzRaw)
+      assert(norm.schema("ts").dataType == TimestampType)
+      assert(micros(norm) == epochMicros.sorted)
+    } finally
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 
   test("Tables.events yields TimestampType on the live testdata") {
