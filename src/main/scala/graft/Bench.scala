@@ -359,7 +359,12 @@ object Bench {
       bloomS.head :+ chunk.head :+ winnow.head :+ ppjoin.head :+
       sparse.head :+ inc.head :+ substr.head).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // 1-minute system load at exit: the box is shared, and outside load
+    // inflates the barrier-heavy workloads 2-4x — record it so a noisy
+    // round is distinguishable from a regression when reading the JSON
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"""{"metric":"total","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load_avg":$loadAvg%.2f,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -91,6 +91,47 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("ccFromPairs matches union-find on adversarial graph shapes") {
+    // Pins the contraction + pointer-halving loop against brute-force
+    // transitive closure on shapes where round-1 contraction does NOT
+    // collapse the graph: long paths (contracting a path yields another
+    // path — the loop's halving does the work), stars, bridged cliques,
+    // isolated nodes, and a seeded random graph.
+    def unionFind(ids: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    def check(ids: Seq[Long], edges: Seq[(Long, Long)]): Unit = {
+      val docs = ids.toDF("doc_id")
+      val pairs = edges.toDF("a_id", "b_id")
+      val got = Dedup.ccFromPairs(docs, pairs, ordered = false)
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(ids, edges))
+    }
+    // path: diameter 129 — needs the halving loop, not just contraction
+    check(0L until 130L, (0L until 129L).map(i => (i, i + 1L)))
+    // star centered on the HIGHEST id: every leaf must still win the min
+    check(0L until 20L, (0L until 19L).map(i => (19L, i)))
+    // two cliques joined by one bridge edge + isolated nodes
+    val cliqueA = for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)
+    val cliqueB = for (a <- 20L until 28L; b <- (a + 1) until 28L) yield (a, b)
+    check((0L until 8L) ++ (20L until 28L) ++ Seq(90L, 91L),
+      cliqueA ++ cliqueB ++ Seq((7L, 20L)))
+    // seeded random graph: 60 nodes, 45 edges -> several odd components
+    val rnd = new scala.util.Random(42)
+    val ids = (0L until 60L).toSeq
+    val rndEdges = Seq.fill(45)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    check(ids, rndEdges)
+  }
+
   test("cluster labels equal transitive closure on a chain within the round cap") {
     // a-b, b-c near-dup chain: c must inherit a's label through two hops.
     val docs = Seq(
