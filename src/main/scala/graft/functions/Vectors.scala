@@ -1,17 +1,25 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression for cosine similarity over float-array
-  * embeddings — the hot inner loop of similarity search / near-dup
-  * scoring. A codegen'd `Expression` (not a Scala UDF) keeps the whole
-  * stage inside WholeStageCodegen: no boxing, no Row conversion, one
-  * fused loop computing dot product and both norms.
+/** Native Catalyst expression for cosine similarity over float- or
+  * double-array embeddings — the hot inner loop of similarity search /
+  * near-dup scoring. A codegen'd `Expression` (not a Scala UDF) keeps
+  * the whole stage inside WholeStageCodegen: no boxing, no Row
+  * conversion, one fused loop computing dot product and both norms.
+  *
+  * The element accessor is chosen from the CHILD TYPE at plan time
+  * (`getFloat` vs `getDouble`): an unsafe `getFloat` over a double
+  * array would read garbage bytes silently, so a testdata-generator
+  * drift to `array<double>` must switch accessors, not corrupt scores
+  * (the ts-encoding lesson applied to vectors). Anything else fails
+  * analysis loudly via `checkInputDataTypes`.
   *
   * Semantics (fixed, engine-checkable): accumulate left-to-right in
   * double: dot += a[i]*b[i]; na += a[i]^2; nb += b[i]^2; result =
@@ -24,14 +32,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  private def accessor(t: DataType): String = t match {
+    case ArrayType(DoubleType, _) => "getDouble"
+    case _ => "getFloat"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xDouble = accessor(left.dataType) == "getDouble"
+    val yDouble = accessor(right.dataType) == "getDouble"
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -40,12 +66,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ga, gb) = (accessor(left.dataType), accessor(right.dataType))
       s"""
         int n = Math.min($a.numElements(), $b.numElements());
         double dot = 0.0, na = 0.0, nb = 0.0;
         for (int i = 0; i < n; i++) {
-          double xi = (double) $a.getFloat(i);
-          double yi = (double) $b.getFloat(i);
+          double xi = (double) $a.$ga(i);
+          double yi = (double) $b.$gb(i);
           dot += xi * yi; na += xi * xi; nb += yi * yi;
         }
         ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));

@@ -84,6 +84,58 @@ class TablesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 
+  test("live testdata schemas match the pinned expectations") {
+    // The generator has drifted before (ts encoding, twice). Pin every
+    // column's post-normalization Spark type so the NEXT drift fails
+    // here, naming the table and column, instead of surfacing as a
+    // silent value corruption or a mid-gate analysis error.
+    val expected = Map(
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType))
+    expected.foreach { case (table, cols) =>
+      val df =
+        if (table == "events") Tables.events(spark, TestSpark.sf0001)
+        else Tables(spark, TestSpark.sf0001, table)
+      cols.foreach { case (name, tpe) =>
+        val actual = df.schema(name).dataType
+        // containsNull/valueContainsNull flags are generator-incidental
+        val matches = (actual, tpe) match {
+          case (ArrayType(a, _), ArrayType(b, _)) => a == b
+          case (a, b) => a == b
+        }
+        assert(matches, s"$table.$name: expected $tpe, testdata now reads as " +
+          s"$actual — normalize in Tables or update consumers deliberately")
+      }
+    }
+  }
+
+  test("graft_cosine agrees across float and double array inputs") {
+    import spark.implicits._
+    val f = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(graft.functions.Vectors.cosine(spark, col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)))
+      .toDF("a", "b")
+      .select(graft.functions.Vectors.cosine(spark, col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(f - d) < 1e-9)
+    assert(math.abs(f - 10.0 / 14.0) < 1e-7)
+    // non-array input fails analysis loudly, not silently at runtime
+    val err = intercept[Exception] {
+      Seq((1L, 2L)).toDF("a", "b")
+        .select(graft.functions.Vectors.cosine(spark, col("a"), col("b")))
+        .collect()
+    }
+    assert(err.getMessage.contains("graft_cosine") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("Tables.events yields TimestampType on the live testdata") {
     val ev = Tables.events(spark, TestSpark.sf0001)
     assert(ev.schema("ts").dataType == TimestampType)
