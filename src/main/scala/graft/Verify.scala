@@ -19,12 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A query that fails to dump silently vanishes from the driver's
+    // correctness compare (the r07 lesson: 18 queries dropped from the
+    // gate with only stderr noise). Track failures and leave a
+    // failed.json artifact next to the dumps so shrinkage is visible in
+    // the output directory itself, then say so loudly on stdout.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,6 +51,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failed.sorted.map(q(_)).mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      println(s"[verify] ${failed.size}/${selected.size} queries FAILED " +
+        s"to dump: ${failed.sorted.mkString(", ")}")
+    else
+      println(s"[verify] all ${selected.size} queries dumped")
     spark.stop()
   }
 }
