@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** `|A ∩ B|` of two SORTED, null-free arrays as a codegen'd two-pointer
+  * merge — the exact-verification hot loop of the PPJoin similarity
+  * join (ref behavior: exact set-overlap verification of candidate
+  * pairs).
+  *
+  * `size(array_intersect(a, b))` allocates and fills a hash set PLUS
+  * the materialized intersection array per evaluated ROW; on millions
+  * of candidate pairs carrying ~hundreds-element shingle arrays the
+  * allocation dominates the verify stage. The merge walk is
+  * allocation-free, O(|a|+|b|), and stays inside WholeStageCodegen.
+  * Equality is exact element equality, so the count is bit-identical
+  * to `len(list_intersect(...))` in the DuckDB oracle as long as both
+  * inputs are distinct and sorted with any consistent comparator
+  * (`array_sort` upstream); unsorted input is a CALLER BUG and yields
+  * an undercount, which is why the precondition is in the name.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if a == b && (a == StringType || a == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<string> or two array<bigint> " +
+          s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0L
+    if (elemType == StringType)
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    else
+      while (i < na && j < nb) {
+        val cmp = java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cmp =
+        if (elemType == StringType) s"$a.getUTF8String(i).compareTo($b.getUTF8String(j))"
+        else s"java.lang.Long.compare($a.getLong(i), $b.getLong(j))"
+      s"""
+        int na = $a.numElements(), nb = $b.numElements();
+        int i = 0, j = 0; long c = 0L;
+        while (i < na && j < nb) {
+          int cmp = $cmp;
+          if (cmp == 0) { c++; i++; j++; }
+          else if (cmp < 0) i++;
+          else j++;
+        }
+        ${ev.value} = c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArraySets {
+
+  /** Idempotent session registration (SQL-callable as
+    * `graft_sorted_intersect_count(a, b)`).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+
+  /** `|a ∩ b|` over two sorted, distinct, null-free array columns. */
+  def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_sorted_intersect_count", a, b)
+  }
+}

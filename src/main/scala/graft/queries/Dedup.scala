@@ -867,8 +867,13 @@ object Dedup extends QueryModule {
     val posts = ppjoinPosts(docs, shingleN)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // per-doc distinct-shingle arrays for the exact verification leg
-    val sets = posts.groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
+    // per-doc distinct-shingle arrays for the exact verification leg,
+    // sorted ONCE per doc so the per-pair overlap is a codegen'd
+    // two-pointer merge (SortedIntersectCount) instead of a per-pair
+    // hash-set + materialized-intersection allocation — same exact
+    // count, order-independent, so the oracle's list_intersect agrees
+    val sets = posts.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
     val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
     // one exchange on doc_id serves both window functions
     val ranked = posts.join(dfreq, "s")
@@ -894,7 +899,8 @@ object Dedup extends QueryModule {
       .select(col("a_id"), col("b_id"),
         size(col("a_ss")).cast("long").as("na"),
         size(col("b_ss")).cast("long").as("nb"),
-        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long").as("inter"))
+        graft.functions.ArraySets.sortedIntersectCount(docs.sparkSession,
+          col("a_ss"), col("b_ss")).as("inter"))
       .filter(expr(s"(${tDen + tNum}) * inter >= $tNum * (na + nb)"))
       .withColumn("jac_mille", expr("(1000 * inter) DIV (na + nb - inter)"))
       .orderBy("a_id", "b_id")

@@ -91,6 +91,27 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("sorted-intersect-count equals array_intersect size on random arrays") {
+    val rnd = new scala.util.Random(7)
+    def randArr(n: Int): Seq[String] =
+      Seq.fill(n)(s"w${rnd.nextInt(40)}").distinct.sorted
+    val cases = Seq.fill(60)((randArr(rnd.nextInt(30)), randArr(rnd.nextInt(30)))) ++
+      Seq((Seq.empty[String], Seq("a")), (Seq.empty[String], Seq.empty[String]),
+        (Seq("a", "b"), Seq("c", "d")))
+    val df = cases.toDF("a", "b")
+      .select(
+        graft.functions.ArraySets
+          .sortedIntersectCount(spark, $"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+    assert(df.filter($"fast" =!= $"ref").count() === 0L)
+    // long arrays take the integer compare path
+    val lc = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
+      .select(graft.functions.ArraySets
+        .sortedIntersectCount(spark, $"a", $"b").as("c"))
+      .collect().head.getLong(0)
+    assert(lc === 2L)
+  }
+
   test("ccFromPairs matches union-find on adversarial graph shapes") {
     // Pins the contraction + pointer-halving loop against brute-force
     // transitive closure on shapes where round-1 contraction does NOT
