@@ -139,6 +139,32 @@ object EventsTime extends QueryModule {
     * bound STATE, not emission), so the oracle is the plain time-
     * bounded self-join.
     */
+  /** Arbitrary stateful processing under the oracle gate: the events
+    * table replayed through `flatMapGroupsWithState` carrying a custom
+    * per-user state (count, max event time, distinct-type set). Every
+    * emission is monotone in every output column, so the per-user MAX
+    * over the sink equals the final state under ANY micro-batching of
+    * the file source — which is what lets a custom state machine be
+    * value-compared against a plain batch aggregate.
+    */
+  def streamStateReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val summary = graft.streaming.Streaming.userStateSummary(stream)
+    val sink = "ev_stream_state_" + System.nanoTime()
+    val q = summary.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("last_us").as("last_us"),
+        max("n_types").as("n_types"))
+      .orderBy("user_id")
+  }
+
   def streamJoinReplay(s: SparkSession, d: String): DataFrame = {
     val (batch, scratch) = replayScratch(s, d)
     def stream = s.readStream.schema(batch.schema).parquet(scratch)
@@ -207,6 +233,11 @@ object EventsTime extends QueryModule {
 
     // -- streaming dedup, driver-checked (see streamDedupReplay) ----------
     "ev_stream_dedup" -> ((s, d) => streamDedupReplay(s, d)),
+
+    // -- custom state machine (flatMapGroupsWithState) under the gate:
+    //    per-user count / last event time / distinct-type set carried
+    //    in state; monotone emissions -> batch-invariant final maxima --
+    "ev_stream_state" -> ((s, d) => streamStateReplay(s, d)),
 
     // -- gap fill / densification: every (hour, event_type) bucket in the
     //    observed time range, zero-filled where no events landed. The
@@ -625,6 +656,13 @@ object EventsTime extends QueryModule {
     // distinct-type counts are the deterministic compare
     "ev_stream_dedup" -> """
       SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "ev_stream_state" -> """
+      SELECT user_id, count(1) AS n_events, max(epoch_us(ts)) AS last_us,
+             count(DISTINCT event_type) AS n_types
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",

@@ -188,6 +188,47 @@ object Streaming {
   case class UserState(n: Long, lastUs: Long)
   case class UserUpdate(user_id: Long, n_total: Long, last_us: Long)
 
+  /** Custom per-user state SUMMARY: event count, last-seen event time,
+    * and the distinct event-type set carried in state — the state
+    * payload shape (a growing set) that windowed aggregation cannot
+    * express. Every emission is MONOTONE in all three outputs (count
+    * and max-ts only grow; the type set only gains members), so a
+    * consumer taking per-user maxima over the emitted stream gets the
+    * final state regardless of how the source was micro-batched — the
+    * property that makes the operator value-checkable under a batch
+    * oracle (see graft.queries.EventsTime `ev_stream_state`).
+    */
+  case class UserSummaryState(n: Long, lastUs: Long, types: Seq[String])
+  case class UserSummaryOut(user_id: Long, n_events: Long, last_us: Long,
+      n_types: Long)
+
+  def userStateSummary(events: DataFrame): Dataset[UserSummaryOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserSummaryState, UserSummaryOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[UserSummaryState]) =>
+          val prev = state.getOption.getOrElse(
+            UserSummaryState(0L, Long.MinValue, Seq.empty))
+          var n = prev.n
+          var last = prev.lastUs
+          var types = prev.types
+          rows.foreach { case (_, t, us) =>
+            n += 1
+            last = math.max(last, us)
+            if (!types.contains(t)) types = types :+ t
+          }
+          state.update(UserSummaryState(n, last, types))
+          Iterator(UserSummaryOut(uid, n, last, types.size.toLong))
+      }
+  }
+
   def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
     val sp = events.sparkSession
     import sp.implicits._

@@ -150,6 +150,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userStateSummary carries count/last-ts/type-set state across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streaming.userStateSummary(events).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("summary_out").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), 1L, "click"),
+        (ts("2024-01-01 00:05:00"), 1L, "view"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:02:00"), 1L, "click"), // older ts, dup type
+        (ts("2024-01-01 00:09:00"), 2L, "view"))
+      q.processAllAvailable()
+      val fin = spark.table("summary_out")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("last_us").as("last_us"),
+          max("n_types").as("n_types"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // user 1: 3 events over 2 batches, last ts stays 00:05 (the later
+      // batch's event is OLDER), 2 distinct types despite the dup click
+      assert(fin(1L) == ((3L, ts("2024-01-01 00:05:00").getTime * 1000L, 2L)))
+      assert(fin(2L) == ((1L, ts("2024-01-01 00:09:00").getTime * 1000L, 1L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
