@@ -109,6 +109,14 @@ object BenchProbe {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Dedup.ppjoinPairsFrom(spark.read.parquet(p),
           tNum = 9, tDen = 10, shingleN = 5)
+      } else if (name == "scaledppjoin100") {
+        // x100 EXACT similarity join: 500k docs in 100-member dup
+        // cliques — the true-pair OUTPUT is ~25M, so this probes
+        // whether prefix+length filtering keeps the candidate stream
+        // proportional to the (inherently quadratic-per-clique) answer
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        graft.queries.Dedup.ppjoinPairsFrom(spark.read.parquet(p),
+          tNum = 9, tDen = 10, shingleN = 5)
       } else if (name == "scaledsparse") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Similarity.sparseCosinePairsFrom(spark.read.parquet(p))

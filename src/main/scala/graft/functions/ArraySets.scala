@@ -69,19 +69,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val cmp =
-        if (elemType == StringType) s"$a.getUTF8String(i).compareTo($b.getUTF8String(j))"
-        else s"java.lang.Long.compare($a.getLong(i), $b.getLong(j))"
+      // every local MUST be ctx.freshName'd: this snippet inlines into
+      // the surrounding stage's generated method, where a bare "na"
+      // collides with the projection's own locals (e.g. a column NAMED
+      // na) — Janino then fails the whole stage and Spark silently
+      // falls back to interpreted eval
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (elemType == StringType)
+          s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        else s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
       s"""
-        int na = $a.numElements(), nb = $b.numElements();
-        int i = 0, j = 0; long c = 0L;
-        while (i < na && j < nb) {
-          int cmp = $cmp;
-          if (cmp == 0) { c++; i++; j++; }
-          else if (cmp < 0) i++;
-          else j++;
+        int $na = $a.numElements(), $nb = $b.numElements();
+        int $i = 0, $j = 0; long $c = 0L;
+        while ($i < $na && $j < $nb) {
+          int $cmp = $cmpExpr;
+          if ($cmp == 0) { $c++; $i++; $j++; }
+          else if ($cmp < 0) $i++;
+          else $j++;
         }
-        ${ev.value} = c;
+        ${ev.value} = $c;
       """
     })
 

@@ -67,15 +67,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (ga, gb) = (accessor(left.dataType), accessor(right.dataType))
+      // locals freshName'd: bare names collide with the surrounding
+      // stage's generated locals (e.g. a projected column named n/na),
+      // failing Janino and silently dropping the stage to interpreted
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-        int n = Math.min($a.numElements(), $b.numElements());
-        double dot = 0.0, na = 0.0, nb = 0.0;
-        for (int i = 0; i < n; i++) {
-          double xi = (double) $a.$ga(i);
-          double yi = (double) $b.$gb(i);
-          dot += xi * yi; na += xi * xi; nb += yi * yi;
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.$ga($i);
+          double $yi = (double) $b.$gb($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+        ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
       """
     })
 
