@@ -157,11 +157,32 @@ object Similarity extends QueryModule {
       .agg(floor(sum(col("v")) / count(lit(1)).cast("double")).cast("long").as("cv"))
 
   def kmeansAssignFrom(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
-    val e = longForm(emb)
+    // Materialize the long form ONCE and each round's k x dims centroid
+    // frame (k*dims rows — trivial): as lazy frames the final plan
+    // nests every previous round, so the explode scan and each earlier
+    // assign+update re-execute inside every broadcast build — measured
+    // ~10-40% of wall time at 2 rounds, growing with rounds. Values are
+    // unchanged; this is pure plan flattening. Same block-manager
+    // discipline as the CC loop: each round releases the previous
+    // centroid checkpoint, and the long form is released once the final
+    // assignment is materialized — nothing outlives the call but the
+    // one returned frame.
+    val e = longForm(emb).localCheckpoint()
     val seeds = seedsOf(emb, k)
     var cent = e.join(seeds, "vec_id").select(col("c"), col("d"), col("v").as("cv"))
-    (1 to rounds).foreach(_ => cent = updateStep(e, assignStep(e, cent)))
-    assignStep(e, cent)
+    var centCp: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val next = updateStep(e, assignStep(e, cent)).localCheckpoint()
+      if (centCp != null)
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(centCp)
+      centCp = next
+      cent = next
+    }
+    val out = assignStep(e, cent).localCheckpoint()
+    if (centCp != null)
+      org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(centCp)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(e)
+    out
   }
 
   /** Product quantization (Jégou et al., "Product Quantization for
