@@ -1093,6 +1093,33 @@ object Dedup extends QueryModule {
     "dedup_ppjoin_pairs" -> ((s, d) =>
       ppjoinPairsFrom(Tables.documents(s, d))),
 
+    // -- the production dedup CASCADE: collapse byte-identical texts to
+    //    one canonical doc (min doc_id) FIRST, run the MinHash near-dup
+    //    pass on canonicals only, then re-attach each side's exact-copy
+    //    count. Exact collapse is a digest-only shuffle, so the
+    //    expensive near-dup stage runs on the unique-text corpus — at
+    //    web scale the exact-dup factor (often 2-5x) comes straight off
+    //    the LSH bill. Same dup injection as dedup_exact so the
+    //    cascade has real work at test SFs ----------------------------
+    "pipe_dedup_cascade" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dups = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = base.union(dups)
+      val groups = all
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      val canon = groups.join(all, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("n_copies"))
+      val hint = graft.operators.DedupOps.sizeHint(all)
+      minhashPairsFrom(canon.select("doc_id", "text"), ordered = false)
+        .join(hint(canon.select(col("doc_id").as("a_id"),
+          col("n_copies").as("a_copies"))), Seq("a_id"))
+        .join(hint(canon.select(col("doc_id").as("b_id"),
+          col("n_copies").as("b_copies"))), Seq("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // -- winnowing near-dup pairs (MOSS report): docs sharing >= 3
     //    selected fingerprints, candidate-blocked on the fingerprint
     //    itself. Guarantee inherited from winnowing: any pair sharing a
@@ -1210,18 +1237,20 @@ object Dedup extends QueryModule {
   /** CTEs computing integer minhash signatures, mirroring
     * DedupOps.minhashSignatures: one md5 per (doc, shingle), two 48-bit
     * halves, k universal hashes h1 + i*h2, min per doc.
-    * Yields a relation `sg(doc_id, sig)`.
+    * Yields a relation `sg(doc_id, sig)` over any (doc_id, text) rel.
     */
-  private def sqlSigCtes: String = {
+  private def sqlSigCtesFrom(rel: String): String = {
     val mins = (0 until K)
       .map(i => s"min(h1 + $i * h2)").mkString("[", ", ", "]")
-    s"""sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s FROM documents),
+    s"""sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s FROM $rel),
            hh AS (SELECT doc_id,
                          ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
                          ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
                   FROM sh),
            sg AS (SELECT doc_id, $mins AS sig FROM hh GROUP BY doc_id)"""
   }
+
+  private def sqlSigCtes: String = sqlSigCtesFrom("documents")
 
   /** The MinHash+LSH pair oracle, optionally without its final total
     * order so it can embed as a derived table (dedup_clusters).
@@ -1625,6 +1654,39 @@ object Dedup extends QueryModule {
       FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
                   JOIN sets sb ON c.b_id = sb.doc_id
       WHERE 3 * len(list_intersect(sa.ss, sb.ss)) >= sa.n + sb.n
+      ORDER BY a_id, b_id""",
+
+    "pipe_dedup_cascade" -> s"""
+      WITH all_docs AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id % 10 = 0),
+           g AS (SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                        count(1) AS n_copies
+                 FROM all_docs GROUP BY md5(text)),
+           canon AS (SELECT g.doc_id, a.text, g.n_copies
+                     FROM g JOIN all_docs a ON g.doc_id = a.doc_id),
+           ${sqlSigCtesFrom("canon")},
+           bands AS (
+             SELECT doc_id, sig, bb.b AS band,
+                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
+             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.sig AS a_sig, b.sig AS b_sig
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT c.a_id, c.b_id,
+             list_aggregate(list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+               / $K.0 AS est_jaccard,
+             ga.n_copies AS a_copies, gb.n_copies AS b_copies
+      FROM cand c JOIN canon ga ON c.a_id = ga.doc_id
+                  JOIN canon gb ON c.b_id = gb.doc_id
+      WHERE list_aggregate(list_transform(range(1, ${K + 1}),
+              i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+              / $K.0 >= 0.5
       ORDER BY a_id, b_id""",
 
     "dedup_winnow_pairs" -> s"""
