@@ -83,6 +83,21 @@ object Bench {
     path
   }
 
+  /** Cache key component for scratch corpora derived from a testdata
+    * table: file sizes + mtimes of the source parquet. The driver
+    * REGENERATES /root/testdata between rounds (observed twice, with
+    * changed encodings and duplicate structure) — a path keyed only by
+    * SF dir would silently replay a stale corpus against new-testdata
+    * expectations.
+    */
+  private def srcSig(sfDir: String, table: String): String = {
+    val src = new java.io.File(sfDir, s"$table.parquet")
+    val parts = (if (src.isDirectory)
+      Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+    else Seq(src)).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    java.lang.Long.toHexString(parts.mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
   /** Scaled dedup corpus: documents x20 (even replicas exact copies,
     * odd replicas near-dups with one appended token) — at sf0.1 that's
     * 100k docs / ~20M shingles, a real workout for the MinHash+LSH
@@ -92,9 +107,9 @@ object Bench {
   def prepareScaledDocs(spark: SparkSession, sfDir: String,
       factor: Int = 20): String = {
     require(1 <= factor && factor <= 100, "rep packs into doc_id * 100")
-    // corpus content depends on the SF dir -> key the cache by it
+    // corpus content depends on the SF dir AND the testdata generation
     val path = s"target/bench_scratch/docs_x${factor}_" +
-      new java.io.File(sfDir).getName
+      new java.io.File(sfDir).getName + "_" + srcSig(sfDir, "documents")
     if (!new java.io.File(path).exists()) {
       graft.Tables.documents(spark, sfDir)
         .select(explode(sequence(lit(0), lit(factor - 1))).as("rep"),
@@ -114,7 +129,8 @@ object Bench {
     * dimension, not vector novelty). 40k vectors at sf0.1.
     */
   def prepareScaledEmb(spark: SparkSession, sfDir: String): String = {
-    val path = s"target/bench_scratch/emb_x20_${new java.io.File(sfDir).getName}"
+    val path = s"target/bench_scratch/emb_x20_${new java.io.File(sfDir).getName}" +
+      "_" + srcSig(sfDir, "embeddings")
     if (!new java.io.File(path).exists()) {
       graft.Tables.embeddings(spark, sfDir)
         .select(explode(sequence(lit(0), lit(19))).as("rep"),
