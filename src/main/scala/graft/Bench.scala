@@ -196,7 +196,8 @@ object Bench {
 
     // A failed query must never masquerade as a fast one: its name lands
     // in `failed` (reported in the JSON line + nonzero exit code), and
-    // its elapsed time is the exception-throw time only.
+    // its value is NaN -> printed as null and EXCLUDED from totals, so
+    // the headline total never counts an exception-throw time as work.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     headline.filterNot(SparkEntry.queries.contains).foreach { n =>
       failed += n
@@ -204,13 +205,15 @@ object Bench {
     }
     def timeOne(name: String, mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try runOnce(mk())
-      catch {
+      try {
+        runOnce(mk())
+        (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // The reference-parity throughput workloads run FIRST: the baseline
@@ -363,17 +366,23 @@ object Bench {
       "scaled_inc_x20" -> inc.min,
       "scaled_substr_x20" -> substr.min)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // NaN (= failed) prints as null and never reaches a sum: a reader
+    // of only the metric lines sees the gap, not a fake-fast number
+    def jNum(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
+    def okSum(xs: Seq[Double]): Double = xs.filterNot(_.isNaN).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
     // totals count each workload once: *_cold/*_median are informational
-    val total = results0.map(_._2).sum + refRuns.min + refBRuns.min +
-      mh.min + cc.min + contam.min + bloomC.min + contamS.min +
-      bloomS.min + chunk.min + winnow.min + ppjoin.min + sparse.min +
-      inc.min + substr.min
-    val totalCold = (cold.map(_._2) :+ refRuns.head :+ refBRuns.head :+
-      mh.head :+ cc.head :+ contam.head :+ bloomC.head :+ contamS.head :+
-      bloomS.head :+ chunk.head :+ winnow.head :+ ppjoin.head :+
-      sparse.head :+ inc.head :+ substr.head).sum
+    // (.min under TotalOrdering ranks NaN greatest, so a workload's min
+    // is its best SUCCESSFUL run; all-failed -> NaN -> excluded here)
+    val total = okSum(results0.map(_._2) ++ Seq(refRuns.min, refBRuns.min,
+      mh.min, cc.min, contam.min, bloomC.min, contamS.min,
+      bloomS.min, chunk.min, winnow.min, ppjoin.min, sparse.min,
+      inc.min, substr.min))
+    val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head,
+      mh.head, cc.head, contam.head, bloomC.head, contamS.head,
+      bloomS.head, chunk.head, winnow.head, ppjoin.head,
+      sparse.head, inc.head, substr.head))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load at exit: the box is shared, and outside load
     // inflates the barrier-heavy workloads 2-4x — record it so a noisy

@@ -29,6 +29,11 @@ object Engine {
       // event-time ops never see TIMESTAMP_NTZ even on a raw read that
       // bypasses the Tables loader.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Read parquet TIMESTAMP(NANOS) as raw epoch-nano longs instead of
+      // failing the scan; Tables.normalizeTs truncates them to micros.
+      // Pinned HERE (not mutated inside a loader) so every session —
+      // including raw reads that bypass Tables — behaves identically.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def session(

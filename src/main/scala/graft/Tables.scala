@@ -53,10 +53,10 @@ object Tables {
     }
   }
 
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // nanosAsLong is pinned in Engine.builder (a loader must not mutate
+  // session conf); normalizeTs remains the single schema-drift defense.
+  def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(apply(s, d, "events"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

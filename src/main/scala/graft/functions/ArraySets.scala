@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** `|A ∩ B|` of two SORTED, null-free arrays as a codegen'd two-pointer
+/** `|A ∩ B|` of two SORTED arrays (null elements skipped) as a codegen'd two-pointer
   * merge — the exact-verification hot loop of the PPJoin similarity
   * join (ref behavior: exact set-overlap verification of candidate
   * pairs).
@@ -50,19 +50,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val (na, nb) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var c = 0L
+    // Null ELEMENTS are skipped, never counted: the function is
+    // SQL-registered, so arbitrary SQL can feed nullable-element
+    // arrays — dereferencing a null slot would NPE (string path) or
+    // read garbage (long path). array_sort puts nulls last, so the
+    // skip preserves the sorted-merge invariant on sorted input.
     if (elemType == StringType)
       while (i < na && j < nb) {
-        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-        if (cmp == 0) { c += 1; i += 1; j += 1 }
-        else if (cmp < 0) i += 1
-        else j += 1
+        if (a.isNullAt(i)) i += 1
+        else if (b.isNullAt(j)) j += 1
+        else {
+          val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          if (cmp == 0) { c += 1; i += 1; j += 1 }
+          else if (cmp < 0) i += 1
+          else j += 1
+        }
       }
     else
       while (i < na && j < nb) {
-        val cmp = java.lang.Long.compare(a.getLong(i), b.getLong(j))
-        if (cmp == 0) { c += 1; i += 1; j += 1 }
-        else if (cmp < 0) i += 1
-        else j += 1
+        if (a.isNullAt(i)) i += 1
+        else if (b.isNullAt(j)) j += 1
+        else {
+          val cmp = java.lang.Long.compare(a.getLong(i), b.getLong(j))
+          if (cmp == 0) { c += 1; i += 1; j += 1 }
+          else if (cmp < 0) i += 1
+          else j += 1
+        }
       }
     c
   }
@@ -85,10 +98,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         int $na = $a.numElements(), $nb = $b.numElements();
         int $i = 0, $j = 0; long $c = 0L;
         while ($i < $na && $j < $nb) {
-          int $cmp = $cmpExpr;
-          if ($cmp == 0) { $c++; $i++; $j++; }
-          else if ($cmp < 0) $i++;
-          else $j++;
+          if ($a.isNullAt($i)) { $i++; }
+          else if ($b.isNullAt($j)) { $j++; }
+          else {
+            int $cmp = $cmpExpr;
+            if ($cmp == 0) { $c++; $i++; $j++; }
+            else if ($cmp < 0) $i++;
+            else $j++;
+          }
         }
         ${ev.value} = $c;
       """

@@ -929,13 +929,30 @@ object Dedup extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  /** Offset for synthetic dup injection (`dedup_exact`,
+    * `pipe_dedup_cascade`): injected ids are `doc_id + DUP_OFFSET`.
+    * Collision-safe ONLY while every base doc_id < DUP_OFFSET — and the
+    * oracle mirrors the same arithmetic, so a collision would silently
+    * change the query's semantics with the gate still green. So
+    * [[dupGuardedId]] makes the base scan itself fail loudly the moment
+    * a doc_id reaches the offset, instead of trusting the generator.
+    */
+  private val DUP_OFFSET = 1000000L
+
+  private def dupGuardedId: Column =
+    when(col("doc_id") < DUP_OFFSET, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit(s"dup-injection offset collision: doc_id >= $DUP_OFFSET: "),
+        col("doc_id").cast("string"))).cast("long"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup over raw text (with injected duplicates) -------------
     "dedup_exact" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d)
+        .select(dupGuardedId.as("doc_id"), col("text"))
       // Inject one duplicate per 10 docs so the op has real work to do.
       val dups = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + DUP_OFFSET).as("doc_id"), col("text"))
       docs.union(dups)
         .groupBy(md5(col("text").cast("binary")).as("text_hash"))
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
@@ -1102,10 +1119,15 @@ object Dedup extends QueryModule {
     //    the LSH bill. Same dup injection as dedup_exact so the
     //    cascade has real work at test SFs ----------------------------
     "pipe_dedup_cascade" -> ((s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = Tables.documents(s, d)
+        .select(dupGuardedId.as("doc_id"), col("text"))
       val dups = base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + DUP_OFFSET).as("doc_id"), col("text"))
       val all = base.union(dups)
+      // md5 exact-collapse: a 128-bit digest collision would merge two
+      // distinct texts — the same documented trade as mm_dedup; at 2^64
+      // texts-before-expected-collision it is the standard production
+      // call, and the DuckDB oracle makes the identical one.
       val groups = all
         .groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))

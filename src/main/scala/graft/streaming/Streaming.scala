@@ -222,7 +222,10 @@ object Streaming {
           rows.foreach { case (_, t, us) =>
             n += 1
             last = math.max(last, us)
-            if (!types.contains(t)) types = types :+ t
+            // null types never join the set: mirrors SQL
+            // count(DISTINCT event_type), which ignores NULLs — keeps
+            // the gate stable if the generator drifts to nullable types
+            if (t != null && !types.contains(t)) types = types :+ t
           }
           state.update(UserSummaryState(n, last, types))
           Iterator(UserSummaryOut(uid, n, last, types.size.toLong))
