@@ -55,19 +55,6 @@ object BenchProbe {
         val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
         graft.queries.Dedup.duplicatedSpansFrom(
           spark.read.parquet(p), graft.queries.Dedup.SUBSTR_L)
-      } else if (name == "scaledbpe") {
-        // BPE training at x20: 10 pair-count rounds over the scaled
-        // corpus's word-frequency table
-        val p = Bench.prepareScaledDocs(spark, sfDir)
-        import spark.implicits._
-        val words = spark.read.parquet(p)
-          .select(graft.functions.TokenizeExplode.tokenize(spark,
-            org.apache.spark.sql.functions.lower(
-              org.apache.spark.sql.functions.col("text"))).as("w"))
-          .groupBy("w").agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("freq"))
-        graft.queries.TextAnalysis.bpeTrain(words, 10)
-          .toDF("rank", "l", "r", "cnt")
       } else if (name == "scaledmh") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.scaledMinhash(spark, p)
@@ -168,6 +155,38 @@ object BenchProbe {
           .select("a_id", "b_id")
       } else SparkEntry.queries(name)(spark, sfDir)
 
+    if (name == "scaledbpe" || name == "bpewide") {
+      // BPE training at the scale regime, reporting distributed-round
+      // count next to merge count — the batched selection's whole point
+      // is rounds << merges (the sequential loop is one driver
+      // round-trip PER merge).
+      //
+      //   scaledbpe: the x20 docs corpus. Its vocabulary is ~31 words,
+      //     so training EXHAUSTS at ~100 merges — fine for timing the
+      //     distributed pass, useless for deep-merge round counts.
+      //   bpewide: the workload-A corpus (100k distinct words, 12M
+      //     tokens) — the wide-vocabulary regime a real tokenizer
+      //     trains on, supports thousands of merges.
+      val nMerges = if (args.length > 1) args(1).toInt else 200
+      import org.apache.spark.sql.functions.{col, count, lit, lower}
+      val words = (if (name == "bpewide")
+        spark.read.text(Bench.prepareRefCorpus(spark))
+      else
+        spark.read.parquet(Bench.prepareScaledDocs(spark, sfDir)))
+        .select(graft.functions.TokenizeExplode
+          .tokenize(spark, lower(col(if (name == "bpewide") "value" else "text")))
+          .as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val (merges, rounds) =
+          graft.queries.TextAnalysis.bpeTrainRounds(words, nMerges)
+        println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          s" — ${merges.size} merges in $rounds rounds")
+      }
+      spark.stop(); return
+    }
     if (name == "scaledparts") {
       // stage-by-stage timing of the CURRENT flat-column pair pipeline
       // (mirrors Dedup.minhashPairsFrom; the array-signature variant

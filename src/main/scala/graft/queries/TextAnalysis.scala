@@ -114,30 +114,56 @@ object TextAnalysis extends QueryModule {
         .tokenize(s, lower(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  /** BPE training (Sennrich et al. 2016): `nMerges` rounds of
-    * argmax-pair-then-merge over the word-frequency table. Each round
-    * is one distributed pair-count aggregate (adjacent symbol pairs,
-    * weighted by word frequency; overlapping occurrences count, the
-    * standard convention) + a ONE-ROW collect of the winner
-    * (cnt DESC, l, r — total order, engine-exact) + one codegen'd
-    * string replace over the vocab-sized segmentation table. Driver
-    * state is nMerges rows — bounded metadata, the MisraGries
-    * discipline. Returns (rank, l, r, cnt) merges in training order.
+  /** BPE training (Sennrich et al. 2016), with EXACT batched rounds.
     *
-    * Scale note: the loop is one driver round-trip (a 1-row collect +
-    * job submit) PER merge — fine at the tens of merges trained here,
-    * but a production 50k-merge vocabulary would be scheduler-bound at
-    * ~50k sequential jobs. The scale path is batched rounds: take the
-    * top-B non-overlapping pairs per round (pairs whose l/r symbols are
-    * all distinct commute — applying them in one pass equals applying
-    * them sequentially), cutting round-trips to nMerges/B at identical
-    * output. Not wired here because the oracle pins strict rank order.
+    * Each round is one distributed pair-count aggregate (adjacent
+    * symbol pairs, weighted by word frequency; overlapping occurrences
+    * count, the standard convention) + ONE top-K collect, from which
+    * the driver accepts a PREFIX of the (cnt DESC, l, r)-ordered
+    * candidates — as many merges as are provably identical to running
+    * argmax-then-recount one merge at a time — then applies the whole
+    * batch in one codegen'd replace pass over the vocab-sized
+    * segmentation table. Driver state is nMerges rows + one K-row
+    * scratch — bounded metadata. Returns (rank, l, r, cnt) merges in
+    * training order, bit-identical to the sequential algorithm (the
+    * oracle pins strict rank order; BpeSpec pins batched == sequential
+    * on corpora engineered to stress every stop rule).
+    *
+    * A candidate extends the accepted prefix only while ALL of:
+    *   1. its symbols don't appear in any accepted pair, nor equal any
+    *      accepted pair's CONCATENATION (the new symbol's string): such
+    *      pairs' counts change under the batch (destroyed occurrences,
+    *      or absorbed occurrences of the just-created symbol), so their
+    *      rank is stale;
+    *   2. its count strictly exceeds every accepted merge j's new-pair
+    *      bound min(cnt_j, adjMax_j): a pair CREATED by merge j —
+    *      (x, l_j r_j) or (l_j r_j, y) — occurs at most at every merge
+    *      site (<= cnt_j) and at most wherever x preceded l_j / y
+    *      followed r_j (<= the largest old count adjacent to the merged
+    *      pair, with the K-th collected count as the floor for
+    *      uncollected adjacents). Strict inequality also settles
+    *      (cnt, l, r) ties against created pairs.
+    * The walk STOPS at the first violation (never skips): a skipped
+    * candidate's post-batch count is unknown, so everything ranked
+    * after it must wait for the next round's recount. Rounds therefore
+    * adapt to the corpus: early character merges (where the created
+    * symbol immediately dominates) batch little, the long tail batches
+    * heavily — round-trips stay well sublinear in nMerges at the scale
+    * regime (see `scaledbpe` in BenchProbe) with zero output drift.
     */
-  def bpeTrain(words: DataFrame, nMerges: Int): Seq[(Long, String, String, Long)] = {
+  def bpeTrain(words: DataFrame, nMerges: Int): Seq[(Long, String, String, Long)] =
+    bpeTrainRounds(words, nMerges)._1
+
+  /** [[bpeTrain]] plus the number of distributed rounds it took — the
+    * driver-round-trip count the batching exists to shrink.
+    */
+  def bpeTrainRounds(words: DataFrame, nMerges: Int,
+      topK: Int = 256): (Seq[(Long, String, String, Long)], Int) = {
     var seg = words.select(col("freq"), segInit(col("w")).as("seg"))
       .localCheckpoint() // vocab-sized; truncates the per-round lineage
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var k = 1
+    var rounds = 0
     var exhausted = false
     while (k <= nMerges && !exhausted) {
       val pairs = seg
@@ -149,17 +175,44 @@ object TextAnalysis extends QueryModule {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
       val top = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(topK).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      rounds += 1
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((k.toLong, l, r, cnt))
-        seg = seg.withColumn("seg", call_function("replace",
-          col("seg"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
-        k += 1
+        // count floor for pairs the K-row collect didn't see
+        val floorCnt = if (top.length == topK) top.last._3 else 0L
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        val usedSyms = scala.collection.mutable.Set.empty[String]
+        var newPairBound = Long.MinValue
+        var open = true
+        var idx = 0
+        while (open && idx < top.length && k <= nMerges) {
+          val (l, r, cnt) = top(idx)
+          if (usedSyms(l) || usedSyms(r) ||
+              (accepted.nonEmpty && cnt <= newPairBound)) open = false
+          else {
+            merges += ((k.toLong, l, r, cnt))
+            accepted += ((l, r))
+            usedSyms ++= Seq(l, r, l + r)
+            val adjMax = top.iterator
+              .collect { case (al, ar, ac) if ar == l || al == r => ac }
+              .foldLeft(floorCnt)(math.max)
+            newPairBound = math.max(newPairBound, math.min(cnt, adjMax))
+            k += 1
+            idx += 1
+          }
+        }
+        val batched = accepted.foldLeft(col("seg")) { case (c, (l, r)) =>
+          call_function("replace", c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+        }
+        val next = seg.withColumn("seg", batched).localCheckpoint()
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(seg)
+        seg = next
       }
     }
-    merges.toSeq
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(seg)
+    (merges.toSeq, rounds)
   }
 
   /** Per-word subword counts under a trained merge list: apply the
