@@ -30,7 +30,7 @@ object Bench {
     "ev_gap_fill", "ev_outliers", "q_median_exact",
     "dedup_contamination", "txt_chunk", "sim_kmeans",
     "q_sql_cte_window",
-    "mm_meta")
+    "mm_meta", "pipe_dedup_cascade", "ev_stream_state")
 
   /** BASELINE.md workload A equivalent: 1.2M lines x 10 words from a
     * 100k vocabulary (~83 MB text). Generated ONCE to a scratch dir
@@ -124,19 +124,32 @@ object Bench {
     path
   }
 
-  /** Scaled embedding corpus: embeddings x20 (distinct vec_ids, exact
-    * vector copies — the ANN index build cost depends on row count and
-    * dimension, not vector novelty). 40k vectors at sf0.1.
+  /** Scaled embedding corpus: embeddings x20 with distinct vec_ids
+    * (orig*100 + rep). Rep 0 keeps the exact vector; reps 1-19 get a
+    * deterministic per-component jitter of up to ±0.01 (vs unit-norm
+    * vectors whose max NATURAL pairwise cosine is ~0.40), so every
+    * original gains 19 planted near-neighbors at cos ~0.999 with
+    * DISTINCT scores. That makes the x20 corpus an honest recall
+    * workload — a rep-0 query's true top-10 is its jittered siblings,
+    * which an index must actually bucket together to recover — while
+    * keeping the index-build cost profile of a 20x corpus. 40k vectors
+    * at sf0.1.
     */
   def prepareScaledEmb(spark: SparkSession, sfDir: String): String = {
-    val path = s"target/bench_scratch/emb_x20_${new java.io.File(sfDir).getName}" +
+    val path = s"target/bench_scratch/emb_x20j_${new java.io.File(sfDir).getName}" +
       "_" + srcSig(sfDir, "embeddings")
     if (!new java.io.File(path).exists()) {
       graft.Tables.embeddings(spark, sfDir)
         .select(explode(sequence(lit(0), lit(19))).as("rep"),
           col("vec_id"), col("label"), col("embedding"))
         .select((col("vec_id") * 100 + col("rep")).as("vec_id"),
-          col("label"), col("embedding"))
+          col("label"), col("rep"), col("embedding"))
+        .select(col("vec_id"), col("label"),
+          when(col("rep") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, i) => x +
+              ((pmod(hash(col("vec_id"), i), lit(2001)) - 1000)
+                .cast("double") / 100000.0).cast("float")))
+            .as("embedding"))
         .repartition(32)
         .write.mode("overwrite").parquet(path)
     }
@@ -146,6 +159,35 @@ object Bench {
   def scaledMinhash(spark: SparkSession, path: String): DataFrame =
     graft.queries.Dedup.minhashPairsFrom(spark.read.parquet(path),
       ordered = false)
+
+  /** Scaled events corpus: events x20 with user_ids remapped to
+    * user_id*100 + rep — per-user event sequences (and so sessions,
+    * state machines, watermark behavior) are preserved exactly while
+    * key cardinality and row volume scale 20x (2M events / 30k users
+    * at sf0.1). Written once (untimed) as the micros-normalized
+    * schema a schema-pinned file stream can replay.
+    */
+  def prepareScaledEvents(spark: SparkSession, sfDir: String): String = {
+    val path = s"target/bench_scratch/events_x20_" +
+      new java.io.File(sfDir).getName + "_" + srcSig(sfDir, "events")
+    if (!new java.io.File(path).exists()) {
+      graft.Tables.events(spark, sfDir)
+        .select(explode(sequence(lit(0), lit(19))).as("rep"), col("*"))
+        .withColumn("user_id", col("user_id") * 100 + col("rep"))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Scaled-probe query set over [[prepareScaledEmb]]'s jittered x20
+    * corpus: rep 0 (the exact original vector) of the first 20
+    * originals — 20 DISTINCT probes whose true top-10 is dominated by
+    * their 19 planted jittered siblings.
+    */
+  val scaledEmbQueryPred: org.apache.spark.sql.Column =
+    col("vec_id") % 100 === 0 && col("vec_id") < 2000
 
   private def runOnce(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
@@ -332,6 +374,30 @@ object Bench {
     val substr = (1 to 3).map(_ => timeOne("scaled_substr_x20", () =>
       graft.queries.Dedup.duplicatedSpansFrom(
         spark.read.parquet(scaledPath), graft.queries.Dedup.SUBSTR_L)))
+    // ANN at x20 (40k vectors, 20 distinct probes, planted jittered
+    // near-dup cliques — see prepareScaledEmb): IVF = index assignment
+    // + nprobe-pruned scan; PQ = full subspace-k-means index build +
+    // ADC shortlist + exact re-rank, the build dominating by design
+    // (production amortizes it across queries; timing it keeps the
+    // whole cost honest). Recall@10 >= 0.9 vs brute force at this exact
+    // regime is gated in AnnRecallSpec.
+    val embPath = prepareScaledEmb(spark, sfDir)
+    val ivf = (1 to 3).map(_ => timeOne("scaled_ivf_x20", () =>
+      graft.queries.Similarity.ivfTopkFrom(spark,
+        spark.read.parquet(embPath), scaledEmbQueryPred, topK = 10)))
+    val pq = (1 to 2).map(_ => timeOne("scaled_pq_x20", () =>
+      graft.queries.Similarity.pqTopkFrom(
+        spark.read.parquet(embPath), scaledEmbQueryPred, topK = 10)))
+    // Structured Streaming at x20 (2M events / 30k users replayed via
+    // AvailableNow): exercises the real state-store path — watermark
+    // advance, window eviction, merging session state — at 20x the
+    // gate's volume, not just the logical plan.
+    val evPath = prepareScaledEvents(spark, sfDir)
+    val evSchema = spark.read.parquet(evPath).schema
+    val stw = (1 to 2).map(_ => timeOne("scaled_stream_window_x20", () =>
+      graft.queries.EventsTime.windowedReplayOn(spark, evSchema, evPath)))
+    val sts = (1 to 2).map(_ => timeOne("scaled_stream_session_x20", () =>
+      graft.queries.EventsTime.sessionReplayOn(spark, evSchema, evPath)))
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
@@ -364,7 +430,11 @@ object Bench {
       "scaled_ppjoin_x20" -> ppjoin.min,
       "scaled_sparse_x20" -> sparse.min,
       "scaled_inc_x20" -> inc.min,
-      "scaled_substr_x20" -> substr.min)
+      "scaled_substr_x20" -> substr.min,
+      "scaled_ivf_x20" -> ivf.min,
+      "scaled_pq_x20" -> pq.min,
+      "scaled_stream_window_x20" -> stw.min,
+      "scaled_stream_session_x20" -> sts.min)
 
     // NaN (= failed) prints as null and never reaches a sum: a reader
     // of only the metric lines sees the gap, not a fake-fast number
@@ -378,11 +448,12 @@ object Bench {
     val total = okSum(results0.map(_._2) ++ Seq(refRuns.min, refBRuns.min,
       mh.min, cc.min, contam.min, bloomC.min, contamS.min,
       bloomS.min, chunk.min, winnow.min, ppjoin.min, sparse.min,
-      inc.min, substr.min))
+      inc.min, substr.min, ivf.min, pq.min, stw.min, sts.min))
     val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head,
       mh.head, cc.head, contam.head, bloomC.head, contamS.head,
       bloomS.head, chunk.head, winnow.head, ppjoin.head,
-      sparse.head, inc.head, substr.head))
+      sparse.head, inc.head, substr.head, ivf.head, pq.head,
+      stw.head, sts.head))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load at exit: the box is shared, and outside load
     // inflates the barrier-heavy workloads 2-4x — record it so a noisy

@@ -945,6 +945,32 @@ object Dedup extends QueryModule {
         lit(s"dup-injection offset collision: doc_id >= $DUP_OFFSET: "),
         col("doc_id").cast("string"))).cast("long"))
 
+  /** The production dedup cascade over a (doc_id, text) corpus:
+    * md5 exact-collapse to one canonical doc (min doc_id) per distinct
+    * text FIRST, MinHash near-dup pairs on canonicals only, then each
+    * side's exact-copy count re-attached (size-gated broadcast). The
+    * md5 collapse accepts the documented 128-bit-collision trade (same
+    * as mm_dedup); the exact-dup factor comes off the LSH bill. On an
+    * all-unique corpus the collapse is the identity and the result is
+    * whatever near-dup pairs MinHash finds — an empty pair set flows
+    * through both count joins as an empty frame (pinned in
+    * DedupGuardSpec), so the cascade never needs a non-empty stage.
+    */
+  def cascadeFrom(all: DataFrame): DataFrame = {
+    val groups = all
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    val canon = groups.join(all, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("n_copies"))
+    val hint = graft.operators.DedupOps.sizeHint(all)
+    minhashPairsFrom(canon.select("doc_id", "text"), ordered = false)
+      .join(hint(canon.select(col("doc_id").as("a_id"),
+        col("n_copies").as("a_copies"))), Seq("a_id"))
+      .join(hint(canon.select(col("doc_id").as("b_id"),
+        col("n_copies").as("b_copies"))), Seq("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup over raw text (with injected duplicates) -------------
     "dedup_exact" -> ((s, d) => {
@@ -1123,23 +1149,7 @@ object Dedup extends QueryModule {
         .select(dupGuardedId.as("doc_id"), col("text"))
       val dups = base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + DUP_OFFSET).as("doc_id"), col("text"))
-      val all = base.union(dups)
-      // md5 exact-collapse: a 128-bit digest collision would merge two
-      // distinct texts — the same documented trade as mm_dedup; at 2^64
-      // texts-before-expected-collision it is the standard production
-      // call, and the DuckDB oracle makes the identical one.
-      val groups = all
-        .groupBy(md5(col("text").cast("binary")).as("h"))
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      val canon = groups.join(all, Seq("doc_id"))
-        .select(col("doc_id"), col("text"), col("n_copies"))
-      val hint = graft.operators.DedupOps.sizeHint(all)
-      minhashPairsFrom(canon.select("doc_id", "text"), ordered = false)
-        .join(hint(canon.select(col("doc_id").as("a_id"),
-          col("n_copies").as("a_copies"))), Seq("a_id"))
-        .join(hint(canon.select(col("doc_id").as("b_id"),
-          col("n_copies").as("b_copies"))), Seq("b_id"))
-        .orderBy("a_id", "b_id")
+      cascadeFrom(base.union(dups))
     }),
 
     // -- winnowing near-dup pairs (MOSS report): docs sharing >= 3

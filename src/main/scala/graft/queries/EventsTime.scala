@@ -62,9 +62,17 @@ object EventsTime extends QueryModule {
     (batch, scratch)
   }
 
-  def streamReplay(s: SparkSession, d: String): DataFrame = {
-    val (batch, scratch) = replayScratch(s, d)
-    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+  /** The reusable core of [[streamReplay]]: tumbling-window replay of
+    * an arbitrary events scratch dir through the real file-stream ->
+    * watermark -> window-agg -> append-memory-sink plan. Bench's
+    * `scaled_stream_window_x20` probe drives this same code over the
+    * x20 events corpus — the probe measures the actual state-store
+    * path, not a plan read-off.
+    */
+  def windowedReplayOn(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      scratch: String): DataFrame = {
+    val stream = s.readStream.schema(schema).parquet(scratch)
     val agg = graft.streaming.Streaming
       .windowedTypeCounts(stream, "1 hour", "1 hour", "30 minutes")
     val sink = "ev_stream_replay_" + System.nanoTime()
@@ -78,6 +86,11 @@ object EventsTime extends QueryModule {
       .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
+  }
+
+  def streamReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    windowedReplayOn(s, batch.schema, scratch)
   }
 
   /** Streaming dedup under the oracle gate: the events table replayed
@@ -113,9 +126,16 @@ object EventsTime extends QueryModule {
     * delay_ms) * 1000`): event times carry sub-millisecond micros, so
     * an un-truncated mirror misclassifies boundary sessions.
     */
-  def streamSessionReplay(s: SparkSession, d: String): DataFrame = {
-    val (batch, scratch) = replayScratch(s, d)
-    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+  /** The reusable core of [[streamSessionReplay]]: session-window
+    * replay of an arbitrary events scratch dir (merging session state,
+    * append mode). Bench's `scaled_stream_session_x20` probe drives it
+    * over the x20 corpus, where the session store carries 20x the
+    * per-user state of the gate query.
+    */
+  def sessionReplayOn(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      scratch: String): DataFrame = {
+    val stream = s.readStream.schema(schema).parquet(scratch)
     val sess = graft.streaming.Streaming.sessionCounts(stream)
     val sink = "ev_stream_session_" + System.nanoTime()
     val q = sess.writeStream.format("memory").queryName(sink)
@@ -129,6 +149,11 @@ object EventsTime extends QueryModule {
         unix_micros(col("se")).as("end_us"),
         col("user_id"), col("n_events"))
       .orderBy("user_id", "start_us")
+  }
+
+  def streamSessionReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    sessionReplayOn(s, batch.schema, scratch)
   }
 
   /** Stream-stream time-bounded JOIN under the oracle gate: clicks and

@@ -78,6 +78,28 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(graft.queries.Similarity.sparseCosinePairsFrom(one).count() === 0L)
   }
 
+  test("dedup cascade on an all-unique corpus: empty near-dup stage flows through") {
+    // every text distinct AND dissimilar -> the exact collapse is the
+    // identity (n_copies all 1) and MinHash finds no candidate pairs;
+    // the empty pair frame must survive both copy-count re-attach joins
+    val unique = (0L until 40L).map(i =>
+      (i, s"document nr$i speaks only about topic$i and nothing else " +
+        s"item${i}a item${i}b item${i}c item${i}d item${i}e"))
+      .toDF("doc_id", "text")
+    assert(Dedup.cascadeFrom(unique).count() === 0L)
+    // and a corpus of pure exact copies collapses BEFORE the near-dup
+    // stage: 4 distinct texts x 10 copies -> canonicals only, so any
+    // pair the cascade reports carries both sides' copy counts
+    val copies = (0L until 40L).map(i =>
+      (i, s"shared text body variant nr${i % 4} with the same tail of words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cascadeFrom(copies)
+      .select($"a_id", $"b_id", $"a_copies", $"b_copies")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.forall { case (a, b, ac, bc) =>
+      a < 4 && b < 4 && ac === 10L && bc === 10L })
+  }
+
   test("graft_pairs skips null array elements instead of crashing") {
     graft.functions.PairExplode.register(spark)
     val rows = spark.sql(
