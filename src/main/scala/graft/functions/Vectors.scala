@@ -91,6 +91,75 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact squared L2 distance over two integer-scaled `array<long>`
+  * vectors: Σ (a[i]-b[i])² as one codegen'd loop, long arithmetic
+  * throughout — the hot inner loop of the distributed k-means assign
+  * step (kmeans / semantic dedup / PQ training). A LOOP, not an
+  * unrolled per-dimension tree: at dim=64 the unrolled form is a
+  * ~200-node expression tree per distance — compile cost and stage
+  * size grow with the dimension, where the loop stays constant and
+  * runs identically. Null if either array is null; index positions where
+  * either element is null are SKIPPED (engine-built arrays never
+  * contain nulls, but the function is session-registered as
+  * graft_sqdist, so arbitrary SQL can reach it — same null-element
+  * hardening as graft_sorted_intersect_count). Unequal lengths use
+  * the common prefix.
+  */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sqdist"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<long> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            long $d = $a.getLong($i) - $b.getLong($i);
+            $acc += $d * $d;
+          }
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level vector functions backed by the native expressions. */
 object Vectors {
 
@@ -114,5 +183,15 @@ object Vectors {
   def cosineScaled(spark: SparkSession, a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
     round(cosine(spark, a, b) * 1e6).cast("long")
+  }
+
+  /** Exact integer Σ(a[i]-b[i])² over two array<long> columns (see
+    * [[LongSqDist]]). Registered per-session under an internal name so
+    * the Column can be built without a private Column constructor.
+    */
+  def sqDistLong(spark: SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdist", exprs => LongSqDist(exprs(0), exprs(1)), "scala_udf")
+    call_function("graft_sqdist", a, b)
   }
 }

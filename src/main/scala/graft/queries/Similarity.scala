@@ -135,53 +135,87 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("c"))
   }
 
-  /** argmin-distance assignment of long-form `e` to centroids
-    * `cent(c, d, cv)` (centroid index breaks distance ties).
-    * `min(struct(dist, c))` = lexicographic minimum = the same row
-    * `row_number OVER (ORDER BY dist, c) = 1` picks, as one hash agg
-    * instead of a sort window — k-means over N vectors runs 2 assigns
-    * per round, so this removes 2 sort shuffles per round (measured
-    * ~25% on the 40k-vector scaled PQ index build).
+  /** Integer-scaled whole-vector array form (vec_id, va: array<long>)
+    * — one row per vector. A transform() HOF, deliberately: it runs
+    * ONCE per vector into a checkpoint, so interpreted-lambda cost is
+    * negligible, while the unrolled 64-element projection this
+    * replaces added seconds of codegen compile to the first run.
     */
-  private def assignStep(e: DataFrame, cent: DataFrame): DataFrame =
-    e.join(broadcast(cent), "d")
-      .groupBy("vec_id", "c")
-      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+  private def arrayForm(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), transform(col("embedding"), fv =>
+      floor(fv.cast("double") * 1e6 + 0.5).cast("long")).as("va"))
+
+  /** Σ_i (a[i]-b[i])² over two long-array columns: the loop-codegen'd
+    * [[graft.functions.LongSqDist]] expression — the distance never
+    * round-trips a join-by-dim + re-aggregate, and the generated code
+    * is one tiny loop regardless of dimension (an unrolled per-dim
+    * tree grows the compiled stage ~200 nodes per distance and would
+    * not survive a dim bump to 1024).
+    */
+  private def dist2Arr(a: Column, b: Column): Column =
+    Vectors.sqDistLong(org.apache.spark.sql.SparkSession.active, a, b)
+
+  /** argmin-distance assignment of array-form `va` rows to centroids
+    * `cent(c, cv: array<long>)` (centroid index breaks distance ties).
+    * One broadcast join producing N x k rows with the distance inline,
+    * then `min(struct(dist, c))` — the lexicographic minimum is the
+    * same row `row_number OVER (ORDER BY dist, c) = 1` picks, as one
+    * hash agg instead of a sort window. Replaces the per-dimension
+    * formulation (join on d -> N*DIM*k rows -> two-level agg), which
+    * paid generic-aggregate constants per (vector, centroid, dim);
+    * values are bit-identical (same integer components, same Σ(v-cv)²
+    * longs), so the kmeans/semantic-dedup oracle hashes are unchanged.
+    */
+  private def assignStep(va: DataFrame, cent: DataFrame): DataFrame =
+    va.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        dist2Arr(col("va"), col("cv")).as("dist"), col("c"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("c"))).as("m"))
       .select(col("vec_id"), col("m.c").as("c"))
 
-  /** centroid update: floor(mean) per (c, d) over the assigned vecs */
-  private def updateStep(e: DataFrame, a: DataFrame): DataFrame =
-    e.join(a, "vec_id").groupBy("c", "d")
-      .agg(floor(sum(col("v")) / count(lit(1)).cast("double")).cast("long").as("cv"))
+  /** centroid update: floor(long-sum / double-count) per (c, d) over
+    * the assigned vecs — the per-dimension explode is fine HERE (the
+    * update touches N*DIM rows once per round with a k*DIM-group agg;
+    * it is the ASSIGN side, running per centroid, that must stay in
+    * array form), and the k-row result folds back to arrays with a
+    * trivial collect_list. Arithmetic identical to the oracle's
+    * (c, d)-grouped form.
+    */
+  private def updateStep(va: DataFrame, a: DataFrame): DataFrame =
+    va.join(a, "vec_id")
+      .select(col("c"), posexplode(col("va")).as(Seq("d", "v")))
+      .groupBy("c", "d")
+      .agg(floor(sum(col("v")) / count(lit(1)).cast("double"))
+        .cast("long").as("cv"))
+      .groupBy("c")
+      .agg(sort_array(collect_list(struct(col("d"), col("cv")))).as("ps"))
+      .select(col("c"), transform(col("ps"), p => p.getField("cv")).as("cv"))
 
   def kmeansAssignFrom(emb: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
-    // Materialize the long form ONCE and each round's k x dims centroid
-    // frame (k*dims rows — trivial): as lazy frames the final plan
-    // nests every previous round, so the explode scan and each earlier
-    // assign+update re-execute inside every broadcast build — measured
-    // ~10-40% of wall time at 2 rounds, growing with rounds. Values are
-    // unchanged; this is pure plan flattening. Same block-manager
+    // Materialize the array form ONCE and each round's k-row centroid
+    // frame (trivial): as lazy frames the final plan nests every
+    // previous round, so the scan and each earlier assign+update
+    // re-execute inside every broadcast build. Same block-manager
     // discipline as the CC loop: each round releases the previous
-    // centroid checkpoint, and the long form is released once the final
-    // assignment is materialized — nothing outlives the call but the
-    // one returned frame.
-    val e = longForm(emb).localCheckpoint()
+    // centroid checkpoint, and the array form is released once the
+    // final assignment is materialized — nothing outlives the call but
+    // the one returned frame.
+    val va = arrayForm(emb).localCheckpoint()
     val seeds = seedsOf(emb, k)
-    var cent = e.join(seeds, "vec_id").select(col("c"), col("d"), col("v").as("cv"))
+    var cent = va.join(seeds, "vec_id").select(col("c"), col("va").as("cv"))
     var centCp: DataFrame = null
     (1 to rounds).foreach { _ =>
-      val next = updateStep(e, assignStep(e, cent)).localCheckpoint()
+      val next = updateStep(va, assignStep(va, cent)).localCheckpoint()
       if (centCp != null)
         org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(centCp)
       centCp = next
       cent = next
     }
-    val out = assignStep(e, cent).localCheckpoint()
+    val out = assignStep(va, cent).localCheckpoint()
     if (centCp != null)
       org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(centCp)
-    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(e)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(va)
     out
   }
 

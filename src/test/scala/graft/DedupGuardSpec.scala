@@ -134,6 +134,31 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(lc === 2L)
   }
 
+  test("graft_sqdist equals driver-side integer L2 and skips null elements") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextLong() % 1000000L),
+        Array.fill(64)(rnd.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id", graft.functions.Vectors
+        .sqDistLong(spark, $"a", $"b").as("d"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      var want = 0L
+      (0 until 64).foreach { i => val d = a(i) - b(i); want += d * d }
+      assert(got(id) === want, s"id=$id")
+    }
+    // null elements are skipped, not garbage-read (SQL-reachable path)
+    graft.functions.Vectors.sqDistLong(spark, lit(0), lit(0)) // register
+    val withNulls = spark.sql(
+      """SELECT graft_sqdist(array(1L, NULL, 5L), array(4L, 7L, NULL)) AS d,
+                graft_sqdist(CAST(NULL AS array<bigint>), array(1L)) AS n""")
+      .collect().head
+    assert(withNulls.getLong(0) === 9L)
+    assert(withNulls.isNullAt(1))
+  }
+
   test("ccFromPairs matches union-find on adversarial graph shapes") {
     // Pins the contraction + pointer-halving loop against brute-force
     // transitive closure on shapes where round-1 contraction does NOT
