@@ -79,6 +79,29 @@ object BenchProbe {
       } else if (name == "scaledpq") {
         val p = Bench.prepareScaledEmb(spark, sfDir)
         graft.queries.Similarity.pqTopkFrom(spark.read.parquet(p))
+      } else if (name == "scaledivf100") {
+        // survives-100x ANN: 200k jittered vectors; IVF assignment is
+        // one broadcast pass, the probe scan touches ~nprobe/nlist
+        val p = Bench.prepareScaledEmb(spark, sfDir, 100)
+        graft.queries.Similarity.ivfTopkFrom(spark,
+          spark.read.parquet(p), Bench.scaledEmbQueryPred, topK = 10)
+      } else if (name == "scaledpq100") {
+        // survives-100x PQ: full subspace-k-means build at 200k vectors
+        // + ADC shortlist + exact re-rank
+        val p = Bench.prepareScaledEmb(spark, sfDir, 100)
+        graft.queries.Similarity.pqTopkFrom(
+          spark.read.parquet(p), Bench.scaledEmbQueryPred, topK = 10)
+      } else if (name == "scaledstreamw100") {
+        // survives-100x streaming: 10M events / 150k users through the
+        // real watermark + tumbling-window state store (AvailableNow)
+        val p = Bench.prepareScaledEvents(spark, sfDir, 100)
+        graft.queries.EventsTime.windowedReplayOn(
+          spark, spark.read.parquet(p).schema, p)
+      } else if (name == "scaledstreams100") {
+        // survives-100x merging session state over 150k keys
+        val p = Bench.prepareScaledEvents(spark, sfDir, 100)
+        graft.queries.EventsTime.sessionReplayOn(
+          spark, spark.read.parquet(p).schema, p)
       } else if (name == "scaledbloom") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         val docs = spark.read.parquet(p)
@@ -240,6 +263,55 @@ object BenchProbe {
       val raw = a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
       println(s"[probe] raw pairs: ${raw.count()}")
       println(s"[probe] uniq pairs: ${raw.select("a_id", "b_id").distinct().count()}")
+      spark.stop(); return
+    }
+    if (name == "refcold") {
+      // Decompose ref_wordcount_12m_cold: replicate Bench's EXACT
+      // warmup (q_topk + both plan shapes on the 1/16 warm corpus x2),
+      // then stage-instrument the FIRST full-scale run — the one the
+      // bench reports as *_cold — and two follow-ups for contrast.
+      import org.apache.spark.sql.functions.{col, sum}
+      Bench.prepareRefCorpus(spark)
+      val refPath = "target/bench_scratch/ref_corpus_12m"
+      SparkEntry.queries("q_topk")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      val warmPath = Bench.prepareWarmCorpus(spark)
+      (1 to 2).foreach { _ =>
+        val warmLines = spark.read
+          .format("graft.sources.ChunkedTextSource").load(warmPath)
+        graft.plans.TokenCounts.partialCounts(warmLines, col("value"))
+          .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+          .repartition(1).sortWithinPartitions("word")
+          .write.mode("overwrite").format("noop").save()
+        Bench.refWordcount12m(spark, warmPath)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val warmFullPath = Bench.prepareWarmCorpusFull(spark)
+      (1 to 2).foreach(_ => Bench.refWordcount12m(spark, warmFullPath)
+        .write.mode("overwrite").format("noop").save())
+      Bench.pageTouch(refPath)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+          val tm = si.taskMetrics
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+            f"dur=${ms.getOrElse(-1L)}%6d ms  run=${tm.executorRunTime}%6d " +
+            f"deser=${tm.executorDeserializeTime}%5d gc=${tm.jvmGCTime}%5d " +
+            f"shufWms=${tm.shuffleWriteMetrics.writeTime / 1000000}%5d " +
+            f"in=${tm.inputMetrics.recordsRead}%9d " +
+            f"shufR=${tm.shuffleReadMetrics.recordsRead}%9d " +
+            f"shufW=${tm.shuffleWriteMetrics.recordsWritten}%9d  ${si.name.take(40)}")
+        }
+      })
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        Bench.refWordcount12m(spark, refPath)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] refcold run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      Thread.sleep(2000)
       spark.stop(); return
     }
     if (name == "refstages" || name == "reffilestages" || name == "refbstages") {
