@@ -30,7 +30,16 @@ object Bench {
     "ev_gap_fill", "ev_outliers", "q_median_exact",
     "dedup_contamination", "txt_chunk", "sim_kmeans",
     "q_sql_cte_window",
-    "mm_meta", "pipe_dedup_cascade", "ev_stream_state")
+    "mm_meta", "pipe_dedup_cascade", "ev_stream_state",
+    // round 9: one more representative per module family so the
+    // per-round JSON tracks their cost too (grouping sets, SCD2,
+    // JSON functions, funnel, bucketed-join I/O, exact PPJoin at the
+    // gate regime, span dedup, LSH top-k, multimodal dedup + pHash,
+    // entropy/Gopher text scoring)
+    "q_grouping_sets", "q_scd2", "q_json_funcs", "ev_funnel",
+    "io_bucketed_join", "dedup_ppjoin_pairs", "dedup_spans",
+    "sim_lsh_topk", "mm_dedup", "mm_phash_pairs", "txt_entropy",
+    "txt_gopher")
 
   /** BASELINE.md workload A equivalent: 1.2M lines x 10 words from a
     * 100k vocabulary (~83 MB text). Generated ONCE to a scratch dir

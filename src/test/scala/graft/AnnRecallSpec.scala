@@ -107,6 +107,7 @@ class AnnRecallSpec extends AnyFunSuite {
       queries.Similarity.ivfTopkFrom(spark, e, pred, topK = 10), 10)
     assert(exact.size == 20 && exact.values.forall(_.size == 10))
     val r = recallAt(10, ivf, exact)
+    info(f"scaled IVF recall@10 = $r%.3f (gate 0.9)")
     assert(r >= 0.9, s"scaled IVF recall@10 = $r")
   }
 
@@ -131,6 +132,7 @@ class AnnRecallSpec extends AnyFunSuite {
       e, Bench.scaledEmbQueryPred, topK = 10), 10)
     assert(exact.size == 20)
     val r = recallAt(10, pq, exact)
+    info(f"scaled PQ recall@10 = $r%.3f (gate 0.9)")
     assert(r >= 0.9, s"scaled PQ recall@10 (vs exact L2) = $r")
   }
 }
