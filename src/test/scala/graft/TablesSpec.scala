@@ -112,6 +112,20 @@ class TablesSpec extends AnyFunSuite {
           s"$actual — normalize in Tables or update consumers deliberately")
       }
     }
+    // Pin the embedding DIMENSION too: pqIndex slices the vector into
+    // Similarity.PQ_SUB fixed-width subspaces and the oracle SQL inlines
+    // the same arithmetic — a generator drift in dim would surface as
+    // null-padded subvectors (silent score corruption), not an error.
+    import org.apache.spark.sql.functions.{size => asize, countDistinct}
+    val dims = Tables(spark, TestSpark.sf0001, "embeddings")
+      .select(asize(col("embedding")).as("d"))
+      .agg(countDistinct(col("d")).cast("long").as("nd"),
+        org.apache.spark.sql.functions.min("d").as("d0"))
+      .collect().head
+    assert(dims.getLong(0) == 1L && dims.getInt(1) == 64,
+      s"embeddings dim drifted: distinct sizes=${dims.getLong(0)}, " +
+        s"min=${dims.getInt(1)} — PQ subspace split and the hyperplane " +
+        "pool assume 64")
   }
 
   test("graft_cosine agrees across float and double array inputs") {
