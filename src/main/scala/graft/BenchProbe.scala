@@ -79,6 +79,14 @@ object BenchProbe {
       } else if (name == "scaledpq") {
         val p = Bench.prepareScaledEmb(spark, sfDir)
         graft.queries.Similarity.pqTopkFrom(spark.read.parquet(p))
+      } else if (name == "scaledsemantic") {
+        // SemDeDup at x20 (40k vectors): k = floor(sqrt(n)) = 200
+        // centroids through the array-form Lloyd assign (two update
+        // rounds + final assign), then intra-cluster pairs only —
+        // the O(n^1.5) pair-work bound in action
+        val p = Bench.prepareScaledEmb(spark, sfDir)
+        graft.queries.Similarity.semanticDedupFrom(
+          spark, spark.read.parquet(p))
       } else if (name == "scaledivf100") {
         // survives-100x ANN: 200k jittered vectors; IVF assignment is
         // one broadcast pass, the probe scan touches ~nprobe/nlist
@@ -178,6 +186,27 @@ object BenchProbe {
           .select("a_id", "b_id")
       } else SparkEntry.queries(name)(spark, sfDir)
 
+    if (name == "scaledstreamsrocks" || name == "scaledstreamsrocks100") {
+      // The session-window replay on the RocksDB state store — the
+      // provider a production cluster runs when streaming state
+      // outgrows executor heap (the default HDFS-backed store keeps
+      // every version in memory). Same query, same corpus as
+      // scaledstreams*; only the provider changes, so the delta is the
+      // store itself.
+      val f = if (name.endsWith("100")) 100 else 20
+      val p = Bench.prepareScaledEvents(spark, sfDir, f)
+      val schema = spark.read.parquet(p).schema
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.queries.EventsTime.sessionReplayOn(spark, schema, p)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      } finally spark.conf
+        .unset("spark.sql.streaming.stateStore.providerClass")
+      spark.stop(); return
+    }
     if (name == "scaledbpe" || name == "bpewide") {
       // BPE training at the scale regime, reporting distributed-round
       // count next to merge count — the batched selection's whole point

@@ -89,6 +89,39 @@ class AnnRecallSpec extends AnyFunSuite {
       .groupBy(_._1)
       .map { case (q, rows) => q -> rows.map(_._3).toSet }
 
+  test("PQ survives degenerate corpora: identical vectors and near-empty clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // 40 identical vectors: every subspace trains on ONE point, the
+    // update collapses all mass onto a single centroid, and the exact
+    // re-rank must still produce a full deterministic top-k (all L2
+    // distances 0, ties broken by vec_id ascending)
+    val same = (0L until 40L)
+      .map(i => (i, Array.fill(64)(0.25f), 1)).toDF("vec_id", "embedding", "label")
+    val topSame = queries.Similarity
+      .pqTopkFrom(same, col("vec_id") < 2, topK = 5).collect()
+    assert(topSame.length == 10) // 2 queries x full top-5
+    val q0 = topSame.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(q0 == Seq(1L, 2L, 3L, 4L, 5L)) // 0 excluded, then min-id ties
+    assert(topSame.forall(_.getAs[Long]("l2_dist") == 0L))
+    // two tight far-apart groups with 16 seeds over 20 vectors: most
+    // centroids end up owning <= 1 vector (near-empty clusters) and
+    // the group structure must still dominate the ranking
+    val grouped = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.9f else -0.9f
+      (i, Array.tabulate(64)(d => base + (i.toInt % 5) * 0.001f * (d % 3)), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val topG = queries.Similarity
+      .pqTopkFrom(grouped, col("vec_id") < 2, topK = 5).collect()
+    assert(topG.length == 10)
+    topG.foreach { r =>
+      // every retrieved neighbor shares the query's parity group
+      assert(r.getAs[Long]("vec_id") % 2 == r.getAs[Long]("q_id") % 2,
+        s"cross-group neighbor: $r")
+    }
+  }
+
   // The scaled-probe regime Bench times as scaled_ivf_x20/scaled_pq_x20
   // (same corpus recipe and query predicate, here at sf0.001 -> 10k
   // vectors): the jittered x20 corpus plants 19 near-dup siblings per
