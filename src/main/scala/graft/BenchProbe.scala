@@ -186,6 +186,27 @@ object BenchProbe {
           .select("a_id", "b_id")
       } else SparkEntry.queries(name)(spark, sfDir)
 
+    if (name == "annrecall100") {
+      // Recall at the survives-100x regime: IVF top-10 vs exact brute
+      // cosine over the 200k-vector jittered corpus (AnnRecallSpec
+      // gates the same construction at the x20 test regime; this probe
+      // extends the claim to the scale the x100 timing rows come from).
+      import org.apache.spark.sql.functions.col
+      val p = Bench.prepareScaledEmb(spark, sfDir, 100)
+      val e = spark.read.parquet(p)
+      def sets(df: DataFrame): Map[Long, Set[Long]] = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val exact = sets(graft.queries.Similarity.bruteTopkFrom(
+        spark, e, Bench.scaledEmbQueryPred, topK = 10))
+      val ivf = sets(graft.queries.Similarity.ivfTopkFrom(
+        spark, e, Bench.scaledEmbQueryPred, topK = 10))
+      val per = exact.map { case (q, t) =>
+        ivf.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+      println(f"[probe] annrecall100: IVF recall@10 = ${per.sum / per.size}%.3f " +
+        s"over ${exact.size} queries at ${e.count()} vectors")
+      spark.stop(); return
+    }
     if (name == "scaledstreamsrocks" || name == "scaledstreamsrocks100") {
       // The session-window replay on the RocksDB state store — the
       // provider a production cluster runs when streaming state
