@@ -489,6 +489,7 @@ object Bench {
       graft.queries.TextAnalysis.bpeTrainRounds(bpeWords, 200)
       ()
     })
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(bpeWords)
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
