@@ -573,14 +573,23 @@ object Similarity extends QueryModule {
         col("vec_id") === col("seed_id"))
       .select(col("label").as("c_label"), col("embedding").as("c_v"))
     // Assignment: nearest centroid per vector (one broadcast pass).
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("a_icos").desc, col("c_label"))
+    // argmax-cosine via min(struct(-icos, c_label, payload)) — the same
+    // hash-agg trick as the k-means assign step: the broadcast join
+    // leaves all k candidate rows of a vector in ONE partition, so the
+    // map-side partial min collapses k -> 1 before the exchange, where
+    // the row_number window this replaces shuffled and sorted all
+    // N x k rows WITH their embedding payloads. (-icos, c_label) pairs
+    // are distinct per vector, so the trailing payload field never
+    // decides the minimum; the tie rule (highest cosine, then lowest
+    // centroid label) is identical to the window's ordering.
     val assigned = e.join(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"), col("c_label"),
+      .select(col("vec_id"), col("embedding"), col("c_label"),
         Vectors.cosineScaled(s, col("embedding"), col("c_v")).as("a_icos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_label"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("a_icos")).as("ni"), col("c_label").as("cl"),
+        col("embedding").as("emb"))).as("m"))
+      .select(col("vec_id"), col("m.emb").as("embedding"),
+        col("m.cl").as("c_label"))
     // Probe: each query scans only its NPROBE nearest centroids.
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
