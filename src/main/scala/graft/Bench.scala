@@ -469,9 +469,19 @@ object Bench {
     // gate's volume, not just the logical plan.
     val evPath = prepareScaledEvents(spark, sfDir)
     val evSchema = spark.read.parquet(evPath).schema
-    val stw = (1 to 2).map(_ => timeOne("scaled_stream_window_x20", () =>
+    // stream replays return a checkpointed frame (the sink view is
+    // dropped inside the replay); release each rep's blocks so ~1.9M
+    // session rows per rep don't accumulate across the sweep
+    def timeStream(name: String, mk: () => DataFrame): Double = {
+      var df: DataFrame = null
+      val t = timeThunk(name) { df = mk(); runOnce(df) }
+      if (df != null)
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(df)
+      t
+    }
+    val stw = (1 to 2).map(_ => timeStream("scaled_stream_window_x20", () =>
       graft.queries.EventsTime.windowedReplayOn(spark, evSchema, evPath)))
-    val sts = (1 to 2).map(_ => timeOne("scaled_stream_session_x20", () =>
+    val sts = (1 to 2).map(_ => timeStream("scaled_stream_session_x20", () =>
       graft.queries.EventsTime.sessionReplayOn(spark, evSchema, evPath)))
     // BPE training at x20, driven to the 31-word-vocab corpus's merge
     // EXHAUSTION (~100 merges in ~64 batched driver rounds): times the

@@ -187,11 +187,17 @@ object Vectors {
 
   /** Exact integer Σ(a[i]-b[i])² over two array<long> columns (see
     * [[LongSqDist]]). Registered per-session under an internal name so
-    * the Column can be built without a private Column constructor.
+    * the Column can be built without a private Column constructor;
+    * registration is guarded so repeated Column construction (k-means
+    * builds one per assign step per round) doesn't rewrite the
+    * session registry each time.
     */
   def sqDistLong(spark: SparkSession, a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sqdist", exprs => LongSqDist(exprs(0), exprs(1)), "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sqdist")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "graft_sqdist", exprs => LongSqDist(exprs(0), exprs(1)), "scala_udf")
     call_function("graft_sqdist", a, b)
   }
 }

@@ -940,9 +940,9 @@ object Dedup extends QueryModule {
   private val DUP_OFFSET = 1000000L
 
   private def dupGuardedId: Column =
-    when(col("doc_id") < DUP_OFFSET, col("doc_id"))
+    when(col("doc_id") >= 0 && col("doc_id") < DUP_OFFSET, col("doc_id"))
       .otherwise(raise_error(concat(
-        lit(s"dup-injection offset collision: doc_id >= $DUP_OFFSET: "),
+        lit(s"dup-injection offset collision: doc_id outside [0, $DUP_OFFSET): "),
         col("doc_id").cast("string"))).cast("long"))
 
   /** The production dedup cascade over a (doc_id, text) corpus:

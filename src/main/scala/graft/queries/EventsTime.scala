@@ -82,10 +82,27 @@ object EventsTime extends QueryModule {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink)
-      .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
-        col("event_type"), col("n"))
-      .orderBy("hour", "event_type")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"))
+        .orderBy("hour", "event_type")
+    }
+  }
+
+  /** Materialize a memory-sink-derived result, then DROP the sink's
+    * temp view so its rows don't stay pinned in driver memory for the
+    * session's lifetime — each replay registers a fresh nanoTime-named
+    * sink, and a bench/probe session replays the x20/x100 corpora
+    * repeatedly (millions of emitted rows per rep; undropped, they
+    * accumulate as permanent driver heap). localCheckpoint first: the
+    * returned frame must outlive the dropped view.
+    */
+  private def dropSinkAfter(s: SparkSession, sink: String)(
+      mk: => DataFrame): DataFrame = {
+    val out = mk.localCheckpoint()
+    s.catalog.dropTempView(sink)
+    out
   }
 
   def streamReplay(s: SparkSession, d: String): DataFrame = {
@@ -111,10 +128,12 @@ object EventsTime extends QueryModule {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_types"))
-      .orderBy("user_id")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"))
+        .orderBy("user_id")
+    }
   }
 
   /** Streaming SESSION windows under the oracle gate: the events table
@@ -144,11 +163,13 @@ object EventsTime extends QueryModule {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink)
-      .select(unix_micros(col("ss")).as("start_us"),
-        unix_micros(col("se")).as("end_us"),
-        col("user_id"), col("n_events"))
-      .orderBy("user_id", "start_us")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .select(unix_micros(col("ss")).as("start_us"),
+          unix_micros(col("se")).as("end_us"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    }
   }
 
   def streamSessionReplay(s: SparkSession, d: String): DataFrame = {
@@ -183,11 +204,13 @@ object EventsTime extends QueryModule {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink)
-      .groupBy("user_id")
-      .agg(max("n_events").as("n_events"), max("last_us").as("last_us"),
-        max("n_types").as("n_types"))
-      .orderBy("user_id")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("last_us").as("last_us"),
+          max("n_types").as("n_types"))
+        .orderBy("user_id")
+    }
   }
 
   def streamJoinReplay(s: SparkSession, d: String): DataFrame = {
@@ -203,12 +226,14 @@ object EventsTime extends QueryModule {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        min(unix_micros(col("l_ts"))).as("first_us"),
-        max(unix_micros(col("r_ts"))).as("last_us"))
-      .orderBy("user_id")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(unix_micros(col("l_ts"))).as("first_us"),
+          max(unix_micros(col("r_ts"))).as("last_us"))
+        .orderBy("user_id")
+    }
   }
 
   /** Stream-stream LEFT OUTER join under the oracle gate. Unlike the
@@ -234,13 +259,15 @@ object EventsTime extends QueryModule {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink)
-      .groupBy("user_id")
-      .agg(count(col("r_ts")).as("n_pairs"),
-        (count(lit(1)) - count(col("r_ts"))).as("n_outer"),
-        min(unix_micros(col("l_ts"))).as("first_us"),
-        max(unix_micros(col("r_ts"))).as("last_us"))
-      .orderBy("user_id")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(count(col("r_ts")).as("n_pairs"),
+          (count(lit(1)) - count(col("r_ts"))).as("n_outer"),
+          min(unix_micros(col("l_ts"))).as("first_us"),
+          max(unix_micros(col("r_ts"))).as("last_us"))
+        .orderBy("user_id")
+    }
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -13,12 +13,7 @@ class AnnRecallSpec extends AnyFunSuite {
 
   /** (q_id, rk, vec_id, ...) result -> q_id -> top-k vec_id set */
   private def byQuery(name: String, k: Int): Map[Long, Set[Long]] =
-    SparkEntry.queries(name)(spark, sf).collect()
-      .map(r => (r.getAs[Long]("q_id"), r.getAs[Number]("rk").intValue(),
-        r.getAs[Long]("vec_id")))
-      .filter(_._2 <= k)
-      .groupBy(_._1)
-      .map { case (q, rows) => q -> rows.map(_._3).toSet }
+    setsOf(SparkEntry.queries(name)(spark, sf), k)
 
   private def recallAt(k: Int, approx: Map[Long, Set[Long]],
       exact: Map[Long, Set[Long]]): Double = {
