@@ -290,6 +290,127 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a killed query restarts exactly-once from state") {
+    // The fault-tolerance contract a production stream lives on: run a
+    // stateful windowed aggregation over a multi-file source with an
+    // explicit checkpointLocation, STOP it after the first micro-batch
+    // (maxFilesPerTrigger=1), then restart the same query on the same
+    // checkpoint + sink dir. The restarted query must resume from
+    // persisted offsets/state — no dropped and no double-counted
+    // events — and the final result must equal the one-shot batch
+    // aggregation of the whole input.
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_ckpt_in").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val events = Tables.events(spark, TestSpark.sf0001)
+    // time-RANGED files written SEQUENTIALLY (oldest range first): the
+    // file source replays files in modification-time order, so arrival
+    // must respect event time like a real log. (A concurrent
+    // repartitionByRange write lands the parts in arbitrary mtime
+    // order — if the newest range arrives second, the watermark jumps
+    // to the end and the middle files are late and correctly DROPPED:
+    // watermark semantics, not a recovery test.)
+    val tsSorted = events.select(unix_micros(col("ts")).as("us"))
+      .orderBy("us").collect().map(_.getLong(0))
+    val cuts = Seq(1, 2, 3).map(i => tsSorted(i * tsSorted.length / 4))
+    val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    ranges.foreach { case (lo, hi) =>
+      events.filter(unix_micros(col("ts")) >= lo &&
+          unix_micros(col("ts")) < hi)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(60) // distinct mtimes -> deterministic replay order
+    }
+    val schema = events.schema
+    // q1 throttles to one file per micro-batch (so the kill lands with
+    // most of the input unread and real state in the store); the
+    // restarted q2 drains unthrottled — one data batch + the no-data
+    // finalization batch that emits everything under the final
+    // watermark. (With the throttle left on, AvailableNow terminates
+    // after the last DATA batch and the finalization batch never runs
+    // — windows closed by the final file would stay unemitted until
+    // the next restart; changing a source option across restarts is
+    // exactly how a real backfill drain runs.)
+    def startQuery(maxFiles: Option[String]) = Streaming
+      .windowedTypeCounts(
+        maxFiles.foldLeft(spark.readStream.schema(schema))(
+          (r, m) => r.option("maxFilesPerTrigger", m)).parquet(in),
+        "1 hour", "1 hour", "30 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    def dump(tag: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      println(s"[ckpt-test] $tag " + q.recentProgress.map(p =>
+        s"b${p.batchId}:in=${p.numInputRows}:wm=${p.eventTime.get("watermark")}" +
+          s":stateRows=${p.stateOperators.headOption.map(_.numRowsTotal)}" +
+          s":out=${p.sink.numOutputRows}").mkString(" "))
+    val q1 = startQuery(Some("1"))
+    // kill after at least one committed micro-batch, before the drain
+    var waited = 0
+    while (q1.recentProgress.length < 1 && waited < 60000) {
+      Thread.sleep(200); waited += 200
+    }
+    q1.stop()
+    assert(q1.recentProgress.nonEmpty, "first run committed no batch")
+    dump("q1", q1)
+    val q2 = startQuery(None)
+    assert(q2.awaitTermination(120000), "restarted query did not drain")
+    q2.stop()
+    dump("q2", q2)
+    // the restart resumed from persisted offsets, not from scratch
+    assert(q2.recentProgress.headOption.exists(_.batchId > 0),
+      "restart did not resume from the checkpointed batch id")
+    // full-input batch oracle for every window (counts are what an
+    // uninterrupted batch aggregation of the whole log produces)
+    val us = unix_micros(col("ts"))
+    val maxUs = events.agg(max(us)).collect().head.getLong(0)
+    def oracle(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+      df.withColumn("ws", (unix_micros(col("ts")) -
+          pmod(unix_micros(col("ts")), lit(3600000000L))).cast("long"))
+        .groupBy("ws", "event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expect = oracle(events)
+    def emitted(): Map[(Long, String), Long] = spark.read.parquet(out)
+      .select(unix_micros(col("ws")).as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // EXACTLY-ONCE: despite the kill, every emitted window carries the
+    // exact uninterrupted-batch count — nothing double- or half-counted
+    val afterRestart = emitted()
+    assert(afterRestart.nonEmpty, "restart chain emitted nothing")
+    afterRestart.foreach { case (k, v) =>
+      assert(expect.get(k).contains(v),
+        s"window $k emitted $v vs batch count ${expect.get(k)} — " +
+          "restart corrupted state")
+    }
+    // The stream CONTINUES: append a later file and drain again — the
+    // watermark (restored from the checkpoint, then advanced by the new
+    // data) must close every window of the original log. Spark advances
+    // the watermark one batch behind the data, so the appended file's
+    // timestamps sit 2h past the old max: all original windows end
+    // well below any post-append watermark.
+    events.limit(50)
+      .withColumn("ts", timestamp_micros(lit(maxUs + 2L * 3600000000L)))
+      .coalesce(1).write.mode("append").parquet(in)
+    val q4 = startQuery(None)
+    assert(q4.awaitTermination(120000), "post-append drain did not finish")
+    q4.stop()
+    dump("q4", q4)
+    val q5 = startQuery(None) // one more scheduled run: finalization batch
+    assert(q5.awaitTermination(120000), "final run did not finish")
+    q5.stop()
+    dump("q5", q5)
+    val finalGot = emitted()
+    val missing = expect.keySet
+      .filter { case (ws, _) => ws + 3600000000L <= maxUs }
+      .diff(finalGot.keySet)
+    assert(missing.isEmpty,
+      s"${missing.size} closed windows never emitted after recovery+continue")
+    finalGot.foreach { case (k, v) =>
+      assert(expect.get(k).contains(v), s"window $k drifted to $v")
+    }
+  }
+
   test("foreachBatch sink writes idempotently by batch id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
