@@ -411,6 +411,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("RocksDB state store yields the same session windows as the default store") {
+    // The provider swap the scaledstreamsrocks probes time: prove the
+    // results are identical, not just that the query runs. Same
+    // events, same session-window aggregation, both providers.
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_rocks_in").toString
+    val events = Tables.events(spark, TestSpark.sf0001)
+    events.write.mode("overwrite").parquet(in)
+    def run(): Array[(Long, Long, Long, Long)] = {
+      val sink = "rocks_cmp_" + System.nanoTime()
+      val q = Streaming.sessionCounts(
+          spark.readStream.schema(events.schema).parquet(in))
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+      val out = spark.table(sink)
+        .select(unix_micros(col("ss")), unix_micros(col("se")),
+          col("user_id"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._3, t._1))
+      spark.catalog.dropTempView(sink)
+      out
+    }
+    val default = run()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks =
+      try run()
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(default.nonEmpty && default.sameElements(rocks),
+      s"provider drift: default=${default.length} rocks=${rocks.length}")
+  }
+
   test("foreachBatch sink writes idempotently by batch id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
