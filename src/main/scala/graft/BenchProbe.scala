@@ -207,6 +207,26 @@ object BenchProbe {
         s"over ${exact.size} queries at ${e.count()} vectors")
       spark.stop(); return
     }
+    if (name == "scaledstreamsnoop") {
+      // Session replay with a NOOP sink: isolates the state-store path
+      // (source -> watermark -> merging session state -> append
+      // emission) from the memory sink's driver-side collect of ~1.9M
+      // session rows — the split between "what scales with the
+      // cluster" and "what the x20 probe pays for being observable".
+      val p = Bench.prepareScaledEvents(spark, sfDir)
+      val schema = spark.read.parquet(p).schema
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streaming.sessionCounts(
+            spark.readStream.schema(schema).parquet(p))
+          .writeStream.format("noop").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try assert(q.awaitTermination(600000)) finally q.stop()
+        println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     if (name == "scaledstreamsrocks" || name == "scaledstreamsrocks100") {
       // The session-window replay on the RocksDB state store — the
       // provider a production cluster runs when streaming state
