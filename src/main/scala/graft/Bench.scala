@@ -39,7 +39,13 @@ object Bench {
     "q_grouping_sets", "q_scd2", "q_json_funcs", "ev_funnel",
     "io_bucketed_join", "dedup_ppjoin_pairs", "dedup_spans",
     "sim_lsh_topk", "mm_dedup", "mm_phash_pairs", "txt_entropy",
-    "txt_gopher")
+    "txt_gopher",
+    // the full training-data pipeline family (the engine's flagship
+    // surface): every pipe_* stage tracked per-round
+    "pipe_split", "pipe_curation", "pipe_modern_curation",
+    "pipe_curriculum", "pipe_mix_weights", "pipe_decontaminate",
+    "pipe_cluster_dedup", "pipe_substr_cut", "pipe_training_batches",
+    "pipe_upsert")
 
   /** BASELINE.md workload A equivalent: 1.2M lines x 10 words from a
     * 100k vocabulary (~83 MB text). Generated ONCE to a scratch dir
