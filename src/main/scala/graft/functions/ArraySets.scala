@@ -45,20 +45,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
           s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
     }
 
+  /** Null ELEMENTS are skipped, never counted: the function is
+    * SQL-registered, so arbitrary SQL can feed nullable-element
+    * arrays — dereferencing a null slot would NPE (string path) or
+    * read garbage (long path). array_sort puts nulls last, so the
+    * skip preserves the sorted-merge invariant on sorted input.
+    * STATICALLY ELIDED when both child types carry
+    * containsNull=false (every engine-built posting array does): the
+    * two extra branches sit inside PPJoin's verify-leg hot loop, and
+    * the plan-time type already proves them dead.
+    */
+  private def mayHaveNullElems: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (na, nb) = (a.numElements(), b.numElements())
+    val checkNulls = mayHaveNullElems
     var i = 0; var j = 0; var c = 0L
-    // Null ELEMENTS are skipped, never counted: the function is
-    // SQL-registered, so arbitrary SQL can feed nullable-element
-    // arrays — dereferencing a null slot would NPE (string path) or
-    // read garbage (long path). array_sort puts nulls last, so the
-    // skip preserves the sorted-merge invariant on sorted input.
     if (elemType == StringType)
       while (i < na && j < nb) {
-        if (a.isNullAt(i)) i += 1
-        else if (b.isNullAt(j)) j += 1
+        if (checkNulls && a.isNullAt(i)) i += 1
+        else if (checkNulls && b.isNullAt(j)) j += 1
         else {
           val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
           if (cmp == 0) { c += 1; i += 1; j += 1 }
@@ -68,8 +80,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       }
     else
       while (i < na && j < nb) {
-        if (a.isNullAt(i)) i += 1
-        else if (b.isNullAt(j)) j += 1
+        if (checkNulls && a.isNullAt(i)) i += 1
+        else if (checkNulls && b.isNullAt(j)) j += 1
         else {
           val cmp = java.lang.Long.compare(a.getLong(i), b.getLong(j))
           if (cmp == 0) { c += 1; i += 1; j += 1 }
@@ -94,13 +106,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         if (elemType == StringType)
           s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
         else s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+      // null-skip branches only when the child TYPE admits null
+      // elements — containsNull=false proves them dead at plan time
+      val nullSkips =
+        if (mayHaveNullElems)
+          s"""if ($a.isNullAt($i)) { $i++; }
+          else if ($b.isNullAt($j)) { $j++; }
+          else """
+        else ""
       s"""
         int $na = $a.numElements(), $nb = $b.numElements();
         int $i = 0, $j = 0; long $c = 0L;
         while ($i < $na && $j < $nb) {
-          if ($a.isNullAt($i)) { $i++; }
-          else if ($b.isNullAt($j)) { $j++; }
-          else {
+          $nullSkips{
             int $cmp = $cmpExpr;
             if ($cmp == 0) { $c++; $i++; $j++; }
             else if ($cmp < 0) $i++;

@@ -123,13 +123,23 @@ case class LongSqDist(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  /** True when either child TYPE admits null elements; when false the
+    * per-index null checks are statically elided from the hot loop.
+    */
+  private def mayHaveNullElems: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = mayHaveNullElems
     var acc = 0L; var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+      if (!checkNulls || (!x.isNullAt(i) && !y.isNullAt(i))) {
         val d = x.getLong(i) - y.getLong(i)
         acc += d * d
       }
@@ -142,11 +152,14 @@ case class LongSqDist(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val guard =
+        if (mayHaveNullElems) s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) "
+        else ""
       s"""
         int $n = Math.min($a.numElements(), $b.numElements());
         long $acc = 0L;
         for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+          $guard{
             long $d = $a.getLong($i) - $b.getLong($i);
             $acc += $d * $d;
           }
