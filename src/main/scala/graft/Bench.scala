@@ -177,6 +177,30 @@ object Bench {
     graft.queries.Dedup.minhashPairsFrom(spark.read.parquet(path),
       ordered = false)
 
+  /** SimHash Hamming-LSH pair pipeline over a prepared docs corpus:
+    * 64-bit signatures banded into SIMHASH_BLOCKS 15-bit blocks
+    * (pigeonhole: any pair at Hamming<=3 shares at least one block),
+    * block-bucketed self-join, pairwise popcount gate. Timed per-round
+    * as scaled_simhash_x20; the scaledsimhash[100] probes reuse it.
+    */
+  def simhashPairs(spark: SparkSession, path: String): DataFrame = {
+    val sims = graft.queries.Dedup.simhashFrom(spark, spark.read.parquet(path))
+    val blocks = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until graft.queries.Dedup.SIMHASH_BLOCKS).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blk_val")
+    val a = blocks.select(col("blk"), col("blk_val"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val b = blocks.select(col("blk"), col("blk_val"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, Seq("blk", "blk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= 3)
+  }
+
   /** Tiny warm corpus (1/16 of workload A, 8 partitions): exercises
     * the COLLAPSED small-input plan shape — the one workload B's 12 MB
     * corpus runs — during the untimed warmup.
@@ -506,6 +530,17 @@ object Bench {
       ()
     })
     org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(bpeWords)
+    // SimHash Hamming-LSH pairs at x20: the last dedup family without a
+    // per-round scaled row (the sf0.1 gate query times signatures only;
+    // this runs the banded pair join + popcount gate over 100k docs)
+    val simh = (1 to 3).map(_ => timeOne("scaled_simhash_x20", () =>
+      simhashPairs(spark, scaledPath)))
+    // SemDeDup at x20 (flagship semantic-dedup shape): k = sqrt(n)
+    // Lloyd centroids through the array-form assign, intra-cluster
+    // pairs only — the O(n^1.5) pair-work bound, timed per-round
+    val sem = (1 to 2).map(_ => timeOne("scaled_semantic_x20", () =>
+      graft.queries.Similarity.semanticDedupFrom(
+        spark, spark.read.parquet(embPath))))
     System.gc()
 
     // Steady-state per query (min of 2): the baseline's C binary has no
@@ -543,7 +578,9 @@ object Bench {
       "scaled_pq_x20" -> pq.min,
       "scaled_stream_window_x20" -> stw.min,
       "scaled_stream_session_x20" -> sts.min,
-      "scaled_bpe_x20" -> bpe.min)
+      "scaled_bpe_x20" -> bpe.min,
+      "scaled_simhash_x20" -> simh.min,
+      "scaled_semantic_x20" -> sem.min)
 
     // NaN (= failed) prints as null and never reaches a sum: a reader
     // of only the metric lines sees the gap, not a fake-fast number
@@ -557,12 +594,13 @@ object Bench {
     val total = okSum(results0.map(_._2) ++ Seq(refRuns.min, refBRuns.min,
       mh.min, cc.min, contam.min, bloomC.min, contamS.min,
       bloomS.min, chunk.min, winnow.min, ppjoin.min, sparse.min,
-      inc.min, substr.min, ivf.min, pq.min, stw.min, sts.min, bpe.min))
+      inc.min, substr.min, ivf.min, pq.min, stw.min, sts.min, bpe.min,
+      simh.min, sem.min))
     val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head,
       mh.head, cc.head, contam.head, bloomC.head, contamS.head,
       bloomS.head, chunk.head, winnow.head, ppjoin.head,
       sparse.head, inc.head, substr.head, ivf.head, pq.head,
-      stw.head, sts.head, bpe.head))
+      stw.head, sts.head, bpe.head, simh.head, sem.head))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load at exit: the box is shared, and outside load
     // inflates the barrier-heavy workloads 2-4x — record it so a noisy

@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
   * Usage: runMain graft.BenchProbe <name|ref> [reps]
   */
 object BenchProbe {
+
   def main(args: Array[String]): Unit = {
     val name = if (args.nonEmpty) args(0) else "ref"
     val reps = if (args.length > 1) args(1).toInt else 5
@@ -60,22 +61,7 @@ object BenchProbe {
         Bench.scaledMinhash(spark, p)
       } else if (name == "scaledsimhash") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
-        import org.apache.spark.sql.functions._
-        val sims = graft.queries.Dedup.simhashFrom(spark, spark.read.parquet(p))
-        val blocks = sims.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until graft.queries.Dedup.SIMHASH_BLOCKS).map(b =>
-            shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
-          .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blk_val")
-        val a = blocks.select(col("blk"), col("blk_val"),
-          col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-        val b = blocks.select(col("blk"), col("blk_val"),
-          col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-        a.join(b, Seq("blk", "blk_val"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
-          .dropDuplicates("a_id", "b_id")
-          .filter(col("hamming") <= 3)
+        Bench.simhashPairs(spark, p)
       } else if (name == "scaledpq") {
         val p = Bench.prepareScaledEmb(spark, sfDir)
         graft.queries.Similarity.pqTopkFrom(spark.read.parquet(p))
@@ -110,6 +96,58 @@ object BenchProbe {
         val p = Bench.prepareScaledEvents(spark, sfDir, 100)
         graft.queries.EventsTime.sessionReplayOn(
           spark, spark.read.parquet(p).schema, p)
+      } else if (name == "scaledwinnow100") {
+        // survives-100x winnowing: ~90M fingerprint positions through
+        // the fused generator — map + one sort, no join, so wall should
+        // track positions ~linearly from the x20 row
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        graft.queries.TextAnalysis.winnowFrom(spark.read.parquet(p))
+      } else if (name == "scaledsparse100") {
+        // survives-100x inverted-index cosine: the df cap is the whole
+        // claim — posting buckets stay bounded no matter how much
+        // replication inflates term frequencies
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        graft.queries.Similarity.sparseCosinePairsFrom(spark.read.parquet(p))
+      } else if (name == "scaledchunk100") {
+        // survives-100x chunking: ~100M tokens through the map-only
+        // generator (no shuffle — the linearity claim made visible)
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        import org.apache.spark.sql.functions.col
+        spark.read.parquet(p)
+          .select(col("doc_id"), graft.functions.ChunkExplode
+            .chunks(spark, col("text"), 64, 48)
+            .as(Seq("chunk_idx", "chunk", "n_tokens")))
+      } else if (name == "scaledcontam100" || name == "scaledbloom100") {
+        // survives-100x decontamination: 500k docs vs a 0.2% benchmark
+        // slice (rep 0 of every 5th pack, as scaledinc100) — the sparse
+        // regime the Bloom pushdown is built for; corpus shingles that
+        // miss the one-row broadcast bitset never reach the exact join
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        val docs = spark.read.parquet(p)
+        val bench100 = docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") % 500 === 0)
+        if (name == "scaledbloom100")
+          graft.queries.Dedup.bloomContaminationFrom(docs, bench100)
+        else graft.queries.Dedup.contaminationFrom(docs, bench100)
+      } else if (name == "scaledsimhash100") {
+        // survives-100x SimHash Hamming-LSH: 100-member exact+near
+        // cliques share (or nearly share) 64-bit signatures, so the
+        // banded self-join leans entirely on the block structure
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        Bench.simhashPairs(spark, p)
+      } else if (name == "scaledkmeans100") {
+        // survives-100x Lloyd: the gate's k/rounds on 200k jittered
+        // vectors — per-round cost is one broadcast-centroid assign
+        // (LongSqDist) + one re-center agg, independent of k*N pairs
+        val p = Bench.prepareScaledEmb(spark, sfDir, 100)
+        graft.queries.Similarity.kmeansFrom(spark.read.parquet(p))
+      } else if (name == "scaledsemantic100") {
+        // survives-100x SemDeDup: 200k jittered vectors, k = sqrt(n)
+        // ~ 447 centroids, intra-cluster pairs only (the O(n^1.5)
+        // pair-work bound at the next scale step)
+        val p = Bench.prepareScaledEmb(spark, sfDir, 100)
+        graft.queries.Similarity.semanticDedupFrom(
+          spark, spark.read.parquet(p))
       } else if (name == "scaledbloom") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         val docs = spark.read.parquet(p)
@@ -224,6 +262,35 @@ object BenchProbe {
           .start()
         try assert(q.awaitTermination(600000)) finally q.stop()
         println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
+    if (name == "scaledstreamsparquet" || name == "scaledstreamsparquet100") {
+      // Session replay with a PARQUET sink — the production shape: the
+      // ~1.9M (x20) / ~9.5M (x100) closed sessions stream straight to
+      // distributed files, no driver-side memory-sink collect. The gap
+      // vs scaledstreamsnoop is the real durable-write cost; the gap vs
+      // scaledstreams* is the probe-observability cost the cluster
+      // never pays.
+      val f = if (name.endsWith("100")) 100 else 20
+      val p = Bench.prepareScaledEvents(spark, sfDir, f)
+      val schema = spark.read.parquet(p).schema
+      (1 to reps).foreach { i =>
+        val out = s"target/bench_scratch/stream_sessions_out_x$f"
+        val ckpt = s"target/bench_scratch/stream_sessions_ckpt_x$f"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streaming.sessionCounts(
+            spark.readStream.schema(schema).parquet(p))
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try assert(q.awaitTermination(600000)) finally q.stop()
+        val rows = spark.read.parquet(out).count()
+        println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          s" — $rows session rows to parquet")
       }
       spark.stop(); return
     }
