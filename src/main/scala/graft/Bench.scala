@@ -177,29 +177,14 @@ object Bench {
     graft.queries.Dedup.minhashPairsFrom(spark.read.parquet(path),
       ordered = false)
 
-  /** SimHash Hamming-LSH pair pipeline over a prepared docs corpus:
-    * 64-bit signatures banded into SIMHASH_BLOCKS 15-bit blocks
-    * (pigeonhole: any pair at Hamming<=3 shares at least one block),
-    * block-bucketed self-join, pairwise popcount gate. Timed per-round
-    * as scaled_simhash_x20; the scaledsimhash[100] probes reuse it.
+  /** The gate's complete SimHash Hamming-LSH pair pipeline
+    * ([[graft.queries.Dedup.simhashPairsFrom]], unordered) over a
+    * prepared docs corpus. Timed per-round as scaled_simhash_x20; the
+    * scaledsimhash[100] probes reuse it.
     */
-  def simhashPairs(spark: SparkSession, path: String): DataFrame = {
-    val sims = graft.queries.Dedup.simhashFrom(spark, spark.read.parquet(path))
-    val blocks = sims.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until graft.queries.Dedup.SIMHASH_BLOCKS).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
-      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blk_val")
-    val a = blocks.select(col("blk"), col("blk_val"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-    val b = blocks.select(col("blk"), col("blk_val"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-    a.join(b, Seq("blk", "blk_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
-      .dropDuplicates("a_id", "b_id")
-      .filter(col("hamming") <= 3)
-  }
+  def simhashPairs(spark: SparkSession, path: String): DataFrame =
+    graft.queries.Dedup.simhashPairsFrom(spark,
+      spark.read.parquet(path), ordered = false)
 
   /** Tiny warm corpus (1/16 of workload A, 8 partitions): exercises
     * the COLLAPSED small-input plan shape — the one workload B's 12 MB

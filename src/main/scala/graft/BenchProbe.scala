@@ -347,6 +347,33 @@ object BenchProbe {
       }
       spark.stop(); return
     }
+    if (name == "simhashstages") {
+      // per-stage timing of the SimHash pair pipeline at x20: where do
+      // the ~38 s go between tokenize+count agg, 60-sum vote agg,
+      // block join, and pair dedup?
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      def mkQ() = Bench.simhashPairs(spark, p)
+      (1 to 2).foreach(_ => mkQ().write.mode("overwrite").format("noop").save())
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+          val tm = si.taskMetrics
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+            f"dur=${ms.getOrElse(-1L)}%6d ms  run=${tm.executorRunTime}%6d " +
+            f"gc=${tm.jvmGCTime}%5d spill=${tm.diskBytesSpilled / 1000000}%5d " +
+            f"in=${tm.inputMetrics.recordsRead}%9d " +
+            f"shufR=${tm.shuffleReadMetrics.recordsRead}%9d " +
+            f"shufW=${tm.shuffleWriteMetrics.recordsWritten}%9d  ${si.name.take(40)}")
+        }
+      })
+      val t0 = System.nanoTime()
+      mkQ().write.mode("overwrite").format("noop").save()
+      println(f"[probe] simhash total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      Thread.sleep(2000)
+      spark.stop(); return
+    }
     if (name == "scaledparts") {
       // stage-by-stage timing of the CURRENT flat-column pair pipeline
       // (mirrors Dedup.minhashPairsFrom; the array-signature variant

@@ -36,17 +36,20 @@ object Dedup extends QueryModule {
   val SIMHASH_BLOCKS = 4 // 15-bit blocks; complete for Hamming <= 3
 
   def simhashFrom(s: SparkSession, docs: DataFrame): DataFrame = {
+    // collapse token multiplicity FIRST with a cheap single-count agg
+    // (natural text repeats tokens ~5x), and only THEN hash: md5 +
+    // hex->long conv — the expensive scalar ops here — run once per
+    // DISTINCT (doc, token) instead of once per token instance.
+    // Identical simhash: two distinct tokens colliding in h contribute
+    // (c1+c2)*votes(h) either way, and the oracle's per-instance vote
+    // sum groups by h implicitly.
     val tok = docs
       .select(col("doc_id"),
         graft.functions.TokenizeExplode.tokenize(s, lower(col("text"))).as("tok"))
+    val counted = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .withColumn("h",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
           .cast("long"))
-    // collapse token multiplicity FIRST with a cheap single-count agg
-    // (natural text repeats tokens ~5x), then weight each distinct
-    // (doc, hash) row's +-1 votes by its count — identical result, and
-    // the 60-column vote aggregate reads 4-5x fewer rows
-    val counted = tok.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val bitSums = (1 to SIMHASH_BITS).map(j =>
       sum(col("c") * (shiftright(col("h"), j - 1).bitwiseAND(lit(1L)) * 2 - 1))
         .as(s"b$j"))
@@ -55,6 +58,56 @@ object Dedup extends QueryModule {
       .map(j => when(col(s"b$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** COMPLETE Hamming<=3 SimHash near-dup pairs: [[simhashFrom]]
+    * signatures banded into SIMHASH_BLOCKS 15-bit blocks (pigeonhole:
+    * any pair within Hamming 3 of a 60-bit hash split 4 ways agrees on
+    * at least one whole block), block-bucketed self-join, popcount
+    * gate, pair dedup. Plan-only mirror of the oracle's uncapped
+    * blocked join.
+    *
+    * The join sides are explicitly co-partitioned at FIXED width (the
+    * same discipline as [[candidateMatches]]): the banded frame is
+    * tiny relative to the pair OUTPUT — duplicate cliques share all
+    * four block values, so a clique of m docs emits ~4*m^2/2 raw join
+    * rows — and AQE, seeing only the small input, would otherwise
+    * coalesce the pair-generating join onto a handful of tasks.
+    * Measured at the x100 corpus (500k docs, 100-member cliques): the
+    * ENSURE_REQUIREMENTS shape did not finish in 8+ minutes.
+    */
+  def simhashPairsFrom(s: SparkSession, docs: DataFrame,
+      ordered: Boolean = true): DataFrame = {
+    val sims = simhashFrom(s, docs)
+    val blocks = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SIMHASH_BLOCKS).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      .withColumnRenamed("pos", "blk")
+      .withColumnRenamed("col", "blk_val")
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val a = blocks.select(col("blk"), col("blk_val"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      .repartition(nPart, col("blk"), col("blk_val"))
+    val b = blocks.select(col("blk"), col("blk_val"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      .repartition(nPart, col("blk"), col("blk_val"))
+    // the Hamming gate runs BEFORE the pair dedup: hamming is a pure
+    // function of the pair, so the order is value-identical (and the
+    // oracle's WHERE <= 3 + DISTINCT is this order), but the gate runs
+    // codegen'd inside the join stage — only TRUE pairs reach the
+    // dedup exchange. On template-heavy corpora simhashes concentrate
+    // (that's what simhash is for), so the raw bucket-join output is
+    // far larger than the true pair set: at x20 the late-filter shape
+    // shuffled 112M rows into the dedup and took 38 s; this shape
+    // shuffles only the survivors.
+    val pairs = a.join(b, Seq("blk", "blk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("a_id", "b_id")
+    if (ordered) pairs.orderBy("a_id", "b_id") else pairs
   }
 
   /** The full MinHash+LSH near-dup pair pipeline over any (doc_id, text)
@@ -1212,25 +1265,8 @@ object Dedup extends QueryModule {
     //    each block finds ALL such pairs (complete, not approximate);
     //    candidates verify with a codegen'd popcount on the XOR. 15-bit
     //    block keys keep buckets sparse at corpus scale ------------------
-    "dedup_simhash_pairs" -> ((s, d) => {
-      val sims = simhashFrom(s, Tables.documents(s, d))
-      val blocks = sims.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until SIMHASH_BLOCKS).map(b =>
-          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
-        .withColumnRenamed("pos", "blk")
-        .withColumnRenamed("col", "blk_val")
-      val a = blocks.select(col("blk"), col("blk_val"),
-        col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-      val b = blocks.select(col("blk"), col("blk_val"),
-        col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-      a.join(b, Seq("blk", "blk_val"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
-        .dropDuplicates("a_id", "b_id")
-        .filter(col("hamming") <= 3)
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      simhashPairsFrom(s, Tables.documents(s, d))),
 
     // -- edit-distance near-dup: levenshtein over prefix-blocked pairs ----
     // Same blocking + MAX_BLOCK discipline as dedup_jaccard_pairs; the

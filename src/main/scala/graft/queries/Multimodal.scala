@@ -131,13 +131,18 @@ object Multimodal extends QueryModule {
         col("doc_id").as("a_id"), col("phash").as("a_ph"))
       val b = blocks.select(col("blk"), col("blk_val"),
         col("doc_id").as("b_id"), col("phash").as("b_ph"))
+      // Hamming gate BEFORE the pair dedup (same reasoning as
+      // simhashPairsFrom): the gate is a pure function of the pair, so
+      // only true near-dups reach the dedup exchange — on a corpus
+      // where signatures concentrate, the raw bucket-join output is
+      // far larger than the surviving pair set
       a.join(b, Seq("blk", "blk_val"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long")
             .as("hamming"))
-        .dropDuplicates("a_id", "b_id")
         .filter(col("hamming") <= 3)
+        .dropDuplicates("a_id", "b_id")
         .orderBy("a_id", "b_id")
     }),
 
