@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.KmvDistinct(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
+      FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName,
+        "graft_kmv_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.KmvSketchAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
       FunctionIdentifier("graft_hll_distinct"),
       new ExpressionInfo(classOf[graft.functions.HllDistinct].getName,
         "graft_hll_distinct"),

@@ -137,4 +137,48 @@ object AsofJoin {
       df.withColumn(o, when(col(ts) - col(rts) <= toleranceUs, col(o)))
     }.drop(rts)
   }
+
+  /** Nearest as-of join: attach the payload of the right row closest in
+    * time in EITHER direction (pandas `merge_asof(direction='nearest')`).
+    * Ties — equal distance behind and ahead — resolve BACKWARD.
+    *
+    * Composes the two linear union-tag passes and joins them on
+    * `leftId`, which the caller must guarantee unique per left row
+    * (there is no deterministic way to synthesize one inside the
+    * operator: generated ids would depend on partition layout, and the
+    * two legs each re-execute the left plan). Cost: two key-partitioned
+    * sort passes + one equi-join on the unique id — still no interval
+    * cross-product, still skew-bounded by the key distribution.
+    *
+    * `ts` must be numeric (e.g. epoch micros) so distances subtract
+    * exactly.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      leftId: String,
+      payload: Seq[String],
+      rename: Map[String, String]): DataFrame = {
+    // right ts always rides first so the distance compare has both legs
+    val pcols = ts +: payload.filterNot(_ == ts)
+    val bMap = pcols.zipWithIndex.map { case (p, i) => p -> s"_b$i" }.toMap
+    val fMap = pcols.zipWithIndex.map { case (p, i) => p -> s"_f$i" }.toMap
+    val b = asofBackward(left, right, key, ts, pcols, bMap)
+    val f = asofForward(left, right, key, ts, pcols, fMap)
+      .select((leftId +: pcols.indices.map(i => s"_f$i")).map(col): _*)
+    // backward wins when forward is absent, or when its distance is no
+    // greater (three-valued logic safe: the comparison only decides
+    // when both legs matched)
+    val takeB = col("_f0").isNull || (col("_b0").isNotNull &&
+      (col(ts) - col("_b0")) <= (col("_f0") - col(ts)))
+    val outCols = payload.map { p =>
+      val i = pcols.indexOf(p)
+      when(takeB, col(s"_b$i")).otherwise(col(s"_f$i"))
+        .as(rename.getOrElse(p, p))
+    }
+    b.join(f, Seq(leftId))
+      .select(left.columns.map(col).toSeq ++ outCols: _*)
+  }
 }

@@ -556,6 +556,25 @@ object EventsTime extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // -- nearest as-of: closest purchase in EITHER direction --------------
+    //    (pandas merge_asof direction='nearest'; completes the as-of
+    //    family next to backward/forward/tolerance). Two linear
+    //    union-tag passes joined on the unique event id; ties go
+    //    backward; no interval cross-product anywhere.
+    "ev_asof_nearest" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("user_id"), us.as("us"))
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("us"), valE2.as("pval"))
+      AsofJoin.asofNearest(
+        e, purchases, key = "user_id", ts = "us", leftId = "event_id",
+        payload = Seq("us", "pval"),
+        rename = Map("us" -> "near_purchase_us",
+          "pval" -> "near_purchase_e2"))
+        .select(col("event_id"), col("user_id"),
+          col("near_purchase_us"), col("near_purchase_e2"))
+        .orderBy("event_id")
+    }),
+
     // -- range join: clicks in the 10 min before each error ---------------
     // Bucketed equi-join formulation: theta-join -> equi-join on
     // (user, time bucket) + residual filter. Scales as a hash join on a
@@ -929,6 +948,28 @@ object EventsTime extends QueryModule {
                AS recent_purchase_e2
       FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.us
       ORDER BY event_id""",
+
+    "ev_asof_nearest" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+           p AS (SELECT user_id, epoch_us(ts) AS us,
+                        round(value * 100)::BIGINT AS pval
+                 FROM events WHERE event_type = 'purchase'),
+           b AS (SELECT e.event_id, e.user_id, e.us,
+                        p.us AS b_us, p.pval AS b_pval
+                 FROM e ASOF LEFT JOIN p
+                   ON e.user_id = p.user_id AND e.us >= p.us),
+           f AS (SELECT e.event_id, p.us AS f_us, p.pval AS f_pval
+                 FROM e ASOF LEFT JOIN p
+                   ON e.user_id = p.user_id AND e.us <= p.us)
+      SELECT b.event_id, b.user_id,
+             CASE WHEN f.f_us IS NULL OR (b.b_us IS NOT NULL
+                        AND (b.us - b.b_us) <= (f.f_us - b.us))
+                  THEN b.b_us ELSE f.f_us END AS near_purchase_us,
+             CASE WHEN f.f_us IS NULL OR (b.b_us IS NOT NULL
+                        AND (b.us - b.b_us) <= (f.f_us - b.us))
+                  THEN b.b_pval ELSE f.f_pval END AS near_purchase_e2
+      FROM b JOIN f ON b.event_id = f.event_id
+      ORDER BY b.event_id""",
 
     "ev_range_join" -> s"""
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)

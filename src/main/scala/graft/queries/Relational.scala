@@ -489,6 +489,52 @@ object Relational extends QueryModule {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // -- KMV sketch ALGEBRA: set-operation cardinalities from synopses ----
+    //    (Beyer et al. 2007). Two per-group KMV synopses (k smallest
+    //    distinct md5-48 hashes of 'A'/'R' part keys) compose into
+    //    union/intersection distinct-count ESTIMATES with k-element
+    //    array arithmetic on a single row — no re-scan of the data.
+    //    Exact counts ride along so the estimate quality is visible;
+    //    the hash/rank/division arithmetic is deterministic, so the
+    //    oracle reproduces the estimates bit-for-bit (approximate
+    //    operator, exact gate — same contract as q_kmv_distinct).
+    //    At 100 TB: each group's synopsis is k longs, built in one
+    //    pass through the standard partial/merge aggregate path; the
+    //    set algebra touches one row per group pair.
+    "q_kmv_setops" -> ((s, d) => {
+      val k = 16
+      val liAR = li(s, d).filter(col("l_returnflag").isin("A", "R"))
+      val sk = liAR.groupBy("l_returnflag")
+        .agg(graft.functions.KmvSketchAgg.sketch(s,
+          col("l_partkey").cast("string"), k).as("sk"))
+      val one = sk.agg(
+        first(when(col("l_returnflag") === "A", col("sk")),
+          ignoreNulls = true).as("ska"),
+        first(when(col("l_returnflag") === "R", col("sk")),
+          ignoreNulls = true).as("skr"))
+      val exact = liAR.groupBy("l_partkey")
+        .agg(countDistinct(col("l_returnflag")).as("nf"))
+        .agg(count(lit(1)).as("union_exact"),
+          sum(when(col("nf") === 2, 1L).otherwise(0L)).as("inter_exact"))
+      // merged union synopsis: k smallest across both sketches
+      val m = array_sort(array_union(col("ska"), col("skr")))
+      val mk = slice(m, 1, k)
+      val usz = size(m)
+      // h_k of the union synopsis; `get` (0-based, null-on-short) keeps
+      // the expression ANSI-safe even when the synopsis is under-full
+      val hk = get(mk, lit(k - 1))
+      val unionEst = when(usz < k, usz.cast("double"))
+        .otherwise(lit((k - 1).toDouble * 281474976710656.0)
+          / hk.cast("double"))
+      val icnt = size(filter(mk, h =>
+        array_contains(col("ska"), h) && array_contains(col("skr"), h)))
+      val interEst = when(usz < k, icnt.cast("double"))
+        .otherwise(icnt.cast("double") * unionEst / lit(k.toDouble))
+      one.crossJoin(exact) // 1 row x 1 row
+        .select(unionEst.as("union_est"), interEst.as("inter_est"),
+          col("union_exact"), col("inter_exact"))
+    }),
+
     // -- scalar comparison + regex group extraction -----------------------
     "q_scalar_misc" -> ((s, d) =>
       li(s, d)
@@ -1118,6 +1164,47 @@ object Relational extends QueryModule {
       LEFT JOIN (SELECT l_returnflag, h FROM ranked WHERE rn = 16) kth
         ON r.l_returnflag = kth.l_returnflag
       ORDER BY r.l_returnflag""",
+
+    // KMV set-operation algebra mirrored rank-for-rank: per-side
+    // synopses as rn<=k ranked distinct hashes, union synopsis as the
+    // k smallest of their union, estimates as the same single-division
+    // doubles Spark computes (constant 15*2^48 folds exactly in both
+    // engines; every hash < 2^48 is double-exact)
+    "q_kmv_setops" -> """
+      WITH ar AS (
+        SELECT DISTINCT l_returnflag AS f,
+               ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      ranked AS (
+        SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h) AS rn
+        FROM ar),
+      ska AS (SELECT h FROM ranked WHERE f = 'A' AND rn <= 16),
+      skr AS (SELECT h FROM ranked WHERE f = 'R' AND rn <= 16),
+      u AS (SELECT DISTINCT h
+            FROM (SELECT h FROM ska UNION ALL SELECT h FROM skr)),
+      m AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+      mk AS (SELECT h FROM m WHERE rn <= 16),
+      stats AS (SELECT
+          (SELECT count(1) FROM u) AS usz,
+          (SELECT max(h) FROM mk) AS hk,
+          (SELECT count(1) FROM mk
+           WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skr))
+            AS icnt),
+      ex AS (SELECT count(1)::BIGINT AS union_exact,
+                    sum(CASE WHEN nf = 2 THEN 1 ELSE 0 END)::BIGINT
+                      AS inter_exact
+             FROM (SELECT l_partkey, count(DISTINCT l_returnflag) AS nf
+                   FROM lineitem WHERE l_returnflag IN ('A', 'R')
+                   GROUP BY l_partkey))
+      SELECT CASE WHEN usz < 16 THEN usz::DOUBLE
+                  ELSE (15.0 * 281474976710656.0) / hk::DOUBLE
+             END AS union_est,
+             CASE WHEN usz < 16 THEN icnt::DOUBLE
+                  ELSE icnt::DOUBLE *
+                       ((15.0 * 281474976710656.0) / hk::DOUBLE) / 16.0
+             END AS inter_est,
+             union_exact, inter_exact
+      FROM stats, ex""",
 
     // the ok flags are literal 1 here: Spark emits 1 only when its
     // sketch landed inside the documented error bound of its own exact

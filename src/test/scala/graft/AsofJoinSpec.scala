@@ -91,4 +91,45 @@ class AsofJoinSpec extends AnyFunSuite {
     // id=3: 5 behind -> kept
     assert(got == Map(1L -> None, 2L -> Some(10L), 3L -> Some(20L)))
   }
+
+  private def oracleNearest(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)]): Map[Long, Option[Long]] =
+    left.map { case (id, k, ts) =>
+      // unique (key, ts) right rows make each leg's pick unambiguous
+      val back = right.filter(r => r._2 == k && r._3 <= ts)
+        .sortBy(r => -r._3).headOption
+      val fwd = right.filter(r => r._2 == k && r._3 >= ts)
+        .sortBy(r => r._3).headOption
+      id -> ((back, fwd) match {
+        case (None, None) => None
+        case (Some(b), None) => Some(b._1)
+        case (None, Some(f)) => Some(f._1)
+        case (Some(b), Some(f)) => // tie -> backward
+          if (ts - b._3 <= f._3 - ts) Some(b._1) else Some(f._1)
+      })
+    }.toMap
+
+  test("asofNearest matches brute-force oracle on random data") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 60)
+      nr <- Gen.choose(0, 60)
+      lts <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+      rts <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    } yield (lts, rts)
+    for (seed <- 1 to 5) {
+      val (lraw, rraw) = gen.sample.get
+      val left = lraw.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      val right = rraw.distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, ts), i) => (1000L + i, k, ts) }
+      val got = AsofJoin.asofNearest(left.toDF("id", "k", "ts"),
+        right.toDF("rid", "k", "ts"), "k", "ts", leftId = "id",
+        payload = Seq("rid"), rename = Map("rid" -> "matched"))
+        .select(col("id"), col("matched"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == oracleNearest(left, right), s"seed=$seed left=$left right=$right")
+    }
+  }
 }
