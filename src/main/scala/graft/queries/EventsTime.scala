@@ -213,6 +213,44 @@ object EventsTime extends QueryModule {
     }
   }
 
+  /** CHAINED stateful streaming under the oracle gate: watermarked
+    * dedup -> tumbling-window aggregation, two stateful operators in
+    * ONE streaming query (the multi-stateful-operator pipeline Spark
+    * supports since 3.5). Dedup keys include the hour bucket so the
+    * downstream count is deterministic — distinct users per (hour,
+    * event_type) — even though dedup keeps an arbitrary representative
+    * row per key: any representative of (user, type, hour) lands in
+    * the same window. The append-mode emission rule (window end <=
+    * final watermark over the SOURCE event times — dedup passes its
+    * input watermark through) is mirrored in the oracle, ms-truncated
+    * like the engine computes it.
+    */
+  def streamChainReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val dedup = graft.streaming.Streaming.dedupStream(
+      stream.withColumn("hr", date_trunc("hour", col("ts"))),
+      Seq("user_id", "event_type", "hr"), "30 minutes")
+    val agg = dedup
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_users"))
+    val sink = "ev_stream_chain_" + System.nanoTime()
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n_users"))
+        .orderBy("hour", "event_type")
+    }
+  }
+
   def streamJoinReplay(s: SparkSession, d: String): DataFrame = {
     val (batch, scratch) = replayScratch(s, d)
     def stream = s.readStream.schema(batch.schema).parquet(scratch)
@@ -290,6 +328,9 @@ object EventsTime extends QueryModule {
     //    per-user count / last event time / distinct-type set carried
     //    in state; monotone emissions -> batch-invariant final maxima --
     "ev_stream_state" -> ((s, d) => streamStateReplay(s, d)),
+
+    // -- chained stateful operators: dedup -> window agg in one query --
+    "ev_stream_chain" -> ((s, d) => streamChainReplay(s, d)),
 
     // -- gap fill / densification: every (hour, event_type) bucket in the
     //    observed time range, zero-filled where no events landed. The
@@ -737,6 +778,24 @@ object EventsTime extends QueryModule {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // chained dedup -> window agg: dedup keys include the hour bucket,
+    // so the downstream count is distinct users per (hour, type); the
+    // append emission rule (window end <= ms-truncated final watermark
+    // over SOURCE event times) mirrors ev_stream_session's
+    "ev_stream_chain" -> """
+      WITH k AS (SELECT DISTINCT user_id, event_type,
+                        date_trunc('hour', ts::TIMESTAMP) AS hr
+                 FROM events),
+           m AS (SELECT ((max(epoch_us(ts)) // 1000) - 1800000) * 1000
+                   AS wm_us
+                 FROM events)
+      SELECT strftime(hr, '%Y-%m-%d %H') AS hour, event_type,
+             count(1) AS n_users
+      FROM k, m
+      WHERE epoch_us(hr + INTERVAL 1 HOUR) <= wm_us
+      GROUP BY hr, event_type
+      ORDER BY hour, event_type""",
 
     "ev_gap_fill" -> """
       WITH b AS (SELECT date_trunc('hour', min(ts)::TIMESTAMP) AS lo,

@@ -34,6 +34,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained stateful operators: dedup then windowed agg in one query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    // the ev_stream_chain shape: watermarked dedup (keys include the
+    // hour bucket) feeding a tumbling-window count — two stateful
+    // operators in one streaming query
+    val dedup = Streaming.dedupStream(
+      events.withColumn("hr", date_trunc("hour", col("ts"))),
+      Seq("user_id", "event_type", "hr"), "10 minutes")
+    val agg = dedup
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_users"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("chain_out").start()
+    try {
+      in.addData((ts("2024-01-01 00:05:00"), 1L, "click"),
+        (ts("2024-01-01 00:10:00"), 1L, "click"), // dup key -> dedup eats it
+        (ts("2024-01-01 00:20:00"), 2L, "click"))
+      q.processAllAvailable()
+      // advance the watermark far past hour 00 -> its window closes
+      in.addData((ts("2024-01-01 02:00:00"), 3L, "view"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 04:00:00"), 3L, "view"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length == 2,
+        "expected BOTH stateful operators (dedup + window agg) in one query")
+      val rows = spark.table("chain_out").collect()
+        .map(r => (r.getAs[Timestamp]("ws").toString, r.getString(1),
+          r.getLong(2))).toSet
+      // hour 00, click: users 1 and 2 — the duplicate (1, click, 00)
+      // row must not inflate the count
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)), rows)
+    } finally q.stop()
+  }
+
   test("tumbling windows with watermark drop late data") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
