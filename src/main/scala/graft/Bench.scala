@@ -31,6 +31,9 @@ object Bench {
     "dedup_contamination", "txt_chunk", "sim_kmeans",
     "q_sql_cte_window",
     "mm_meta", "pipe_dedup_cascade", "ev_stream_state",
+    // round 9 additions: nearest as-of, KMV sketch algebra, chained
+    // stateful streaming
+    "ev_asof_nearest", "q_kmv_setops", "ev_stream_chain", "ev_stream_tws",
     // round 9: one more representative per module family so the
     // per-round JSON tracks their cost too (grouping sets, SCD2,
     // JSON functions, funnel, bucketed-join I/O, exact PPJoin at the

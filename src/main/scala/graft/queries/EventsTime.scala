@@ -213,6 +213,42 @@ object EventsTime extends QueryModule {
     }
   }
 
+  /** [[streamStateReplay]]'s twin on the `transformWithState` API
+    * (Spark 4 arbitrary state: typed ValueState/MapState variables in
+    * RocksDB column families — the provider the API requires, pinned
+    * around just this query). Same monotone emissions, same final-max
+    * aggregation, same oracle shape as ev_stream_state.
+    */
+  def streamTwsReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream.schema(batch.schema).parquet(scratch)
+      val summary = graft.streaming.Streaming.userStateSummaryTws(stream)
+      val sink = "ev_stream_tws_" + System.nanoTime()
+      val q = summary.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      dropSinkAfter(s, sink) {
+        s.table(sink)
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events"), max("last_us").as("last_us"),
+            max("n_types").as("n_types"))
+          .orderBy("user_id")
+      }
+    } finally prev match {
+      case Some(p) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** CHAINED stateful streaming under the oracle gate: watermarked
     * dedup -> tumbling-window aggregation, two stateful operators in
     * ONE streaming query (the multi-stateful-operator pipeline Spark
@@ -331,6 +367,11 @@ object EventsTime extends QueryModule {
 
     // -- chained stateful operators: dedup -> window agg in one query --
     "ev_stream_chain" -> ((s, d) => streamChainReplay(s, d)),
+
+    // -- transformWithState (Spark 4 arbitrary state API): the
+    //    ev_stream_state machine on typed ValueState/MapState variables
+    //    in RocksDB column families -------------------------------------
+    "ev_stream_tws" -> ((s, d) => streamTwsReplay(s, d)),
 
     // -- gap fill / densification: every (hour, event_type) bucket in the
     //    observed time range, zero-filled where no events landed. The
@@ -773,6 +814,16 @@ object EventsTime extends QueryModule {
       ORDER BY user_id""",
 
     "ev_stream_state" -> """
+      SELECT user_id, count(1) AS n_events, max(epoch_us(ts)) AS last_us,
+             count(DISTINCT event_type) AS n_types
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    // transformWithState runs the same per-user machine as
+    // ev_stream_state, so its monotone final maxima mirror the same
+    // batch aggregate
+    "ev_stream_tws" -> """
       SELECT user_id, count(1) AS n_events, max(epoch_us(ts)) AS last_us,
              count(DISTINCT event_type) AS n_types
       FROM events

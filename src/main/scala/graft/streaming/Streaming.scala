@@ -232,6 +232,70 @@ object Streaming {
       }
   }
 
+  /** The [[userStateSummary]] state machine re-expressed on the
+    * `transformWithState` API (Spark 4's arbitrary-state surface,
+    * SPARK-46815): the composite per-user state is DECOMPOSED into
+    * typed state variables — two `ValueState[Long]` (event count, max
+    * event time) and a `MapState[String, Boolean]` holding the
+    * distinct-type set as keys — instead of one serialized case class.
+    * At scale that's the point of the API: a new event type touches
+    * one map entry, not a rewrite of the whole per-user blob, and each
+    * variable lives in its own RocksDB column family (the API requires
+    * the RocksDB state-store provider). Emissions are the same
+    * monotone per-batch totals, so the final maxima stay
+    * batch-invariant and oracle-comparable.
+    */
+  class UserSummaryProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), UserSummaryOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState, MapState}
+
+    @transient private var nState: ValueState[Long] = _
+    @transient private var lastState: ValueState[Long] = _
+    @transient private var typesState: MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+      lastState = getHandle.getValueState[Long]("last", Encoders.scalaLong,
+        TTLConfig.NONE)
+      typesState = getHandle.getMapState[String, Boolean]("types",
+        Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timers: TimerValues): Iterator[UserSummaryOut] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var last = if (lastState.exists()) lastState.get() else Long.MinValue
+      rows.foreach { case (_, t, us) =>
+        n += 1
+        last = math.max(last, us)
+        // null types never join the set (mirrors count(DISTINCT ...))
+        if (t != null && !typesState.containsKey(t))
+          typesState.updateValue(t, true)
+      }
+      nState.update(n)
+      lastState.update(last)
+      Iterator.single(
+        UserSummaryOut(key, n, last, typesState.keys().size.toLong))
+    }
+  }
+
+  def userStateSummaryTws(events: DataFrame): Dataset[UserSummaryOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserSummaryProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
     val sp = events.sparkSession
     import sp.implicits._

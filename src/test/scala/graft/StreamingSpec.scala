@@ -485,6 +485,49 @@ class StreamingSpec extends AnyFunSuite {
       s"provider drift: default=${default.length} rocks=${rocks.length}")
   }
 
+  test("transformWithState summary equals flatMapGroupsWithState across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the same multi-batch feed through both arbitrary-state APIs must
+    // land on identical final per-user summaries
+    def run(useTws: Boolean): Map[Long, (Long, Long, Long)] = {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val events = in.toDF().toDF("ts", "user_id", "event_type")
+      val summary =
+        if (useTws) Streaming.userStateSummaryTws(events)
+        else Streaming.userStateSummary(events)
+      val sink = s"tws_out_${System.nanoTime()}"
+      val q = summary.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        in.addData((ts("2024-01-01 00:01:00"), 1L, "click"),
+          (ts("2024-01-01 00:02:00"), 1L, "view"),
+          (ts("2024-01-01 00:03:00"), 2L, "click"))
+        q.processAllAvailable()
+        in.addData((ts("2024-01-01 00:04:00"), 1L, "click"), // repeat type
+          (ts("2024-01-01 00:05:00"), 2L, "purchase"))
+        q.processAllAvailable()
+        val out = spark.table(sink)
+          .groupBy("user_id")
+          .agg(max("n_events").as("n"), max("last_us").as("last"),
+            max("n_types").as("k"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        spark.catalog.dropTempView(sink)
+        out
+      } finally q.stop()
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try run(useTws = true)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val fmgs = run(useTws = false)
+    assert(tws == fmgs, s"tws=$tws fmgs=$fmgs")
+    assert(tws(1L)._1 == 3L && tws(1L)._3 == 2L) // 3 events, 2 distinct types
+  }
+
   test("foreachBatch sink writes idempotently by batch id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
