@@ -1024,6 +1024,46 @@ object Dedup extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  /** Per-node triangle counts over an undirected pair graph via
+    * DEGREE-ORDERED edge orientation (Suri & Vassilvitskii, "Counting
+    * triangles and the curse of the last reducer", WWW 2011): every
+    * edge points from its lower-(degree, id) endpoint to the higher, so
+    * each triangle has exactly one wedge-apex and is found once, and a
+    * hub node's join fan-out is bounded by its FORWARD degree
+    * (O(sqrt(m)) on skewed graphs) instead of its full degree — the
+    * shape that survives the "last reducer" at 100 TB.
+    *
+    * @param pairs unique undirected edges as (a_id, b_id) — no
+    *              duplicates, no self-loops
+    * @return (doc_id, n_tri) for every node in >= 1 triangle
+    */
+  def trianglesFromPairs(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true) // consumed three times below
+    val deg = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a_id") < col("b_id"))
+    val o = pairs
+      .join(deg.select(col("id").as("a"), col("degree").as("da")),
+        col("a_id") === col("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("db")),
+        col("b_id") === col("b"))
+      .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"),
+        when(aLower, col("b_id")).otherwise(col("a_id")).as("dst"))
+    val wedges = o.select(col("src"), col("dst").as("v"))
+      .join(o.select(col("src"), col("dst").as("w")), "src")
+      .filter(col("v") =!= col("w"))
+    // the closing edge exists in exactly ONE orientation, so each
+    // triangle survives from exactly one of its two (v,w) wedges
+    val tri = wedges.join(
+      o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup over raw text (with injected duplicates) -------------
     "dedup_exact" -> ((s, d) => {
@@ -1117,6 +1157,20 @@ object Dedup extends QueryModule {
       deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
     }),
+
+    // -- triangle counting over the near-dup pair graph (how clique-like
+    //    is each duplication community?) via DEGREE-ORDERED edge
+    //    orientation (Suri & Vassilvitskii, "Counting triangles and the
+    //    curse of the last reducer", WWW 2011): every edge points from
+    //    its lower-(degree, id) endpoint to the higher, so each
+    //    triangle has exactly one wedge-apex and is found once, and a
+    //    hub node's join fan-out is bounded by its FORWARD degree
+    //    (O(sqrt(m)) on skewed graphs) instead of its full degree —
+    //    the shape that survives the "last reducer" at 100 TB ----------
+    "graph_triangles" -> ((s, d) =>
+      trianglesFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
 
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {
@@ -1522,6 +1576,37 @@ object Dedup extends QueryModule {
       FROM deg
       GROUP BY degree
       ORDER BY degree""",
+
+    // degree-ordered triangle orientation mirrored edge-for-edge; the
+    // closing-edge join direction makes each triangle count exactly once
+    "graph_triangles" -> s"""
+      WITH mp AS (SELECT a_id, b_id
+                  FROM (${minhashPairsSql(ordered = false)}) p),
+           deg AS (SELECT id, count(1) AS degree FROM (
+                     SELECT a_id AS id FROM mp
+                     UNION ALL
+                     SELECT b_id AS id FROM mp)
+                   GROUP BY id),
+           o AS (SELECT CASE WHEN da.degree < db.degree
+                             OR (da.degree = db.degree AND mp.a_id < mp.b_id)
+                        THEN mp.a_id ELSE mp.b_id END AS src,
+                        CASE WHEN da.degree < db.degree
+                             OR (da.degree = db.degree AND mp.a_id < mp.b_id)
+                        THEN mp.b_id ELSE mp.a_id END AS dst
+                 FROM mp
+                 JOIN deg da ON mp.a_id = da.id
+                 JOIN deg db ON mp.b_id = db.id),
+           tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+                   FROM o e1
+                   JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+                   JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+           x AS (SELECT u AS doc_id FROM tri
+                 UNION ALL SELECT v FROM tri
+                 UNION ALL SELECT w FROM tri)
+      SELECT doc_id, count(1) AS n_tri
+      FROM x
+      GROUP BY doc_id
+      ORDER BY doc_id""",
 
     "dedup_contamination" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s
