@@ -501,6 +501,14 @@ object Bench {
       graft.queries.EventsTime.windowedReplayOn(spark, evSchema, evPath)))
     val sts = (1 to 2).map(_ => timeStream("scaled_stream_session_x20", () =>
       graft.queries.EventsTime.sessionReplayOn(spark, evSchema, evPath)))
+    // chained stateful (dedup -> window agg) and transformWithState
+    // (typed state in RocksDB) at the same 20x volume: state for BOTH
+    // operators of the chain, and the RocksDB column-family path, under
+    // real data pressure rather than the sf0.1 gate's 100k events
+    val stc = (1 to 2).map(_ => timeStream("scaled_stream_chain_x20", () =>
+      graft.queries.EventsTime.chainReplayOn(spark, evSchema, evPath)))
+    val stt = (1 to 2).map(_ => timeStream("scaled_stream_tws_x20", () =>
+      graft.queries.EventsTime.twsReplayOn(spark, evSchema, evPath)))
     // BPE training at x20, driven to the 31-word-vocab corpus's merge
     // EXHAUSTION (~100 merges in ~64 batched driver rounds): times the
     // distributed pair-count + batched-merge loop per round. The
@@ -566,6 +574,8 @@ object Bench {
       "scaled_pq_x20" -> pq.min,
       "scaled_stream_window_x20" -> stw.min,
       "scaled_stream_session_x20" -> sts.min,
+      "scaled_stream_chain_x20" -> stc.min,
+      "scaled_stream_tws_x20" -> stt.min,
       "scaled_bpe_x20" -> bpe.min,
       "scaled_simhash_x20" -> simh.min,
       "scaled_semantic_x20" -> sem.min)

@@ -219,13 +219,14 @@ object EventsTime extends QueryModule {
     * around just this query). Same monotone emissions, same final-max
     * aggregation, same oracle shape as ev_stream_state.
     */
-  def streamTwsReplay(s: SparkSession, d: String): DataFrame = {
-    val (batch, scratch) = replayScratch(s, d)
+  def twsReplayOn(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      scratch: String): DataFrame = {
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = s.readStream.schema(batch.schema).parquet(scratch)
+      val stream = s.readStream.schema(schema).parquet(scratch)
       val summary = graft.streaming.Streaming.userStateSummaryTws(stream)
       val sink = "ev_stream_tws_" + System.nanoTime()
       val q = summary.toDF().writeStream.format("memory").queryName(sink)
@@ -249,6 +250,11 @@ object EventsTime extends QueryModule {
     }
   }
 
+  def streamTwsReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    twsReplayOn(s, batch.schema, scratch)
+  }
+
   /** CHAINED stateful streaming under the oracle gate: watermarked
     * dedup -> tumbling-window aggregation, two stateful operators in
     * ONE streaming query (the multi-stateful-operator pipeline Spark
@@ -261,9 +267,10 @@ object EventsTime extends QueryModule {
     * input watermark through) is mirrored in the oracle, ms-truncated
     * like the engine computes it.
     */
-  def streamChainReplay(s: SparkSession, d: String): DataFrame = {
-    val (batch, scratch) = replayScratch(s, d)
-    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+  def chainReplayOn(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      scratch: String): DataFrame = {
+    val stream = s.readStream.schema(schema).parquet(scratch)
     val dedup = graft.streaming.Streaming.dedupStream(
       stream.withColumn("hr", date_trunc("hour", col("ts"))),
       Seq("user_id", "event_type", "hr"), "30 minutes")
@@ -285,6 +292,11 @@ object EventsTime extends QueryModule {
           col("event_type"), col("n_users"))
         .orderBy("hour", "event_type")
     }
+  }
+
+  def streamChainReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    chainReplayOn(s, batch.schema, scratch)
   }
 
   def streamJoinReplay(s: SparkSession, d: String): DataFrame = {

@@ -296,6 +296,76 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[timedOutSessions]] on `transformWithState` with REAL event-time
+    * TIMERS — the capability the new API adds over
+    * flatMapGroupsWithState's single implicit timeout: a processor may
+    * hold MANY timers per key (`registerTimer`/`deleteTimer`/
+    * `listTimers`) and receives each expiry in a dedicated
+    * `handleExpiredTimer` callback instead of a has-timed-out flag on
+    * the next input. Here the session-close timer is re-armed on every
+    * batch (delete-then-register, so exactly one is live per key) at
+    * `session end + gap`, clamped above the current watermark —
+    * mirroring the clamp [[timedOutSessions]] needs for the same
+    * reason. Emission: one SessionOut when the watermark passes the
+    * close timer, state cleared.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+
+    @transient private var sess: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[SessionOut] = {
+      // full microsecond precision (getTime is ms; sub-ms in getNanos)
+      val us = rows.map { case (_, t) =>
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      }.toArray
+      val merged =
+        if (sess.exists()) {
+          val p = sess.get()
+          SessState(math.min(p.startUs, us.min),
+            math.max(p.endUs, us.max), p.n + us.length)
+        } else SessState(us.min, us.max, us.length.toLong)
+      sess.update(merged)
+      val h = getHandle
+      h.listTimers().foreach(h.deleteTimer)
+      h.registerTimer(math.max(timers.getCurrentWatermarkInMs() + 1,
+        merged.endUs / 1000L + gapMs))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(key, s.startUs, s.endUs, s.n))
+      } else Iterator.empty
+  }
+
+  def timedOutSessionsTws(events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
     val sp = events.sparkSession
     import sp.implicits._

@@ -309,6 +309,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers close sessions like the fMGWS twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = Streaming.timedOutSessionsTws(
+      in.toDF().toDF("user_id", "ts"),
+      gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sess_tws_out").start()
+    try {
+      in.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_tws_out").count() == 0) // still open
+      // watermark jumps past 00:35 (end + 30 min gap) -> timer fires
+      in.addData((2L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      in.addData((2L, ts("2024-01-01 02:01:00"))) // extra batch fires the timer
+      q.processAllAvailable()
+      val rows = spark.table("sess_tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // user 1: 2-event session with exact micro bounds
+      val t0 = ts("2024-01-01 00:00:00").getTime * 1000L
+      val t1 = ts("2024-01-01 00:05:00").getTime * 1000L
+      assert(rows.contains((1L, t0, t1, 2L)), s"got ${rows.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains a file source then stops on its own") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("graft_avnow_in").toString
