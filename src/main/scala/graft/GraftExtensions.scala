@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.KmvSketchAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
+      FunctionIdentifier("graft_gk_quantile"),
+      new ExpressionInfo(classOf[graft.functions.GkQuantile].getName,
+        "graft_gk_quantile"),
+      (exprs: Seq[Expression]) => graft.functions.GkQuantile(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].doubleValue(),
+        exprs(2).eval().asInstanceOf[Number].doubleValue())))
+    e.injectFunction((
       FunctionIdentifier("graft_hll_distinct"),
       new ExpressionInfo(classOf[graft.functions.HllDistinct].getName,
         "graft_hll_distinct"),

@@ -670,6 +670,26 @@ object Relational extends QueryModule {
             col("approx_p50") <= col("p55"), 1L).otherwise(0L).as("p50_ok"))
         .orderBy("l_returnflag")),
 
+    // -- own Greenwald-Khanna quantile sketch (the last sketch family
+    //    riding a built-in, now home-grown like HLL/KMV/MG/Bloom):
+    //    eps = 0.02 median per group, gated inside the exact p45..p55
+    //    band — the error-bound-flag contract of q_hll_distinct. The
+    //    summary is O((1/eps) log(eps n)) tuples per group through the
+    //    standard partial/merge path: constant-size state at any n.
+    "q_gk_quantile" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.GkQuantile.gk(s,
+            col("l_extendedprice"), 0.02, 0.5).as("gk_p50"),
+          count(lit(1)).as("n_rows"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        .select(col("l_returnflag"), col("n_rows"),
+          when(col("gk_p50") >= col("p45") &&
+            col("gk_p50") <= col("p55"), 1L).otherwise(0L).as("gk_ok"))
+        .orderBy("l_returnflag")),
+
     // -- sampling (training-data pipelines). Hash-mod sampling on the
     //    row key instead of engine RNG: md5(key) per-mille under a
     //    threshold. Deterministic in ANY engine (the DuckDB oracle
@@ -1222,6 +1242,17 @@ object Relational extends QueryModule {
              count(DISTINCT l_partkey) AS exact_parts,
              CAST(1 AS BIGINT) AS cd_ok,
              CAST(1 AS BIGINT) AS p50_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // the gk_ok flag is literal 1: Spark emits 1 only when its own GK
+    // sketch's median landed inside the exact p45..p55 band (eps=0.02
+    // against a 0.05 band), so the value compare IS the bound assertion
+    "q_gk_quantile" -> """
+      SELECT l_returnflag,
+             count(1)::BIGINT AS n_rows,
+             CAST(1 AS BIGINT) AS gk_ok
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
