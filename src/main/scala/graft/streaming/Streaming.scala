@@ -296,6 +296,79 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[UserSummaryProcessor]] with INITIAL STATE — the production
+    * bootstrap pattern `transformWithState` adds as a first-class
+    * surface: a batch snapshot (n, last event time, distinct types)
+    * per user seeds the typed state variables BEFORE the first
+    * streaming batch, so a migrated or restarted pipeline continues
+    * counting from its history instead of from zero.
+    * `handleInitialState` runs once per snapshot key; the input path
+    * is identical to the cold-start processor.
+    */
+  class WarmStartSummaryProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, String, Long), UserSummaryOut,
+        (Long, Long, Long, Seq[String])] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState, MapState}
+
+    @transient private var nState: ValueState[Long] = _
+    @transient private var lastState: ValueState[Long] = _
+    @transient private var typesState: MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+      lastState = getHandle.getValueState[Long]("last", Encoders.scalaLong,
+        TTLConfig.NONE)
+      typesState = getHandle.getMapState[String, Boolean]("types",
+        Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long,
+        init: (Long, Long, Long, Seq[String]),
+        timers: TimerValues): Unit = {
+      nState.update(init._2)
+      lastState.update(init._3)
+      init._4.foreach(t => if (t != null) typesState.updateValue(t, true))
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timers: TimerValues): Iterator[UserSummaryOut] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var last = if (lastState.exists()) lastState.get() else Long.MinValue
+      rows.foreach { case (_, t, us) =>
+        n += 1
+        last = math.max(last, us)
+        if (t != null && !typesState.containsKey(t))
+          typesState.updateValue(t, true)
+      }
+      nState.update(n)
+      lastState.update(last)
+      Iterator.single(
+        UserSummaryOut(key, n, last, typesState.keys().size.toLong))
+    }
+  }
+
+  /** Stream summary warm-started from a batch snapshot of
+    * (user_id, n, last_us, types). */
+  def userStateSummaryTwsWarm(events: DataFrame,
+      snapshot: Dataset[(Long, Long, Long, Seq[String])])
+      : Dataset[UserSummaryOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new WarmStartSummaryProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        snapshot.groupByKey(_._1))
+  }
+
   /** [[timedOutSessions]] on `transformWithState` with REAL event-time
     * TIMERS — the capability the new API adds over
     * flatMapGroupsWithState's single implicit timeout: a processor may

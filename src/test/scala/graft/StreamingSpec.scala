@@ -309,6 +309,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState initial state warm-starts from a batch snapshot") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0us = ts("2024-01-01 00:00:00").getTime * 1000L
+    // batch snapshot: user 1 has history (5 events, 2 types)
+    val snapshot = Seq((1L, 5L, t0us, Seq("click", "view"))).toDS()
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streaming.userStateSummaryTwsWarm(events, snapshot)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("warm_out").start()
+    try {
+      in.addData((ts("2024-01-01 01:00:00"), 1L, "purchase"),
+        (ts("2024-01-01 01:00:00"), 2L, "click"))
+      q.processAllAvailable()
+      val m = spark.table("warm_out")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("n_types").as("k"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      // user 1 continues from history: 5+1 events, 2+1 types;
+      // user 2 cold-starts: 1 event, 1 type
+      assert(m == Map(1L -> ((6L, 3L)), 2L -> ((1L, 1L))), m)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState event-time timers close sessions like the fMGWS twin") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
