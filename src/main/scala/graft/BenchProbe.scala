@@ -59,6 +59,32 @@ object BenchProbe {
       } else if (name == "scaledmh") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.scaledMinhash(spark, p)
+      } else if (name == "scaledtristats") {
+        // one-off shape diagnostic for the x20 pair graph
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        val pairs = Bench.scaledMinhash(spark, p).select("a_id", "b_id")
+          .localCheckpoint(true)
+        val np = pairs.count()
+        val deg = pairs.select(org.apache.spark.sql.functions.col("a_id").as("id"))
+          .union(pairs.select(org.apache.spark.sql.functions.col("b_id").as("id")))
+          .groupBy("id").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("d"))
+        val stats = deg.agg(
+          org.apache.spark.sql.functions.max("d"),
+          org.apache.spark.sql.functions.avg("d"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).collect()(0)
+        println(s"[probe] scaledtristats pairs=$np maxDeg=${stats.get(0)} " +
+          s"avgDeg=${stats.get(1)} nodes=${stats.get(2)}")
+        pairs.limit(1)
+      } else if (name == "scaledtri") {
+        // triangle counting over the x20 near-dup pair graph: the
+        // planted cliques make the triangle OUTPUT cubic per clique,
+        // so this stresses the degree-ordered orientation's fan-out
+        // bound, not just the pair pipeline
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.trianglesFromPairs(
+          Bench.scaledMinhash(spark, p).select("a_id", "b_id"))
       } else if (name == "scaledsimhash") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.simhashPairs(spark, p)

@@ -1044,18 +1044,25 @@ object Dedup extends QueryModule {
       .groupBy("id").agg(count(lit(1)).as("degree"))
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a_id") < col("b_id"))
+    // oriented edges carry the dst's rank key (dd, dst) so wedges can
+    // be generated in rank order below
     val o = pairs
       .join(deg.select(col("id").as("a"), col("degree").as("da")),
         col("a_id") === col("a"))
       .join(deg.select(col("id").as("b"), col("degree").as("db")),
         col("b_id") === col("b"))
       .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"),
-        when(aLower, col("b_id")).otherwise(col("a_id")).as("dst"))
-    val wedges = o.select(col("src"), col("dst").as("v"))
-      .join(o.select(col("src"), col("dst").as("w")), "src")
-      .filter(col("v") =!= col("w"))
-    // the closing edge exists in exactly ONE orientation, so each
-    // triangle survives from exactly one of its two (v,w) wedges
+        when(aLower, col("b_id")).otherwise(col("a_id")).as("dst"),
+        when(aLower, col("db")).otherwise(col("da")).as("dd"))
+    // wedges only in rank order rank(v) < rank(w): half the stream,
+    // and the closing edge — which orientation points low rank ->
+    // high rank — is then exactly (v -> w), so each triangle is built
+    // and joined exactly once
+    val wedges = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        "src")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
     val tri = wedges.join(
       o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .select(col("src").as("u"), col("v"), col("w"))

@@ -269,4 +269,29 @@ class PlanShapeSpec extends AnyFunSuite {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
   }
+
+  test("asof nearest: two linear window passes, no interval cross-product") {
+    val p = plan("ev_asof_nearest")
+    // the union-tag formulation: running-window passes, never a range
+    // condition exploding into a nested-loop/cartesian join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("kmv setops: group synopses collapse to one-row algebra, no wide join") {
+    val p = plan("q_kmv_setops")
+    // the only cartesian allowed is the deliberate 1-row x 1-row
+    // attach of the exact counts; a corpus-sized cartesian would plan
+    // as a join with a scan on both sides below it (here each side is
+    // a full aggregate -> single row)
+    assert(p.contains("graft_kmv_sketch") || p.contains("kmv"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("triangle counting: orientation bounds the join, no cartesian") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
