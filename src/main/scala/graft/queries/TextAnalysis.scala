@@ -513,6 +513,40 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // -- CDC merge apply (MERGE INTO semantics, one step past the
+    //    latest-wins upsert): a change feed with explicit ops — D
+    //    deletes a matched row, U updates only when matched, I inserts
+    //    only when NOT matched (unmatched U / matched I are no-ops,
+    //    exactly the WHEN (NOT) MATCHED rules) — applied to a base
+    //    snapshot in ONE full-outer join by key. No driver state, one
+    //    shuffle; at scale the same shape rides a bucketed layout so
+    //    periodic CDC batches pay no base re-shuffle ----------------------
+    "pipe_cdc_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      val changes = docs.filter((col("doc_id") % 10).isin(0, 1, 2))
+        .select(col("doc_id").as("c_id"),
+          when(col("doc_id") % 10 === 0, "D")
+            .when(col("doc_id") % 10 === 2, "U")
+            .otherwise("I").as("op"),
+          concat(col("text"), lit(" [cdc]")).as("c_text"))
+      val j = base.join(changes, col("b_id") === col("c_id"), "full_outer")
+      val op = coalesce(col("op"), lit("N"))
+      val bP = col("b_id").isNotNull
+      val src = when(op === "U" && bP, "U")
+        .when(op === "I" && !bP, "I")
+        .when(bP && op =!= "D" && op =!= "U", "B")
+      j.select(coalesce(col("b_id"), col("c_id")).as("doc_id"),
+          src.as("src"),
+          when(src.isin("U", "I"), col("c_text"))
+            .otherwise(col("b_text")).as("text"))
+        .filter(col("src").isNotNull)
+        .select(col("doc_id"), col("src"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // -- end-to-end corpus curation (the composed pipeline a training-data
     //    user actually runs): quality-filter -> fingerprint-dedup (keep
     //    lowest doc_id) -> per-language corpus stats. One tokenize pass,
@@ -1079,6 +1113,38 @@ object TextAnalysis extends QueryModule {
         FROM u)
       SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS text_md5
       FROM r WHERE rn = 1
+      ORDER BY doc_id""",
+
+    // MERGE rules mirrored clause-for-clause: unmatched U and matched I
+    // fall through to no-op/base exactly as in the engine
+    "pipe_cdc_apply" -> """
+      WITH base AS (
+        SELECT doc_id AS b_id, text AS b_text
+        FROM documents WHERE doc_id % 2 = 0),
+      changes AS (
+        SELECT doc_id AS c_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'D'
+                    WHEN doc_id % 10 = 2 THEN 'U'
+                    ELSE 'I' END AS op,
+               text || ' [cdc]' AS c_text
+        FROM documents WHERE doc_id % 10 IN (0, 1, 2)),
+      j AS (SELECT * FROM base FULL OUTER JOIN changes ON b_id = c_id),
+      r AS (SELECT coalesce(b_id, c_id) AS doc_id,
+                   CASE WHEN coalesce(op, 'N') = 'U' AND b_id IS NOT NULL
+                          THEN 'U'
+                        WHEN coalesce(op, 'N') = 'I' AND b_id IS NULL
+                          THEN 'I'
+                        WHEN b_id IS NOT NULL
+                             AND coalesce(op, 'N') NOT IN ('D', 'U')
+                          THEN 'B'
+                   END AS src,
+                   b_text, c_text
+            FROM j)
+      SELECT doc_id, src,
+             md5(CASE WHEN src IN ('U', 'I') THEN c_text
+                      ELSE b_text END) AS text_md5
+      FROM r
+      WHERE src IS NOT NULL
       ORDER BY doc_id""",
 
     "pipe_curation" -> s"""
