@@ -56,6 +56,28 @@ object Io extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // Compression-codec control: the same projection written as zstd
+    // AND gzip parquet, read back, and aggregated per codec — at
+    // 100 TB the codec is a first-order cost knob (zstd ~ gzip ratio
+    // at several x the decode speed), and this pins that the engine
+    // can set it per write and read either transparently. The oracle
+    // computes the expected per-codec aggregates straight from the
+    // base table (both codecs must decode to identical data).
+    "io_codec_roundtrip" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val frames = Seq("zstd", "gzip").map { codec =>
+        val path = scratch(s, s"codec_${codec}_lineitem")
+        src.write.mode("overwrite").option("compression", codec)
+          .parquet(path)
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+          .select(lit(codec).as("codec"), col("n_rows"), col("sum_qty"))
+      }
+      frames.reduce(_.unionByName(_)).orderBy("codec")
+    }),
+
     // JSON lines out + back (the interchange format of most
     // web-crawl / training-data pipelines).
     "io_json_roundtrip" -> ((s, d) => {
@@ -206,6 +228,16 @@ object Io extends QueryModule {
     "io_csv_roundtrip" -> """
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer ORDER BY c_custkey""",
+
+    "io_codec_roundtrip" -> """
+      WITH a AS (SELECT count(1)::BIGINT AS n_rows,
+                        sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
+                 FROM lineitem)
+      SELECT codec, n_rows, sum_qty
+      FROM (SELECT 'gzip' AS codec FROM (VALUES (1))
+            UNION ALL
+            SELECT 'zstd' FROM (VALUES (1))), a
+      ORDER BY codec""",
 
     "io_json_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey
