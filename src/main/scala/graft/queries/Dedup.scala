@@ -971,6 +971,35 @@ object Dedup extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  /** EXACT weighted (multiset) Jaccard over prefix-blocked candidates:
+    * `sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b))` over the token
+    * vocabulary — the tf-aware similarity the distinct-set score
+    * can't express (to unweighted Jaccard, "the the the ... the" and
+    * "the" are identical documents; weighted pipelines — weighted
+    * MinHash's exact target — score them apart). All-integer: the
+    * numerator is the multiset intersection, computed by the SAME
+    * codegen'd two-pointer [[graft.functions.ArraySets]] intersect
+    * PPJoin uses — on sorted arrays WITH duplicates the equal-advance
+    * rule counts exactly `sum(min(tf))` — and the denominator is
+    * `|A| + |B| − numerator`, so the per-mille score is
+    * order-independent and oracle-exact.
+    */
+  def weightedJaccardPairsFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      array_sort(Text.tokensLower(col("text"))).as("ms"),
+      array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
+    blockedPairs(t)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        size(col("a_ms")).cast("long").as("ta"),
+        size(col("b_ms")).cast("long").as("tb"),
+        graft.functions.ArraySets.sortedIntersectCount(docs.sparkSession,
+          col("a_ms"), col("b_ms")).as("smin"))
+      .withColumn("wjac_mille", expr("(1000 * smin) DIV (ta + tb - smin)"))
+      .filter(col("wjac_mille") >= 500)
+      .select("a_id", "b_id", "wjac_mille")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Edit-distance near-dup over prefix-blocked candidate pairs. */
   def levenshteinPairsFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"),
@@ -1212,6 +1241,11 @@ object Dedup extends QueryModule {
     // guard — see blockedPairs); the oracle mirrors the cap.
     "dedup_jaccard_pairs" -> ((s, d) =>
       jaccardPairsFrom(Tables.documents(s, d))),
+
+    // -- exact WEIGHTED (multiset) Jaccard: tf-aware similarity over
+    //    the same prefix blocks (see weightedJaccardPairsFrom) ----------
+    "dedup_weighted_jaccard" -> ((s, d) =>
+      weightedJaccardPairsFrom(Tables.documents(s, d))),
 
     // -- C4-style span-level dedup report (see spanDedupFrom) -------------
     "dedup_spans" -> ((s, d) =>
@@ -1681,6 +1715,35 @@ object Dedup extends QueryModule {
         AND len(list_intersect(a.ts, b.ts))::DOUBLE
               / len(list_distinct(a.ts || b.ts))::DOUBLE >= 0.5
       ORDER BY a_id, b_id""",
+
+    // multiset intersection mirrored as sum(least(tf_a, tf_b)) over
+    // per-doc token frequencies; pairs with no common token never get a
+    // smin row but score 0 < 500 in the engine, so both sides drop them
+    "dedup_weighted_jaccard" -> s"""
+      WITH t AS (
+        SELECT doc_id, $sqlToksL AS ts,
+               array_to_string(($sqlToksL)[1:3], ' ') AS blk
+        FROM documents),
+      ok AS (SELECT blk FROM t GROUP BY blk
+             HAVING count(1) BETWEEN 2 AND $MAX_BLOCK),
+      tf AS (SELECT doc_id, tok, count(1) AS tf
+             FROM (SELECT doc_id, unnest(ts) AS tok FROM t)
+             GROUP BY doc_id, tok),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(a.ts) AS ta, len(b.ts) AS tb
+                FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+                WHERE a.blk IN (SELECT blk FROM ok)),
+      sm AS (SELECT p.a_id, p.b_id, sum(least(fa.tf, fb.tf)) AS smin
+             FROM pairs p
+             JOIN tf fa ON fa.doc_id = p.a_id
+             JOIN tf fb ON fb.doc_id = p.b_id AND fb.tok = fa.tok
+             GROUP BY p.a_id, p.b_id)
+      SELECT p.a_id, p.b_id,
+             ((1000 * sm.smin) // (p.ta + p.tb - sm.smin))::BIGINT
+               AS wjac_mille
+      FROM pairs p JOIN sm ON p.a_id = sm.a_id AND p.b_id = sm.b_id
+      WHERE (1000 * sm.smin) // (p.ta + p.tb - sm.smin) >= 500
+      ORDER BY p.a_id, p.b_id""",
 
     "dedup_spans" -> s"""
       WITH t AS (SELECT doc_id, $sqlToksL AS ts FROM documents),
