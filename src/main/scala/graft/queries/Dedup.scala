@@ -1147,6 +1147,30 @@ object Dedup extends QueryModule {
     "dedup_clusters" -> ((s, d) =>
       clustersFrom(Tables.documents(s, d))),
 
+    // -- leakage-safe train/val/test split: the split key is the
+    //    near-dup CLUSTER label, not the doc id, so every member of a
+    //    near-dup family lands in the SAME split by construction — the
+    //    guard that stops eval examples leaking into training as their
+    //    own near-duplicates (the failure mode a doc-keyed split like
+    //    pipe_split cannot prevent). Same deterministic md5 per-mille
+    //    arithmetic as pipe_split, applied to the cluster label --------
+    "pipe_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cc = clustersFrom(docs, ordered = false)
+      val mille = conv(substring(md5(concat(lit("csplit|"),
+        col("cluster").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % 1000
+      docs.join(cc, "doc_id")
+        .select(col("doc_id"), col("cluster"), col("n_chars"),
+          when(mille < 980, "train").when(mille < 990, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("split")
+    }),
+
     // -- pair-graph degree histogram: how duplicated is the corpus? ------
     //    degree(node) over the near-dup pair graph, then the histogram
     //    of degrees — the shape analysts read to size dedup impact
@@ -1555,6 +1579,33 @@ object Dedup extends QueryModule {
       FROM reach
       GROUP BY id
       ORDER BY doc_id""",
+
+    // cluster-keyed split: same recursive-CTE labels as dedup_clusters,
+    // split arithmetic mirrored from pipe_split but over the label
+    "pipe_cluster_split" -> s"""
+      WITH RECURSIVE
+        p AS (SELECT a_id, b_id FROM (${minhashPairsSql(ordered = false)}) mp),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst FROM p),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src),
+        cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        s AS (SELECT d.doc_id, d.n_chars, cc.cluster,
+                     ('0x' || substr(md5('csplit|' || cc.cluster::VARCHAR),
+                       1, 12))::BIGINT % 1000 AS m
+              FROM documents d JOIN cc ON d.doc_id = cc.doc_id)
+      SELECT CASE WHEN m < 980 THEN 'train'
+                  WHEN m < 990 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(1)::BIGINT AS n_docs,
+             count(DISTINCT cluster)::BIGINT AS n_clusters,
+             sum(n_chars)::BIGINT AS total_chars
+      FROM s
+      GROUP BY 1
+      ORDER BY split""",
 
     "pipe_cluster_dedup" -> s"""
       WITH RECURSIVE
