@@ -214,4 +214,27 @@ class DedupGuardSpec extends AnyFunSuite {
     // all three near-dups collapse to the min id
     assert(labels(11L) === 10L && labels(12L) === 10L)
   }
+
+  test("cluster-keyed split never separates a near-dup family") {
+    // the pipe_cluster_split leakage invariant, asserted directly on
+    // live testdata: every cluster maps to exactly ONE split
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val cc = Dedup.clustersFrom(docs, ordered = false)
+    val mille = conv(substring(md5(concat(lit("csplit|"),
+      col("cluster").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("long") % 1000
+    val labeled = docs.join(cc, "doc_id")
+      .select(col("cluster"),
+        when(mille < 980, "train").when(mille < 990, "val")
+          .otherwise("test").as("split"))
+    val maxSplitsPerCluster = labeled.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max("k")).collect()(0).getLong(0)
+    assert(maxSplitsPerCluster === 1L,
+      "a near-dup cluster straddles splits — leakage guard broken")
+    // and the guard is not vacuous: at least one multi-doc cluster
+    val maxSize = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0)
+    assert(maxSize >= 2L, "testdata has no near-dup family; guard untested")
+  }
 }
