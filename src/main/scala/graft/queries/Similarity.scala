@@ -66,6 +66,9 @@ object Similarity extends QueryModule {
   private def semanticDedupKOf(n: Long): Int =
     math.max(2L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
 
+  /** Neighbors per vector in the sim_knn_graph edge list. */
+  private val KNNG_K = 3
+
   /** Deterministic pseudo-random hyperplanes, derived from md5 so the
     * SAME constants are inlined into both the Spark plan and the SQL
     * oracle: component (j,i) = int64 of md5("j_i")'s first 12 hex
@@ -464,6 +467,36 @@ object Similarity extends QueryModule {
     "dedup_semantic" -> ((s, d) =>
       semanticDedupFrom(s, Tables.embeddings(s, d))),
 
+    // -- k-NN GRAPH (every vector's top-k neighbors — the input artifact
+    //    of SemDeDup / kNN-clustering / label-propagation pipelines),
+    //    built the partitioned way: Lloyd-assign the corpus into
+    //    k = floor(sqrt(n)) clusters, then EXACT cosine top-k within
+    //    each cluster — O(n^1.5) pair work instead of the all-pairs
+    //    n^2, the same bound semanticDedupFrom rides. Neighbor
+    //    candidates are same-cluster by construction (the documented
+    //    approximation of this family); the integer-scaled cosine and
+    //    (icos desc, nbr_id) tie rule keep every edge oracle-exact.
+    "sim_knn_graph" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val t = emb
+        .join(kmeansAssignFrom(emb, semanticDedupKOf(emb.count())), "vec_id")
+        .select(col("vec_id"), col("c"), col("embedding"))
+      val l = t.select(col("c"), col("vec_id").as("q_id"),
+        col("embedding").as("a_v"))
+      val r = t.select(col("c"), col("vec_id").as("nbr_id"),
+        col("embedding").as("b_v"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("icos_e6").desc, col("nbr_id"))
+      l.join(r, "c")
+        .filter(col("q_id") =!= col("nbr_id"))
+        .select(col("q_id"), col("nbr_id"),
+          Vectors.cosineScaled(s, col("a_v"), col("b_v")).as("icos_e6"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KNNG_K)
+        .select(col("q_id"), col("rk"), col("nbr_id"), col("icos_e6"))
+        .orderBy("q_id", "rk")
+    }),
+
     // -- brute-force exact top-k ------------------------------------------
     "sim_brute_topk" -> ((s, d) => bruteTopkFrom(s, Tables.embeddings(s, d))),
 
@@ -718,6 +751,27 @@ object Similarity extends QueryModule {
       WHERE icos_e6 >= $SEMDEDUP_TAU
       GROUP BY b_id, c
       ORDER BY vec_id""",
+
+    // same kmeans CTEs as dedup_semantic (a2 = final assignment), then
+    // within-cluster exact ranking — the (icos DESC, nbr_id) tie rule
+    // mirrors the engine's window exactly
+    "sim_knn_graph" -> s"""
+      ${kmeansCtesSql(SEMDEDUP_K_SQL)},
+           ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+           p AS (SELECT aa.vec_id AS q_id, bb.vec_id AS nbr_id,
+                        ${sqlCos.format("a.v", "b.v")} AS icos_e6
+                 FROM ev a JOIN a2 aa ON a.vec_id = aa.vec_id
+                 JOIN a2 bb ON aa.c = bb.c AND aa.vec_id <> bb.vec_id
+                 JOIN ev b ON b.vec_id = bb.vec_id),
+           ranked AS (
+             SELECT q_id, nbr_id, icos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY icos_e6 DESC, nbr_id) AS rk
+             FROM p)
+      SELECT q_id, rk, nbr_id, icos_e6
+      FROM ranked WHERE rk <= $KNNG_K
+      ORDER BY q_id, rk""",
 
     "sim_brute_topk" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
