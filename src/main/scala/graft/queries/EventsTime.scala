@@ -299,6 +299,36 @@ object EventsTime extends QueryModule {
     chainReplayOn(s, batch.schema, scratch)
   }
 
+  /** UPDATE-mode windowed aggregation under the gate — the third
+    * output mode (append is covered by ev_stream_replay and friends;
+    * complete doesn't scale and is deliberately absent). Update emits
+    * every batch's changed windows immediately — including windows the
+    * watermark has NOT closed — so the final per-window value is the
+    * MAX across emissions (counts are monotone), and the oracle is the
+    * plain per-window count with NO watermark clause: exactly the
+    * semantic difference from append, under the value compare.
+    */
+  def streamUpdateReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val agg = graft.streaming.Streaming
+      .windowedTypeCounts(stream, "1 hour", "1 hour", "30 minutes")
+    val sink = "ev_stream_update_" + System.nanoTime()
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(max("n").as("n"))
+        .orderBy("hour", "event_type")
+    }
+  }
+
   def streamJoinReplay(s: SparkSession, d: String): DataFrame = {
     val (batch, scratch) = replayScratch(s, d)
     def stream = s.readStream.schema(batch.schema).parquet(scratch)
@@ -379,6 +409,10 @@ object EventsTime extends QueryModule {
 
     // -- chained stateful operators: dedup -> window agg in one query --
     "ev_stream_chain" -> ((s, d) => streamChainReplay(s, d)),
+
+    // -- UPDATE-mode windowed agg: eager emission of open windows,
+    //    max-folded to the deterministic final value ---------------------
+    "ev_stream_update" -> ((s, d) => streamUpdateReplay(s, d)),
 
     // -- transformWithState (Spark 4 arbitrary state API): the
     //    ev_stream_state machine on typed ValueState/MapState variables
@@ -831,6 +865,17 @@ object EventsTime extends QueryModule {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // update mode emits EVERY window (open ones too), so the mirror is
+    // the plain count with no watermark clause — the semantic line
+    // between update and append, under the value compare
+    "ev_stream_update" -> """
+      SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H')
+               AS hour,
+             event_type, count(1) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour, event_type""",
 
     // transformWithState runs the same per-user machine as
     // ev_stream_state, so its monotone final maxima mirror the same
