@@ -17,6 +17,9 @@ case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
 /** One sampled frame reference: byte-range into the payload. */
 case class FrameRef(doc_id: Long, frame_idx: Long, byte_off: Long)
 
+/** One sampled frame's content signature (stub luma hash). */
+case class FrameSig(doc_id: Long, frame_idx: Long, sig: Long)
+
 /** Extracted feature vector (stub model output). */
 case class MediaFeatures(doc_id: Long, features: Seq[Long])
 
@@ -45,6 +48,13 @@ case class MediaEmbedding(doc_id: Long, emb: Seq[Long], batch_size: Long)
   * that explodes rows without materializing frames in memory.
   */
 object MultimodalOps {
+
+  /** Absolute consecutive-frame signature jump that counts as a scene
+    * cut (mm_scene_cuts); shared with the oracle SQL. */
+  val SCENE_TAU = 500L
+
+  /** Signature frame width in bytes (mm_scene_cuts). */
+  val SIG_FRAME_W = 100L
 
   /** Wrap a text corpus as media payloads (binary column + kind tag). */
   def toMedia(docs: DataFrame): Dataset[MediaRecord] = {
@@ -96,6 +106,34 @@ object MultimodalOps {
     meta.flatMap { m =>
       (0L until m.n_frames by step.toLong)
         .map(i => FrameRef(m.doc_id, i, i * 1000L))
+    }
+  }
+
+  /** Per-frame content signature: the sum of the frame's payload byte
+    * window (the deterministic stub stand-in for a real per-frame
+    * histogram/phash — swap the window fold for a decoder + luma hash
+    * in production). Generator-shaped like [[sampleFrames]]: frames
+    * explode per payload without materializing frame content. The
+    * signature frame is SIG_FRAME_W bytes — finer than mm_frames's
+    * 1000-byte sampling frames, because cut detection needs
+    * consecutive windows even on short payloads.
+    */
+  def frameSignatures(media: Dataset[MediaRecord],
+      step: Int): Dataset[FrameSig] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    val w = SIG_FRAME_W
+    media.flatMap { m =>
+      val n = m.payload.length
+      val nFrames = n / w + 1
+      (0L until nFrames by step.toLong).map { fi =>
+        val off = (fi * w).toInt
+        val end = math.min(off + w, n)
+        var s = 0L
+        var i = off
+        while (i < end) { s += (m.payload(i) & 0xff); i += 1 }
+        FrameSig(m.doc_id, fi, s)
+      }
     }
   }
 

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryModule, Tables}
 import graft.operators.MultimodalOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pipeline surface (see MultimodalOps for the
@@ -27,6 +28,24 @@ object Multimodal extends QueryModule {
         MultimodalOps.decode(MultimodalOps.toMedia(Tables.documents(s, d))), 3)
         .toDF()
         .orderBy("doc_id", "frame_idx")),
+
+    // scene-cut detection: consecutive sampled-frame signature jumps
+    // above an absolute threshold — the shot-boundary primitive of
+    // video curation (dedupe shots, sample per scene). One generator
+    // pass + one per-payload lag window; the signature is the stub
+    // frame hash (frameSignatures), swapped for a real decoder hash in
+    // production with the same plan shape.
+    "mm_scene_cuts" -> ((s, d) => {
+      val sigs = MultimodalOps.frameSignatures(
+        MultimodalOps.toMedia(Tables.documents(s, d)), 1).toDF()
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      sigs.withColumn("prev", lag("sig", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("jump", abs(col("sig") - col("prev")))
+        .filter(col("jump") >= MultimodalOps.SCENE_TAU)
+        .select(col("doc_id"), col("frame_idx"), col("jump"))
+        .orderBy("doc_id", "frame_idx")
+    }),
 
     // feature-extraction stage: 8-dim integer embedding per payload
     "mm_features" -> ((s, d) =>
@@ -237,6 +256,33 @@ object Multimodal extends QueryModule {
       SELECT doc_id, unnest(range(0, n_frames, 3)) AS frame_idx,
              unnest(range(0, n_frames, 3)) * 1000 AS byte_off
       FROM ($sqlMeta)
+      ORDER BY doc_id, frame_idx""",
+
+    // frame windows summed char-by-char (ASCII corpus: ord == byte,
+    // the same equivalence mm_features already rides); empty tail
+    // window coalesces to 0 like the engine's fold
+    "mm_scene_cuts" -> s"""
+      WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, length(text) // ${MultimodalOps.SIG_FRAME_W}
+                 + 1, 1)) AS fi
+        FROM documents),
+      s AS (
+        SELECT doc_id, fi,
+               coalesce(list_aggregate(list_transform(
+                 range(fi * ${MultimodalOps.SIG_FRAME_W} + 1,
+                       least(fi * ${MultimodalOps.SIG_FRAME_W}
+                               + ${MultimodalOps.SIG_FRAME_W},
+                             length(text)) + 1),
+                 j -> ord(text[j])), 'sum'), 0)::BIGINT AS sig
+        FROM f),
+      d AS (
+        SELECT doc_id, fi, sig,
+               lag(sig) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        FROM s)
+      SELECT doc_id, fi AS frame_idx, abs(sig - prev)::BIGINT AS jump
+      FROM d
+      WHERE prev IS NOT NULL AND abs(sig - prev) >= ${MultimodalOps.SCENE_TAU}
       ORDER BY doc_id, frame_idx""",
 
     "mm_features" -> {
