@@ -430,6 +430,20 @@ object Relational extends QueryModule {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // -- VARIANT (Spark 4 semi-structured type): parse_json once into
+    //    the binary variant encoding, then TYPED extraction with
+    //    variant_get — at 100 TB this is the difference between
+    //    re-parsing a JSON string on every access and decoding a
+    //    field-indexed binary; try_variant_get on an absent path
+    //    yields NULL (mirrored literally). ------------------------------
+    "q_variant_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+            .as("missing"))
+        .orderBy("event_id")),
+
     // -- JSON + agg: distribution of extracted key by event type ----------
     "q_json_agg" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("long")
@@ -1132,6 +1146,13 @@ object Relational extends QueryModule {
 
     "q_json_funcs" -> """
       SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+      FROM events
+      ORDER BY event_id""",
+
+    "q_variant_json" -> """
+      SELECT event_id,
+             json_extract_string(props, '$.k')::BIGINT AS k,
+             NULL::BIGINT AS missing
       FROM events
       ORDER BY event_id""",
 
