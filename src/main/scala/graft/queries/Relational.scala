@@ -563,6 +563,19 @@ object Relational extends QueryModule {
             "^(\\d{4})-(\\d{2})", 2).as("ship_month"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // -- collation support (Spark 4): DISTINCT under the UTF8_LCASE
+    //    collation folds case variants into one key while the default
+    //    binary collation keeps them apart — collation-aware compare
+    //    semantics as a COLUMN property, not an expression rewrite
+    //    (the oracle mirrors the semantics with lower()). -----------------
+    "q_collation" -> ((s, d) => {
+      val mixed = when(col("c_custkey") % 2 === 0,
+        upper(col("c_mktsegment"))).otherwise(lower(col("c_mktsegment")))
+      cust(s, d).select(mixed.as("seg"))
+        .agg(countDistinct(col("seg")).as("n_binary"),
+          countDistinct(collate(col("seg"), "UTF8_LCASE")).as("n_ci"))
+    }),
+
     // -- binary encodings: base64 / hex round-trips (payload plumbing) ----
     "q_encode_funcs" -> ((s, d) =>
       cust(s, d)
@@ -1155,6 +1168,15 @@ object Relational extends QueryModule {
              NULL::BIGINT AS missing
       FROM events
       ORDER BY event_id""",
+
+    "q_collation" -> """
+      WITH s AS (SELECT CASE WHEN c_custkey % 2 = 0
+                             THEN upper(c_mktsegment)
+                             ELSE lower(c_mktsegment) END AS seg
+                 FROM customer)
+      SELECT count(DISTINCT seg)::BIGINT AS n_binary,
+             count(DISTINCT lower(seg))::BIGINT AS n_ci
+      FROM s""",
 
     "q_json_agg" -> """
       SELECT event_type,
