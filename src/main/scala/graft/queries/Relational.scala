@@ -563,6 +563,23 @@ object Relational extends QueryModule {
             "^(\\d{4})-(\\d{2})", 2).as("ship_month"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // -- URL functions (the web-crawl pipeline staple): parse_url
+    //    component extraction — host, path, and a named query param —
+    //    over deterministically constructed URLs; the oracle computes
+    //    the expected components from the base columns (same style as
+    //    the io round-trips: the parse must land back on its inputs).
+    "q_url_funcs" -> ((s, d) =>
+      cust(s, d)
+        .select(col("c_custkey"),
+          concat(lit("https://ex.com/"), lower(col("c_mktsegment")),
+            lit("/p?id="), col("c_custkey").cast("string"), lit("&x=1"))
+            .as("url"))
+        .select(col("c_custkey"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'id')").as("qid"))
+        .orderBy("c_custkey")),
+
     // -- collation support (Spark 4): DISTINCT under the UTF8_LCASE
     //    collation folds case variants into one key while the default
     //    binary collation keeps them apart — collation-aware compare
@@ -1168,6 +1185,14 @@ object Relational extends QueryModule {
              NULL::BIGINT AS missing
       FROM events
       ORDER BY event_id""",
+
+    "q_url_funcs" -> """
+      SELECT c_custkey,
+             'ex.com' AS host,
+             '/' || lower(c_mktsegment) || '/p' AS path,
+             c_custkey::VARCHAR AS qid
+      FROM customer
+      ORDER BY c_custkey""",
 
     "q_collation" -> """
       WITH s AS (SELECT CASE WHEN c_custkey % 2 = 0
