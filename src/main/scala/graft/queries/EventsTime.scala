@@ -703,6 +703,35 @@ object EventsTime extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // -- inter-event dwell-time histogram: per-user lag deltas bucketed
+    //    into power-of-ten bands per event type — the engagement-shape
+    //    profile behind session-gap tuning (where does the 30-min gap
+    //    actually sit in the dwell distribution?). One key-partitioned
+    //    lag window + one hash agg; integer microsecond deltas and
+    //    integer log bands keep both engines bit-identical. ---------------
+    "ev_dwell_hist" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      // band MUST read the materialized delta column: a fresh window
+      // expression above the null filter would re-run lag over the
+      // frame with each user's first row already dropped, shifting
+      // every partner by one
+      val band = when(col("delta") < 1000000L, 0L) // <1s
+        .when(col("delta") < 10000000L, 1L) // <10s
+        .when(col("delta") < 60000000L, 2L) // <1min
+        .when(col("delta") < 600000000L, 3L) // <10min
+        .when(col("delta") < 3600000000L, 4L) // <1h
+        .otherwise(5L)
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          us.as("us"))
+        .withColumn("delta", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .select(col("event_type"), band.as("band"))
+        .groupBy("event_type", "band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "band")
+    }),
+
     // -- range join: clicks in the 10 min before each error ---------------
     // Bucketed equi-join formulation: theta-join -> equi-join on
     // (user, time bucket) + residual filter. Scales as a hash join on a
@@ -1137,6 +1166,26 @@ object EventsTime extends QueryModule {
                   THEN b.b_pval ELSE f.f_pval END AS near_purchase_e2
       FROM b JOIN f ON b.event_id = f.event_id
       ORDER BY b.event_id""",
+
+    "ev_dwell_hist" -> """
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+           d AS (SELECT event_type,
+                        us - lag(us) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) AS delta
+                 FROM e)
+      SELECT event_type,
+             (CASE WHEN delta < 1000000 THEN 0
+                   WHEN delta < 10000000 THEN 1
+                   WHEN delta < 60000000 THEN 2
+                   WHEN delta < 600000000 THEN 3
+                   WHEN delta < 3600000000 THEN 4
+                   ELSE 5 END)::BIGINT AS band,
+             count(1) AS n
+      FROM d
+      WHERE delta IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY event_type, band""",
 
     "ev_range_join" -> s"""
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
