@@ -1271,6 +1271,34 @@ object Dedup extends QueryModule {
     "dedup_weighted_jaccard" -> ((s, d) =>
       weightedJaccardPairsFrom(Tables.documents(s, d))),
 
+    // -- URL canonicalization dedup: the crawl-frontier step that
+    //    collapses scheme/host case, fragments, and tracking params
+    //    BEFORE any content fetch — the cheapest dedup in the whole
+    //    cascade (pure string normalization, one hash agg; at crawl
+    //    scale it removes the utm_*/#fragment variant storm without
+    //    touching payloads). URLs are synthesized deterministically
+    //    with noisy variants; the normalization chain (strip fragment,
+    //    lowercase, drop utm_* params) is mirrored regex-for-regex. ----
+    "dedup_url_canonical" -> ((s, d) => {
+      val raw = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://EX.COM"))
+          .otherwise(lit("http://ex.com")),
+        lit("/"), col("lang"), lit("/doc"),
+        (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=x&id=7"))
+          .otherwise(lit("?id=7")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      val canon = regexp_replace(
+        lower(regexp_replace(raw, "#.*", "")),
+        "utm_[a-z]+=[^&]*&", "")
+      Tables.documents(s, d)
+        .select(canon.as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_variants"))
+        .filter(col("n_variants") >= 2)
+        .orderBy("url")
+    }),
+
     // -- C4-style span-level dedup report (see spanDedupFrom) -------------
     "dedup_spans" -> ((s, d) =>
       spanDedupFrom(Tables.documents(s, d))),
@@ -1766,6 +1794,27 @@ object Dedup extends QueryModule {
         AND len(list_intersect(a.ts, b.ts))::DOUBLE
               / len(list_distinct(a.ts || b.ts))::DOUBLE >= 0.5
       ORDER BY a_id, b_id""",
+
+    // normalization chain mirrored regex-for-regex ('g' matches Spark's
+    // replace-all default)
+    "dedup_url_canonical" -> """
+      WITH u AS (
+        SELECT regexp_replace(
+                 lower(regexp_replace(
+                   (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://EX.COM'
+                         ELSE 'http://ex.com' END)
+                   || '/' || lang || '/doc' || (doc_id % 100)::VARCHAR
+                   || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=7'
+                            ELSE '?id=7' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END),
+                   '#.*', '', 'g')),
+                 'utm_[a-z]+=[^&]*&', '', 'g') AS url
+        FROM documents)
+      SELECT url, count(1) AS n_variants
+      FROM u
+      GROUP BY url
+      HAVING count(1) >= 2
+      ORDER BY url""",
 
     // multiset intersection mirrored as sum(least(tf_a, tf_b)) over
     // per-doc token frequencies; pairs with no common token never get a
