@@ -699,6 +699,31 @@ object TextAnalysis extends QueryModule {
     //    bigram join shuffles once on the gram key -----------------------
     "txt_lm_score" -> ((s, d) => lmScoreFrom(Tables.documents(s, d))),
 
+    // -- DATASET CARD: the per-source datasheet a corpus release ships
+    //    with — doc/lang/char/token counts, Gopher-quality pass count,
+    //    and exact-duplicate count, in one rollup composing three
+    //    oracle-proven signals (fused tokenize, Gopher gate, md5 exact
+    //    dedup). Shapes: one tokenize pass, one digest agg, one join,
+    //    one final hash agg — the whole card is two shuffles at any
+    //    corpus size. ---------------------------------------------------
+    "pipe_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = gopherFrom(docs).select("doc_id", "n_tokens", "gopher_pass")
+      val h = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), md5(col("text").cast("binary")).as("h"))
+      val hc = h.groupBy("h").agg(count(lit(1)).as("nh"))
+      h.join(hc, "h")
+        .join(g, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_chars").as("total_chars"),
+          sum("n_tokens").as("total_tokens"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("nh") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+        .orderBy("source")
+    }),
+
     // -- the MODERN curation pipeline, composed from this round's gates:
     //    Gopher rule gate -> bigram-LM score filter (drop the
     //    highest-perplexity tail) -> winnow-pair dedup (drop the
@@ -1319,6 +1344,26 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id, n_bigrams, nll_micronat, avg_micronat
       FROM $sqlLmScores
       ORDER BY doc_id""",
+
+    "pipe_dataset_card" -> s"""
+      WITH g AS (SELECT doc_id, n_tokens, gopher_pass FROM $sqlGopherFlags),
+           h AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h
+                 FROM documents),
+           hc AS (SELECT h, count(1) AS nh FROM h GROUP BY h)
+      SELECT source,
+             count(1) AS n_docs,
+             count(DISTINCT lang)::BIGINT AS n_langs,
+             sum(n_chars)::BIGINT AS total_chars,
+             sum(n_tokens)::BIGINT AS total_tokens,
+             sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END)::BIGINT
+               AS n_quality,
+             sum(CASE WHEN nh >= 2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_docs
+      FROM h
+      JOIN hc USING (h)
+      JOIN g USING (doc_id)
+      GROUP BY source
+      ORDER BY source""",
 
     "pipe_split" -> """
       WITH s AS (
