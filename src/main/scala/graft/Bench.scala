@@ -48,7 +48,8 @@ object Bench {
     "pipe_split", "pipe_curation", "pipe_modern_curation",
     "pipe_curriculum", "pipe_mix_weights", "pipe_decontaminate",
     "pipe_cluster_dedup", "pipe_substr_cut", "pipe_training_batches",
-    "pipe_upsert", "pipe_cdc_apply")
+    "pipe_upsert", "pipe_cdc_apply", "pipe_cluster_split",
+    "pipe_dataset_card")
 
   /** BASELINE.md workload A equivalent: 1.2M lines x 10 words from a
     * 100k vocabulary (~83 MB text). Generated ONCE to a scratch dir
