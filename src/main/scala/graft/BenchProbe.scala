@@ -250,6 +250,81 @@ object BenchProbe {
           .select("a_id", "b_id")
       } else SparkEntry.queries(name)(spark, sfDir)
 
+    if (name == "scaledknng") {
+      // x20 k-NN graph: times knnGraphFrom at 40k vectors AND asserts
+      // the O(n^1.5) pair bound from the REALIZED cluster sizes — the
+      // scored-pair count is sum over clusters of sz*(sz-1), which for
+      // balanced k = sqrt(n) clusters is exactly n^1.5; the slack
+      // factor covers Lloyd imbalance on the planted-clique corpus.
+      // The bound failing would mean the partitioning degenerated into
+      // a few giant clusters, i.e. the all-pairs n^2 the construction
+      // exists to avoid.
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val p = Bench.prepareScaledEmb(spark, sfDir)
+      val e = spark.read.parquet(p)
+      val n = e.count()
+      val k = graft.queries.Similarity.semanticDedupKOf(n)
+      val scored = graft.queries.Similarity.kmeansAssignFrom(e, k)
+        .groupBy("c").agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz") * (col("sz") - 1)).as("sp"))
+        .collect()(0).getAs[Long]("sp")
+      val bound = math.pow(n.toDouble, 1.5)
+      println(f"[probe] scaledknng n=$n k=$k scoredPairs=$scored " +
+        f"n^1.5=$bound%.0f ratio=${scored / bound}%.2f")
+      assert(scored <= 20 * bound,
+        f"scored-pair bound blown: $scored > 20*n^1.5 (${20 * bound}%.0f)")
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.queries.Similarity.knnGraphFrom(spark, e)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] scaledknng run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
+    if (name == "scaledtribound") {
+      // Wedge-bound assert for the degree-ordered orientation at x20:
+      // the oriented wedge stream (sum over nodes of fwdDeg*(fwdDeg-1))
+      // must stay far below the naive apex stream (sum of deg*(deg-1))
+      // an unoriented algorithm generates — on the 20-clique corpus the
+      // exact ratio is 3 (C(20,3) oriented wedges per clique vs
+      // 20*C(19,2) naive), and on skewed graphs the gap is the whole
+      // "curse of the last reducer" claim. Then times the full
+      // trianglesFromPairs pass (the same code scaled_tri_x20 rides).
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      val pairs = Bench.scaledMinhash(spark, p).select("a_id", "b_id")
+        .localCheckpoint(true)
+      val deg = pairs.select(col("a_id").as("id"))
+        .union(pairs.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val aLower = col("da") < col("db") ||
+        (col("da") === col("db") && col("a_id") < col("b_id"))
+      val fwd = pairs
+        .join(deg.select(col("id").as("a"), col("degree").as("da")),
+          col("a_id") === col("a"))
+        .join(deg.select(col("id").as("b"), col("degree").as("db")),
+          col("b_id") === col("b"))
+        .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("fd"))
+      val oriented2 = fwd.agg(sum(col("fd") * (col("fd") - 1)).as("w"))
+        .collect()(0).getAs[Long]("w")
+      val naive2 = deg.agg(sum(col("degree") * (col("degree") - 1)).as("w"))
+        .collect()(0).getAs[Long]("w")
+      val maxDeg = deg.agg(org.apache.spark.sql.functions.max("degree"))
+        .collect()(0).getLong(0)
+      println(f"[probe] scaledtribound orientedWedges2=$oriented2 " +
+        f"naiveWedges2=$naive2 ratio=${naive2.toDouble / oriented2}%.2f " +
+        s"maxDeg=$maxDeg")
+      assert(2 * oriented2 <= naive2,
+        s"orientation gained < 2x on wedges: $oriented2 vs naive $naive2")
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.queries.Dedup.trianglesFromPairs(pairs)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] scaledtribound run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     if (name == "annrecall100") {
       // Recall at the survives-100x regime: IVF top-10 vs exact brute
       // cosine over the 200k-vector jittered corpus (AnnRecallSpec

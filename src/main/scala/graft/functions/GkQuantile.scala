@@ -55,6 +55,11 @@ case class GkQuantile(child: Expression, eps: Double, phi: Double,
         case f: java.lang.Float => f.doubleValue()
         case l: java.lang.Long => l.doubleValue()
         case i: java.lang.Integer => i.doubleValue()
+        // Spark's Decimal is NOT a java.lang.Number — without this arm a
+        // decimal column (admitted by checkInputDataTypes' NumericType
+        // check, reachable via the SQL-registered function) would throw
+        // MatchError at runtime instead of aggregating
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: Number => n.doubleValue()
       }, epsIn)
     }
@@ -130,9 +135,12 @@ object GkQuantile {
     def insert(v: Double, eps: Double): Unit = {
       var i = 0
       while (i < ts.length && ts(i).v < v) i += 1
+      // GK 2001's insert assigns interior tuples Δ = ⌊2εn⌋ − 1 (the −1
+      // keeps the per-tuple invariant g+Δ ≤ ⌊2εn⌋ after the insert
+      // itself raises n); endpoints stay exact with Δ = 0
       val del =
         if (i == 0 || i == ts.length) 0L
-        else math.floor(2 * eps * n).toLong
+        else math.max(0L, math.floor(2 * eps * n).toLong - 1L)
       ts.insert(i, Tuple3d(v, 1L, del))
       n += 1
       sinceCompress += 1

@@ -161,6 +161,14 @@ object AsofJoin {
       leftId: String,
       payload: Seq[String],
       rename: Map[String, String]): DataFrame = {
+    // the equi-join on leftId below silently MULTIPLIES rows if leftId
+    // is not a real, distinct left column — fail loudly instead
+    require(left.columns.contains(leftId),
+      s"asofNearest: leftId '$leftId' is not a column of the left side " +
+        s"(${left.columns.mkString(", ")})")
+    require(leftId != key && leftId != ts,
+      s"asofNearest: leftId '$leftId' must be a unique row id, not the " +
+        "join key or timestamp (duplicates would cross-match the legs)")
     // right ts always rides first so the distance compare has both legs
     val pcols = ts +: payload.filterNot(_ == ts)
     val bMap = pcols.zipWithIndex.map { case (p, i) => p -> s"_b$i" }.toMap

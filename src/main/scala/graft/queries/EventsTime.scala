@@ -105,6 +105,25 @@ object EventsTime extends QueryModule {
     out
   }
 
+  /** Pin the single-micro-batch drain some oracles DEPEND on.
+    * `chainReplayOn`'s global-DISTINCT oracle and `streamUpdateReplay`'s
+    * no-watermark max-fold oracle are only equivalent to the streaming
+    * result when AvailableNow drains the whole scratch in ONE data
+    * batch: `dropDuplicatesWithinWatermark` dedups across micro-batches
+    * only within the 30-min delay, and update-mode max-folding breaks if
+    * evicted window state is re-opened by a later batch. That holds
+    * today because the file source has no `maxFilesPerTrigger` option
+    * set — this assertion turns the silent assumption into a loud
+    * failure if a future source-option change splits the replay.
+    */
+  private def assertSingleDataBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery, what: String): Unit = {
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"$what: replay ran $dataBatches data micro-batches; its oracle is " +
+        "only valid for a single-batch AvailableNow drain (see scaladoc)")
+  }
+
   def streamReplay(s: SparkSession, d: String): DataFrame = {
     val (batch, scratch) = replayScratch(s, d)
     windowedReplayOn(s, batch.schema, scratch)
@@ -284,8 +303,10 @@ object EventsTime extends QueryModule {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally q.stop()
+    try {
+      q.awaitTermination()
+      assertSingleDataBatch(q, "ev_stream_chain")
+    } finally q.stop()
     dropSinkAfter(s, sink) {
       s.table(sink)
         .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
@@ -318,8 +339,10 @@ object EventsTime extends QueryModule {
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally q.stop()
+    try {
+      q.awaitTermination()
+      assertSingleDataBatch(q, "ev_stream_update")
+    } finally q.stop()
     dropSinkAfter(s, sink) {
       s.table(sink)
         .groupBy(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),

@@ -63,7 +63,7 @@ object Similarity extends QueryModule {
   private val SEMDEDUP_K_SQL =
     "greatest(2, CAST(floor(sqrt(n_corpus)) AS BIGINT))"
 
-  private def semanticDedupKOf(n: Long): Int =
+  private[graft] def semanticDedupKOf(n: Long): Int =
     math.max(2L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
 
   /** Neighbors per vector in the sim_knn_graph edge list. */
@@ -381,6 +381,38 @@ object Similarity extends QueryModule {
     * embedding near-dups, so the demonstration threshold sits at the
     * top of the natural cosine range).
     */
+  /** k-NN GRAPH (every vector's top-[[KNNG_K]] neighbors — the input
+    * artifact of SemDeDup / kNN-clustering / label-propagation
+    * pipelines), built the partitioned way: Lloyd-assign the corpus
+    * into k = floor(sqrt(n)) clusters ([[semanticDedupKOf]]), then
+    * EXACT cosine top-k within each cluster — O(n^1.5) pair work
+    * instead of the all-pairs n^2, the same bound semanticDedupFrom
+    * rides. Neighbor candidates are same-cluster by construction (the
+    * documented approximation of this family); the integer-scaled
+    * cosine and (icos desc, nbr_id) tie rule keep every edge
+    * oracle-exact. The gate query `sim_knn_graph` and Bench's
+    * `scaled_knng_x20` probe both drive this code.
+    */
+  def knnGraphFrom(s: SparkSession, emb: DataFrame): DataFrame = {
+    val t = emb
+      .join(kmeansAssignFrom(emb, semanticDedupKOf(emb.count())), "vec_id")
+      .select(col("vec_id"), col("c"), col("embedding"))
+    val l = t.select(col("c"), col("vec_id").as("q_id"),
+      col("embedding").as("a_v"))
+    val r = t.select(col("c"), col("vec_id").as("nbr_id"),
+      col("embedding").as("b_v"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("icos_e6").desc, col("nbr_id"))
+    l.join(r, "c")
+      .filter(col("q_id") =!= col("nbr_id"))
+      .select(col("q_id"), col("nbr_id"),
+        Vectors.cosineScaled(s, col("a_v"), col("b_v")).as("icos_e6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KNNG_K)
+      .select(col("q_id"), col("rk"), col("nbr_id"), col("icos_e6"))
+      .orderBy("q_id", "rk")
+  }
+
   def semanticDedupFrom(s: SparkSession, emb: DataFrame,
       tau: Long = SEMDEDUP_TAU): DataFrame = {
     val k = semanticDedupKOf(emb.count())
@@ -476,26 +508,7 @@ object Similarity extends QueryModule {
     //    candidates are same-cluster by construction (the documented
     //    approximation of this family); the integer-scaled cosine and
     //    (icos desc, nbr_id) tie rule keep every edge oracle-exact.
-    "sim_knn_graph" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val t = emb
-        .join(kmeansAssignFrom(emb, semanticDedupKOf(emb.count())), "vec_id")
-        .select(col("vec_id"), col("c"), col("embedding"))
-      val l = t.select(col("c"), col("vec_id").as("q_id"),
-        col("embedding").as("a_v"))
-      val r = t.select(col("c"), col("vec_id").as("nbr_id"),
-        col("embedding").as("b_v"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("icos_e6").desc, col("nbr_id"))
-      l.join(r, "c")
-        .filter(col("q_id") =!= col("nbr_id"))
-        .select(col("q_id"), col("nbr_id"),
-          Vectors.cosineScaled(s, col("a_v"), col("b_v")).as("icos_e6"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= KNNG_K)
-        .select(col("q_id"), col("rk"), col("nbr_id"), col("icos_e6"))
-        .orderBy("q_id", "rk")
-    }),
+    "sim_knn_graph" -> ((s, d) => knnGraphFrom(s, Tables.embeddings(s, d))),
 
     // -- brute-force exact top-k ------------------------------------------
     "sim_brute_topk" -> ((s, d) => bruteTopkFrom(s, Tables.embeddings(s, d))),

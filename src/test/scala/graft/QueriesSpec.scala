@@ -35,6 +35,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("bench sweep coverage is closed: timed ∪ excluded == registry") {
+    // Every registry query is either in Bench.headline (timed per
+    // round) or in Bench.excluded with a one-line reason — a new query
+    // that is neither fails here, so sweep coverage can't silently
+    // shrink as the registry grows.
+    val (timed, excl) = Bench.checkSweepCoverage()
+    assert(timed + excl == SparkEntry.queries.size)
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
