@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -134,19 +134,129 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `A ∩ B` of two SORTED `array<bigint>` columns as a codegen'd
+  * two-pointer merge returning the matched VALUES (in ascending order,
+  * since both inputs are sorted). The value-returning sibling of
+  * [[SortedIntersectCount]], built for the adjacency-intersection
+  * triangle pass: each oriented edge (u,v) needs the actual common
+  * forward-neighbors N+(u) ∩ N+(v) — every element is a triangle's
+  * third vertex — not just their count.
+  *
+  * `array_intersect(a, b)` would be value-correct on distinct inputs
+  * but builds a hash set per ROW; the merge walk allocates exactly one
+  * `long[]` (bounded by min(|a|,|b|), i.e. the forward degree, which
+  * the degree orientation caps at O(sqrt m)) and stays inside
+  * WholeStageCodegen. Unsorted input yields an undercount — caller
+  * bug, same contract as SortedIntersectCount.
+  */
+case class SortedIntersectLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect_longs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  /** Same null-element contract as SortedIntersectCount: skipped, never
+    * matched, and the branches are statically elided when both child
+    * types carry containsNull=false (collect_list output always does).
+    */
+  private def mayHaveNullElems: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    val checkNulls = mayHaveNullElems
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      if (checkNulls && a.isNullAt(i)) i += 1
+      else if (checkNulls && b.isNullAt(j)) j += 1
+      else {
+        val cmp = java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        if (cmp == 0) { out(k) = a.getLong(i); k += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName every local — this inlines into the stage's generated
+      // method (see SortedIntersectCount.doGenCode for the Janino
+      // collision failure mode)
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val cmp = ctx.freshName("cmp")
+      val out = ctx.freshName("out")
+      val nullSkips =
+        if (mayHaveNullElems)
+          s"""if ($a.isNullAt($i)) { $i++; }
+          else if ($b.isNullAt($j)) { $j++; }
+          else """
+        else ""
+      s"""
+        int $na = $a.numElements(), $nb = $b.numElements();
+        int $i = 0, $j = 0, $k = 0;
+        long[] $out = new long[$na < $nb ? $na : $nb];
+        while ($i < $na && $j < $nb) {
+          $nullSkips{
+            int $cmp = java.lang.Long.compare($a.getLong($i), $b.getLong($j));
+            if ($cmp == 0) { $out[$k++] = $a.getLong($i); $i++; $j++; }
+            else if ($cmp < 0) $i++;
+            else $j++;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($out, $k));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArraySets {
 
   /** Idempotent session registration (SQL-callable as
-    * `graft_sorted_intersect_count(a, b)`).
+    * `graft_sorted_intersect_count(a, b)` /
+    * `graft_sorted_intersect_longs(a, b)`).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_longs",
+      exprs => SortedIntersectLongs(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** `|a ∩ b|` over two sorted, distinct, null-free array columns. */
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_sorted_intersect_count", a, b)
+  }
+
+  /** `a ∩ b` (ascending values) over two sorted, distinct, null-free
+    * `array<bigint>` columns.
+    */
+  def sortedIntersectLongs(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_sorted_intersect_longs", a, b)
   }
 }
