@@ -52,7 +52,11 @@ object Bench {
     "pipe_curriculum", "pipe_mix_weights", "pipe_decontaminate",
     "pipe_cluster_dedup", "pipe_substr_cut", "pipe_training_batches",
     "pipe_upsert", "pipe_cdc_apply", "pipe_cluster_split",
-    "pipe_dataset_card")
+    "pipe_dataset_card",
+    // round 10 additions: BM25 retrieval scoring, n-gram novelty
+    // (two gram-hash shuffles), edge structural similarity (the
+    // adjacency-intersect path)
+    "txt_bm25", "txt_ngram_novelty", "graph_edge_jaccard")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at

@@ -1249,6 +1249,40 @@ object Dedup extends QueryModule {
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
 
+    // -- SCAN-style structural similarity of every near-dup edge (Xu et
+    //    al., "SCAN: a structural clustering algorithm for networks",
+    //    KDD 2007): |N(a) ∩ N(b)| over the endpoints-excluded
+    //    neighborhood union, per EXISTING edge. High-embeddedness edges
+    //    sit inside duplication communities; low ones bridge them — the
+    //    split signal for cluster-dedup cliques glued by boilerplate.
+    //    Adjacency arrays + the codegen'd sorted-intersect count do the
+    //    work in O(deg_a + deg_b) per edge with only O(m) rows through
+    //    the exchanges — no wedge stream, no pair blowup ----------------
+    "graph_edge_jaccard" -> ((s, d) => {
+      val pairs = minhashPairsFrom(Tables.documents(s, d), ordered = false)
+        .select("a_id", "b_id").localCheckpoint(true)
+      val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val adj = e.groupBy("src").agg(
+        sort_array(collect_list("dst")).as("nbrs"),
+        count(lit(1)).as("deg"))
+      pairs
+        .join(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
+          col("deg").as("da")), "a_id")
+        .join(adj.select(col("src").as("b_id"), col("nbrs").as("nb"),
+          col("deg").as("db")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          graft.functions.ArraySets.sortedIntersectCount(
+            s, col("na"), col("nb")).as("common"),
+          col("da"), col("db"))
+        .select(col("a_id"), col("b_id"), col("common"), col("da"), col("db"),
+          when(col("da") + col("db") - 2 - col("common") === 0, lit(1000L))
+            .otherwise(expr("common * 1000 DIV (da + db - 2 - common)"))
+            .as("jacc_mille"))
+        .orderBy(col("jacc_mille").desc, col("a_id"), col("b_id"))
+        .limit(25)
+    }),
+
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1744,6 +1778,35 @@ object Dedup extends QueryModule {
       FROM x
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // common neighbors via the (oracle-scale-fine) co-neighbor wedge
+    // enumeration; pairs with no common neighbor survive via the LEFT
+    // JOIN with COALESCE(0)
+    "graph_edge_jaccard" -> s"""
+      WITH p AS (SELECT a_id, b_id
+                 FROM (${minhashPairsSql(ordered = false)}) mp),
+           e AS (SELECT a_id AS src, b_id AS dst FROM p
+                 UNION ALL
+                 SELECT b_id AS src, a_id AS dst FROM p),
+           d AS (SELECT src, count(1) AS deg FROM e GROUP BY src),
+           cm AS (SELECT x.src AS a_id, y.src AS b_id,
+                         count(1)::BIGINT AS common
+                  FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+                  GROUP BY x.src, y.src),
+           j AS (SELECT p.a_id, p.b_id,
+                        COALESCE(cm.common, 0)::BIGINT AS common,
+                        da.deg AS da, db.deg AS db
+                 FROM p
+                 LEFT JOIN cm ON cm.a_id = p.a_id AND cm.b_id = p.b_id
+                 JOIN d da ON da.src = p.a_id
+                 JOIN d db ON db.src = p.b_id)
+      SELECT a_id, b_id, common, da, db,
+             CASE WHEN da + db - 2 - common = 0 THEN 1000
+                  ELSE common * 1000 // (da + db - 2 - common) END
+               AS jacc_mille
+      FROM j
+      ORDER BY jacc_mille DESC, a_id, b_id
+      LIMIT 25""",
 
     "dedup_contamination" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s

@@ -631,6 +631,78 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id", "rk")
     }),
 
+    // -- BM25 retrieval scoring (Robertson & Zaragoza, "The
+    //    Probabilistic Relevance Framework: BM25 and Beyond", FnTIR
+    //    2009): score every document against the corpus's three
+    //    highest-df query terms with k1 = 1.2, b = 0.75. Per-term
+    //    weights are 1e6-scaled to integers BEFORE the per-doc sum, so
+    //    the final score is exact integer arithmetic with no FP
+    //    summation-order hazard; the ln/division chain is written with
+    //    identical association in both engines (same argument as the
+    //    TF-IDF scores above). Scale shape: two hash aggs over the
+    //    token stream, then broadcast-only attaches (query terms,
+    //    1-row corpus stats) — the corpus never re-shuffles on
+    //    anything wider than (doc_id, term) ---------------------------------
+    "txt_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count() // tiny scalar; computed once at plan time
+      val tf = docs
+        .select(col("doc_id"),
+          graft.functions.TokenizeExplode.tokenize(s, col("text")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      // avgdl as exact-integer total / count, NOT avg(): both engines
+      // then divide the same two integers, so the double is identical
+      val stats = dl.agg(
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val qterms = dfT.orderBy(col("df").desc, col("term")).limit(3)
+      tf.join(broadcast(qterms), Seq("term"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("w_e6", round(
+          log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
+          lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_hit"))
+        .orderBy(col("score_e6").desc, col("doc_id"))
+        .limit(20)
+        .select("doc_id", "score_e6", "n_hit")
+    }),
+
+    // -- per-document n-gram novelty (the "how much of this doc is new
+    //    text" curation signal, cf. Lee et al.'s dedup ablations):
+    //    fraction of a doc's DISTINCT token 8-grams whose first corpus
+    //    occurrence (min doc_id) is this doc. Grams are xxhash64'd to
+    //    fixed 8-byte keys before BOTH shuffles — the 100 TB shape; the
+    //    wide gram string never crosses an exchange (2^-64 collision
+    //    odds, the same tolerance as the engine's md5 dedup keys). The
+    //    gram stream is scanned twice (first-occurrence agg + join
+    //    back) rather than checkpointed: at corpus scale a re-scan is
+    //    cheaper than materializing the gram stream. Docs shorter than
+    //    8 tokens emit nothing ---------------------------------------------
+    "txt_ngram_novelty" -> ((s, d) => {
+      def grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.NgramExplode.ngrams(s, col("text"), 8).as("ngram"))
+        .select(col("doc_id"), xxhash64(col("ngram")).as("h"))
+        .distinct()
+      val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 1000 DIV n_grams").as("novel_mille"))
+        .orderBy("doc_id")
+    }),
+
     // -- character-class entropy (quality signal: gibberish and
     //    boilerplate sit at the distribution's extremes). Two-step
     //    select: 36 per-class counts (one replace each), then the
@@ -1319,6 +1391,57 @@ object TextAnalysis extends QueryModule {
       FROM ranked
       WHERE rk <= 3
       ORDER BY doc_id, rk""",
+
+    // BM25 with the identical association of the ln/division chain as
+    // the Spark side; per-term weights integer-scaled BEFORE the
+    // per-doc sum so the aggregate is order-free exact arithmetic.
+    "txt_bm25" -> s"""
+      WITH tf AS (
+        SELECT doc_id, term, count(1)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, count(1)::BIGINT AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+      stats AS (SELECT sum(dl)::DOUBLE / count(1) AS avgdl FROM dl),
+      n AS (SELECT count(1)::DOUBLE AS n_docs FROM documents),
+      q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
+      w AS (SELECT tf.doc_id,
+                   round(ln(1.0 + (n.n_docs - q.df + 0.5) / (q.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                         * 1e6)::BIGINT AS w_e6
+            FROM tf
+            JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats CROSS JOIN n)
+      SELECT doc_id, sum(w_e6)::BIGINT AS score_e6, count(1) AS n_hit
+      FROM w
+      GROUP BY doc_id
+      ORDER BY score_e6 DESC, doc_id
+      LIMIT 20""",
+
+    // Novelty over raw grams (the Spark side's xxhash64 key is an
+    // internal fixed-width shuffle key, transparent to the result).
+    "txt_ngram_novelty" -> s"""
+      WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           g0 AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks) - 6),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                || ' ' || toks[i+3] || ' ' || toks[i+4] || ' '
+                                || toks[i+5] || ' ' || toks[i+6] || ' '
+                                || toks[i+7])) AS ngram
+                  FROM t WHERE len(toks) >= 8),
+           g AS (SELECT DISTINCT doc_id, ngram FROM g0),
+           f AS (SELECT ngram, min(doc_id) AS first_doc FROM g GROUP BY ngram)
+      SELECT g.doc_id,
+             count(1) AS n_grams,
+             sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+             (sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+               * 1000) // count(1) AS novel_mille
+      FROM g JOIN f USING (ngram)
+      GROUP BY g.doc_id
+      ORDER BY doc_id""",
 
     "txt_length_hist" -> """
       SELECT floor(n_chars / 100)::BIGINT AS bucket,
