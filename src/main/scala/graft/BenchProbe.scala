@@ -281,6 +281,45 @@ object BenchProbe {
       }
       spark.stop(); return
     }
+    if (name == "scaledtri100") {
+      // survives-100x triangle counting via the adjacency-intersection
+      // pass: measure the oriented wedge volume FIRST (one degree join
+      // + sum — cheap) and only time the full pass when the volume is
+      // tractable; planted cliques make triangle output cubic in
+      // clique size, so an unguarded x100 run could be a 10^11-row
+      // explode rather than a benchmark
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+      val pairs = Bench.scaledMinhash(spark, p)
+        .select("a_id", "b_id").localCheckpoint(true)
+      val m = pairs.count()
+      val deg = pairs.select(col("a_id").as("id"))
+        .union(pairs.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val aLower = col("da") < col("db") ||
+        (col("da") === col("db") && col("a_id") < col("b_id"))
+      val fwd = pairs
+        .join(deg.select(col("id").as("a"), col("degree").as("da")),
+          col("a_id") === col("a"))
+        .join(deg.select(col("id").as("b"), col("degree").as("db")),
+          col("b_id") === col("b"))
+        .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("fd"))
+      val wedges2 = fwd.agg(sum(col("fd") * (col("fd") - 1)).as("w"))
+        .collect()(0).getAs[Long]("w")
+      println(s"[probe] scaledtri100 edges=$m orientedWedges2=$wedges2")
+      if (wedges2 > 4_000_000_000L) {
+        println(s"[probe] scaledtri100 SKIP timing: wedge volume " +
+          s"${wedges2 / 2} exceeds the 2e9 probe budget (cubic clique " +
+          "output regime -- the bound itself is the result)")
+      } else (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.queries.Dedup.trianglesFromPairs(pairs)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] scaledtri100 run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     if (name == "scaledtribound") {
       // Wedge-bound assert for the degree-ordered orientation at x20:
       // the oriented wedge stream (sum over nodes of fwdDeg*(fwdDeg-1))
