@@ -1117,6 +1117,42 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** SCAN structural similarity per existing undirected edge (Xu et
+    * al., KDD 2007): common = |N(a) ∩ N(b)|, per-mille over the
+    * endpoints-excluded union |N(a)\{b} ∪ N(b)\{a}| = da + db - 2 -
+    * common (defined as 1000 when that union is empty — a bare
+    * isolated edge is trivially fully embedded). Adjacency arrays +
+    * the codegen'd sorted intersect: O(deg_a + deg_b) per edge, O(m)
+    * rows through the exchanges, no wedge stream. Top 25 by
+    * (jacc_mille desc, a_id, b_id).
+    *
+    * @param pairs unique undirected edges as (a_id, b_id), a_id < b_id
+    */
+  def edgeJaccardFrom(pairs0: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
+    val pairs = pairs0.localCheckpoint(true) // consumed three times below
+    val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val adj = e.groupBy("src").agg(
+      sort_array(collect_list("dst")).as("nbrs"),
+      count(lit(1)).as("deg"))
+    pairs
+      .join(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
+        col("deg").as("da")), "a_id")
+      .join(adj.select(col("src").as("b_id"), col("nbrs").as("nb"),
+        col("deg").as("db")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.ArraySets.sortedIntersectCount(
+          s, col("na"), col("nb")).as("common"),
+        col("da"), col("db"))
+      .select(col("a_id"), col("b_id"), col("common"), col("da"), col("db"),
+        when(col("da") + col("db") - 2 - col("common") === 0, lit(1000L))
+          .otherwise(expr("common * 1000 DIV (da + db - 2 - common)"))
+          .as("jacc_mille"))
+      .orderBy(col("jacc_mille").desc, col("a_id"), col("b_id"))
+      .limit(25)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup over raw text (with injected duplicates) -------------
     "dedup_exact" -> ((s, d) => {
@@ -1258,30 +1294,10 @@ object Dedup extends QueryModule {
     //    Adjacency arrays + the codegen'd sorted-intersect count do the
     //    work in O(deg_a + deg_b) per edge with only O(m) rows through
     //    the exchanges — no wedge stream, no pair blowup ----------------
-    "graph_edge_jaccard" -> ((s, d) => {
-      val pairs = minhashPairsFrom(Tables.documents(s, d), ordered = false)
-        .select("a_id", "b_id").localCheckpoint(true)
-      val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      val adj = e.groupBy("src").agg(
-        sort_array(collect_list("dst")).as("nbrs"),
-        count(lit(1)).as("deg"))
-      pairs
-        .join(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
-          col("deg").as("da")), "a_id")
-        .join(adj.select(col("src").as("b_id"), col("nbrs").as("nb"),
-          col("deg").as("db")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          graft.functions.ArraySets.sortedIntersectCount(
-            s, col("na"), col("nb")).as("common"),
-          col("da"), col("db"))
-        .select(col("a_id"), col("b_id"), col("common"), col("da"), col("db"),
-          when(col("da") + col("db") - 2 - col("common") === 0, lit(1000L))
-            .otherwise(expr("common * 1000 DIV (da + db - 2 - common)"))
-            .as("jacc_mille"))
-        .orderBy(col("jacc_mille").desc, col("a_id"), col("b_id"))
-        .limit(25)
-    }),
+    "graph_edge_jaccard" -> ((s, d) =>
+      edgeJaccardFrom(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
 
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {

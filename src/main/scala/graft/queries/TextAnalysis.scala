@@ -231,6 +231,72 @@ object TextAnalysis extends QueryModule {
       "(length(seg) - length(replace(seg, '|', ''))) DIV 2").as("n_sub"))
   }
 
+  /** Okapi BM25 (Robertson & Zaragoza, FnTIR 2009; k1 = 1.2,
+    * b = 0.75) of every document against the corpus's three highest-df
+    * query terms, as top-20 (doc_id, score_e6, n_hit). Per-term
+    * weights are 1e6-scaled to integers BEFORE the per-doc sum, so the
+    * aggregate is exact order-free arithmetic; the ln/division chain
+    * keeps identical association in the DuckDB oracle. avgdl is an
+    * exact-integer total / count, never avg() (whose double summation
+    * is order-dependent). Shapes: two hash aggs over the token stream,
+    * broadcast-only attaches for query terms + 1-row corpus stats.
+    */
+  def bm25From(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val nDocs = docs.count() // tiny scalar; computed once at plan time
+    val tf = docs
+      .select(col("doc_id"),
+        graft.functions.TokenizeExplode.tokenize(s, col("text")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = dfT.orderBy(col("df").desc, col("term")).limit(3)
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w_e6", round(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
+        lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "score_e6", "n_hit")
+  }
+
+  /** Per-document 8-gram novelty: of a doc's DISTINCT token 8-grams,
+    * how many first occur (min doc_id) in this doc — the "how much of
+    * this doc is new text" curation signal. Grams are xxhash64'd to
+    * fixed 8-byte keys before BOTH shuffles (2^-64 collision odds,
+    * the engine's md5-dedup tolerance); the gram stream is scanned
+    * twice rather than checkpointed — at corpus scale a re-scan beats
+    * materializing it. Docs shorter than 8 tokens emit nothing.
+    */
+  def ngramNoveltyFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    def grams = docs
+      .select(col("doc_id"),
+        graft.functions.NgramExplode.ngrams(s, col("text"), 8).as("ngram"))
+      .select(col("doc_id"), xxhash64(col("ngram")).as("h"))
+      .distinct()
+    val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000 DIV n_grams").as("novel_mille"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- BPE tokenizer TRAINING (Sennrich et al.): the learned merge
     //    table itself, value-exact vs an oracle that unrolls the same
@@ -643,37 +709,7 @@ object TextAnalysis extends QueryModule {
     //    token stream, then broadcast-only attaches (query terms,
     //    1-row corpus stats) — the corpus never re-shuffles on
     //    anything wider than (doc_id, term) ---------------------------------
-    "txt_bm25" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val nDocs = docs.count() // tiny scalar; computed once at plan time
-      val tf = docs
-        .select(col("doc_id"),
-          graft.functions.TokenizeExplode.tokenize(s, col("text")).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      // avgdl as exact-integer total / count, NOT avg(): both engines
-      // then divide the same two integers, so the double is identical
-      val stats = dl.agg(
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val qterms = dfT.orderBy(col("df").desc, col("term")).limit(3)
-      tf.join(broadcast(qterms), Seq("term"))
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("w_e6", round(
-          log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
-          lit(1e6)).cast("long"))
-        .groupBy("doc_id")
-        .agg(sum("w_e6").as("score_e6"), count(lit(1)).as("n_hit"))
-        .orderBy(col("score_e6").desc, col("doc_id"))
-        .limit(20)
-        .select("doc_id", "score_e6", "n_hit")
-    }),
+    "txt_bm25" -> ((s, d) => bm25From(Tables.documents(s, d))),
 
     // -- per-document n-gram novelty (the "how much of this doc is new
     //    text" curation signal, cf. Lee et al.'s dedup ablations):
@@ -686,22 +722,8 @@ object TextAnalysis extends QueryModule {
     //    back) rather than checkpointed: at corpus scale a re-scan is
     //    cheaper than materializing the gram stream. Docs shorter than
     //    8 tokens emit nothing ---------------------------------------------
-    "txt_ngram_novelty" -> ((s, d) => {
-      def grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.NgramExplode.ngrams(s, col("text"), 8).as("ngram"))
-        .select(col("doc_id"), xxhash64(col("ngram")).as("h"))
-        .distinct()
-      val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
-      grams.join(first, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          expr("n_novel * 1000 DIV n_grams").as("novel_mille"))
-        .orderBy("doc_id")
-    }),
+    "txt_ngram_novelty" -> ((s, d) =>
+      ngramNoveltyFrom(Tables.documents(s, d))),
 
     // -- character-class entropy (quality signal: gibberish and
     //    boilerplate sit at the distribution's extremes). Two-step

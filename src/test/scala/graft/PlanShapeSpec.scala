@@ -293,5 +293,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the wedge stream must stay inside the codegen'd intersect, never
+    // a materialized join input
+    assert(p.contains("graft_sorted_intersect_longs"),
+      "adjacency-intersection path missing:\n" + p)
+  }
+
+  test("edge jaccard: codegen'd intersect over adjacency arrays, no cartesian") {
+    val p = plan("graph_edge_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_sorted_intersect_count"),
+      "codegen'd sorted-intersect count missing:\n" + p)
+  }
+
+  test("bm25: query terms and corpus stats attach by broadcast only") {
+    val p = plan("txt_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row stats cross-attach must be broadcast, not shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ngram novelty: gram strings never cross an exchange") {
+    val p = plan("txt_ngram_novelty")
+    // both shuffles key on the fixed-width xxhash64 column
+    assert(!p.contains("hashpartitioning(ngram"),
+      "raw gram string used as a shuffle key:\n" + p)
   }
 }

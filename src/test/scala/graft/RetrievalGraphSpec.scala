@@ -1,0 +1,90 @@
+package graft
+
+import graft.queries.{Dedup, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 operators on hand-built inputs: SCAN edge structural
+  * similarity, per-doc n-gram novelty, BM25 retrieval scoring.
+  */
+class RetrievalGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("edge jaccard: K4 edges are embedded, a bridge is not") {
+    import spark.implicits._
+    // K4 on 1..4 plus a pendant edge 4-5: every K4 edge (a,b) has the
+    // other two clique nodes as common neighbors except those at node
+    // 4, whose degree is 4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val rows = Dedup.edgeJaccardFrom(edges.toDF("a_id", "b_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // edge (1,2): N(1)={2,3,4}, N(2)={1,3,4} -> common {3,4}=2,
+    // union excl endpoints = 3+3-2-2 = 2 -> 1000
+    assert(rows((1L, 2L)) == ((2L, 3L, 3L, 1000L)))
+    // edge (1,4): N(4)={1,2,3,5} -> common {2,3}=2, denom 3+4-2-2=3
+    assert(rows((1L, 4L)) == ((2L, 3L, 4L, 666L)))
+    // bridge (4,5): N(5)={4} -> common 0, denom 4+1-2-0=3 -> 0
+    assert(rows((4L, 5L)) == ((0L, 4L, 1L, 0L)))
+  }
+
+  test("edge jaccard: isolated edge is trivially fully embedded") {
+    import spark.implicits._
+    val rows = Dedup.edgeJaccardFrom(Seq((7L, 9L)).toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5))
+      .toMap
+    // denom = 1 + 1 - 2 - 0 = 0 -> defined as 1000
+    assert(rows((7L, 9L)) == 1000L)
+  }
+
+  test("ngram novelty: exact duplicate scores 0, originals 1000") {
+    import spark.implicits._
+    val text = "a b c d e f g h i j" // 10 tokens -> 3 distinct 8-grams
+    val other = "q w e r t y u i o p"
+    val docs = Seq((1L, text), (2L, other), (3L, text))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.ngramNoveltyFrom(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows(1L) == ((3L, 3L, 1000L)))
+    assert(rows(2L) == ((3L, 3L, 1000L)))
+    assert(rows(3L) == ((3L, 0L, 0L))) // every gram first seen in doc 1
+    // a doc shorter than 8 tokens emits nothing
+    val short = TextAnalysis.ngramNoveltyFrom(
+      Seq((9L, "too short text")).toDF("doc_id", "text"))
+    assert(short.count() == 0)
+  }
+
+  test("bm25: more query-term mass ranks higher; weights match a mirror") {
+    import spark.implicits._
+    // "the" and "fox" and "dog" are the three highest-df terms; doc 1
+    // repeats them most
+    val docs = Seq(
+      (1L, "the fox the dog the fox jumps"),
+      (2L, "the fox and the dog"),
+      (3L, "the cat naps alone"),
+      (4L, "fox dog"),
+      (5L, "nothing relevant here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25From(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every scored doc hits >= 1 of the 3 query terms; scores ordered
+    assert(out.map(_._3).forall(h => h >= 1 && h <= 3))
+    assert(out.map(_._2).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    assert(!byDoc.contains(5L)) // no query term -> not scored
+    // doc 1 carries the most query-term mass at modest length
+    assert(out.head._1 == 1L)
+    // mirror the exact integer score for doc 4 ("fox dog", dl = 2):
+    // df(the)=3 df(fox)=3 df(dog)=3 over n=5 docs, avgdl = 23/5
+    // (token counts 7+5+4+2+5)
+    val n = 5.0; val avgdl = 23.0 / 5.0
+    def w(tf: Long, df: Long, dl: Long): Long =
+      math.round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+    assert(byDoc(4L) == w(1, 3, 2) + w(1, 3, 2))
+  }
+}
