@@ -56,7 +56,8 @@ object Bench {
     // round 10 additions: BM25 retrieval scoring, n-gram novelty
     // (two gram-hash shuffles), edge structural similarity (the
     // adjacency-intersect path)
-    "txt_bm25", "txt_ngram_novelty", "graph_edge_jaccard")
+    "txt_bm25", "txt_ngram_novelty", "graph_edge_jaccard",
+    "pipe_sample_weighted")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at
@@ -76,9 +77,10 @@ object Bench {
       "dedup_substrings", "dedup_url_canonical", "dedup_weighted_jaccard",
       "dedup_winnow_clusters", "dedup_winnow_pairs",
       "graph_triangles", "sim_knn_graph", "sim_pq_topk", "sim_sparse_pairs"),
-    "iterative fixed-round PageRank: per-round plan is the one timed by " +
+    "iterative fixed-round graph loops (PageRank power iteration, " +
+      "k-core peel): the per-round agg+join plan is the one timed by " +
       "scaled_cc_x20's contract-then-solve loop family; gate-scale graph " +
-      "is tiny" -> Seq("graph_pagerank"),
+      "is tiny" -> Seq("graph_pagerank", "graph_kcore"),
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk" -> Seq(
       "sim_range_search"),

@@ -1117,6 +1117,39 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** k-core of an undirected pair graph (Seidman, "Network structure
+    * and minimum degree", Social Networks 1983) via BOUNDED-round
+    * degree peeling: each round drops every node with degree < k and
+    * the edges touching it. `rounds` is fixed (the graph_pagerank
+    * fixed-round discipline) so the DuckDB oracle can unroll the same
+    * computation CTE-for-CTE; on the clique-heavy near-dup graphs the
+    * peel reaches its fixpoint in far fewer rounds, making the output
+    * the true k-core. Per round: one hash agg + two semi-shaped joins,
+    * edges re-checkpointed serialized so lineage can't double per
+    * round (the ccFromPairs discipline).
+    *
+    * @return (doc_id, core_deg) for every node surviving the peel
+    */
+  def kcoreFromPairs(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = pairs0.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs0.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    (1 to rounds).foreach { _ =>
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      edges = edges
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
+  }
+
   /** SCAN structural similarity per existing undirected edge (Xu et
     * al., KDD 2007): common = |N(a) ∩ N(b)|, per-mille over the
     * endpoints-excluded union |N(a)\{b} ∪ N(b)\{a}| = da + db - 2 -
@@ -1298,6 +1331,15 @@ object Dedup extends QueryModule {
       edgeJaccardFrom(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
+
+    // -- 3-core of the near-dup pair graph (see kcoreFromPairs): the
+    //    dense duplication communities with chains/pendants peeled
+    //    away — what's left is what cluster-dedup must actually break
+    //    up. 8 peel rounds, fixpoint on this graph family ----------------
+    "graph_kcore" -> ((s, d) =>
+      kcoreFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"), k = 3, rounds = 8)),
 
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {
@@ -1794,6 +1836,31 @@ object Dedup extends QueryModule {
       FROM x
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // the same 8 bounded peel rounds unrolled CTE-for-CTE (the
+    // graph_pagerank discipline). Every CTE is MATERIALIZED: each
+    // round references the previous edge set three times, so DuckDB's
+    // default inline expansion is ~3^8 scans of the base table (it
+    // exhausts file handles before it exhausts patience)
+    "graph_kcore" -> {
+      def peel(n: Int): String = s"""
+           k$n AS MATERIALIZED (SELECT src AS node FROM e${n - 1}
+                   GROUP BY src HAVING count(1) >= 3),
+           e$n AS MATERIALIZED (SELECT e.src, e.dst FROM e${n - 1} e
+                   JOIN k$n ka ON e.src = ka.node
+                   JOIN k$n kb ON e.dst = kb.node)"""
+      s"""
+      WITH p AS MATERIALIZED (SELECT a_id, b_id
+                 FROM (${minhashPairsSql(ordered = false)}) mp),
+           e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+                  UNION ALL
+                  SELECT b_id AS src, a_id AS dst FROM p),
+           ${(1 to 8).map(peel).mkString(",")}
+      SELECT src AS doc_id, count(1) AS core_deg
+      FROM e8
+      GROUP BY src
+      ORDER BY doc_id"""
+    },
 
     // common neighbors via the (oracle-scale-fine) co-neighbor wedge
     // enumeration; pairs with no common neighbor survive via the LEFT

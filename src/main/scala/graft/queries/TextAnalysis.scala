@@ -908,6 +908,29 @@ object TextAnalysis extends QueryModule {
         .orderBy("source")
     }),
 
+    // -- weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    //    "Weighted random sampling with a reservoir", IPL 2006): each
+    //    doc draws key = ln(u) / w with u a deterministic md5-slice
+    //    uniform and w = n_chars; the top-k keys ARE a size-proportional
+    //    sample — the primitive behind quality- and length-weighted
+    //    mixture draws. One scan + one top-k, no shuffle beyond the
+    //    bounded sort; md5 (not xxhash64) so the DuckDB oracle
+    //    reproduces the exact sample, and selection/order use the
+    //    1e9-scaled integer key so a last-ulp ln() divergence can't
+    //    flip the gate ---------------------------------------------------
+    "pipe_sample_weighted" -> ((s, d) => {
+      val h = conv(substring(md5(concat(lit("wsamp|"),
+        col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+      val u = (h.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
+      val key = log(u) / greatest(col("n_chars"), lit(1)).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          round(key * lit(1e9)).cast("long").as("key_e9"))
+        .orderBy(col("key_e9").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "pipe_modern_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gate = gopherFrom(docs).filter(col("gopher_pass")).select("doc_id")
@@ -1542,6 +1565,17 @@ object TextAnalysis extends QueryModule {
                AS sampled_tokens
       FROM ps CROSS JOIN t
       ORDER BY source""",
+
+    // identical association: ((h + 1) / 2^48) -> ln -> / w -> * 1e9
+    "pipe_sample_weighted" -> """
+      SELECT doc_id, n_chars,
+             round(ln((('0x' || substr(md5('wsamp|' || doc_id::VARCHAR),
+                          1, 12))::BIGINT::DOUBLE + 1.0)
+                      / 281474976710656.0)
+                   / greatest(n_chars, 1)::DOUBLE * 1e9)::BIGINT AS key_e9
+      FROM documents
+      ORDER BY key_e9 DESC, doc_id
+      LIMIT 10""",
 
     "pipe_curriculum" -> s"""
       WITH sc AS (SELECT s.doc_id, s.avg_micronat, d.lang

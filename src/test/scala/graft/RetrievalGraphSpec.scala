@@ -87,4 +87,32 @@ class RetrievalGraphSpec extends AnyFunSuite {
         (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
     assert(byDoc(4L) == w(1, 3, 2) + w(1, 3, 2))
   }
+
+  test("kcore: peeling keeps the clique, drops chains and pendants") {
+    import spark.implicits._
+    // K4 on 1..4 + pendant 4-5 + path 6-7-8: the 3-core is exactly K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L))
+    val rows = Dedup.kcoreFromPairs(edges.toDF("a_id", "b_id"), 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a triangle has no 3-core: peeling it to fixpoint empties it
+    val tri = Dedup.kcoreFromPairs(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a_id", "b_id"), 3, 8)
+    assert(tri.count() == 0)
+  }
+
+  test("weighted sampling: deterministic top-k with strictly negative keys") {
+    val out = SparkEntry.queries("pipe_sample_weighted")(
+      spark, TestSpark.sf0001).collect()
+    assert(out.length == 10)
+    val keys = out.map(_.getLong(2))
+    // key = ln(u)/w with u in (0,1): always negative, sorted desc
+    assert(keys.forall(_ < 0))
+    assert(keys.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // deterministic: a second run returns the identical sample
+    val again = SparkEntry.queries("pipe_sample_weighted")(
+      spark, TestSpark.sf0001).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
 }
