@@ -729,6 +729,19 @@ object Bench {
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id"))))
+    // the round-10 graph ops at the same x20 regime, each timed as the
+    // full pipeline (pair build + operator) like scaled_tri_x20; one
+    // rep each — adjacency-array shapes, cross-round JSONs repeat them
+    val ejacc = Seq(timeOne("scaled_ejacc_x20", () =>
+      graft.queries.Dedup.edgeJaccardFrom(
+        graft.queries.Dedup.minhashPairsFrom(
+          spark.read.parquet(scaledPath), ordered = false)
+          .select("a_id", "b_id"))))
+    val kcore = Seq(timeOne("scaled_kcore_x20", () =>
+      graft.queries.Dedup.kcoreFromPairs(
+        graft.queries.Dedup.minhashPairsFrom(
+          spark.read.parquet(scaledPath), ordered = false)
+          .select("a_id", "b_id"), k = 3, rounds = 8)))
     // DEEP-merge BPE regime, tracked per-round (previously the manual
     // bpewide probe only): 200 merges on the 100k-vocabulary workload-A
     // corpus — the wide-vocabulary regime a real tokenizer trains on,
@@ -795,6 +808,8 @@ object Bench {
       "scaled_semantic_x20" -> sem.min,
       "scaled_knng_x20" -> knng.min,
       "scaled_tri_x20" -> tri.min,
+      "scaled_ejacc_x20" -> ejacc.min,
+      "scaled_kcore_x20" -> kcore.min,
       "scaled_bpe_deep200" -> bpeDeep.min)
 
     // NaN (= failed) prints as null and never reaches a sum: a reader

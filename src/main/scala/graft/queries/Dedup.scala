@@ -1120,11 +1120,13 @@ object Dedup extends QueryModule {
   /** k-core of an undirected pair graph (Seidman, "Network structure
     * and minimum degree", Social Networks 1983) via BOUNDED-round
     * degree peeling: each round drops every node with degree < k and
-    * the edges touching it. `rounds` is fixed (the graph_pagerank
-    * fixed-round discipline) so the DuckDB oracle can unroll the same
-    * computation CTE-for-CTE; on the clique-heavy near-dup graphs the
-    * peel reaches its fixpoint in far fewer rounds, making the output
-    * the true k-core. Per round: one hash agg + two semi-shaped joins,
+    * the edges touching it. `rounds` is a fixed UPPER BOUND (the
+    * graph_pagerank fixed-round discipline) so the DuckDB oracle can
+    * unroll the same computation CTE-for-CTE; the loop exits at the
+    * peel fixpoint (edge count unchanged), which is result-identical
+    * because post-fixpoint rounds are the identity — and on the
+    * clique-heavy near-dup graphs the fixpoint arrives in 1-2 rounds.
+    * Per round: one hash agg + two semi-shaped joins,
     * edges re-checkpointed serialized so lineage can't double per
     * round (the ccFromPairs discipline).
     *
@@ -1135,7 +1137,16 @@ object Dedup extends QueryModule {
       .union(pairs0.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    (1 to rounds).foreach { _ =>
+    // fixpoint early-exit: once a round drops nothing, every later
+    // round is the identity, so the bounded oracle unroll and the
+    // exited loop compute the same relation — but on clique-heavy
+    // graphs (where peeling converges in 1-2 rounds) the exit saves
+    // most of the round budget. count() on the just-checkpointed
+    // frame is a metadata-cheap job, not a recompute.
+    var nEdges = edges.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
       edges = edges
@@ -1144,6 +1155,10 @@ object Dedup extends QueryModule {
         .select(col("src"), col("dst"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val n = edges.count()
+      converged = n == nEdges
+      nEdges = n
+      round += 1
     }
     edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("doc_id"), col("core_deg"))

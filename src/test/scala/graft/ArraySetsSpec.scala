@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArraySets, SortedIntersectCount}
+import graft.functions.{ArraySets, SortedIntersectCount, SortedIntersectLongs}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -82,5 +82,45 @@ class ArraySetsSpec extends AnyFunSuite {
     assert(!SortedIntersectCount(lt, st).checkInputDataTypes().isSuccess)
     val it = Literal.create(Seq(1), ArrayType(org.apache.spark.sql.types.IntegerType))
     assert(!SortedIntersectCount(it, it).checkInputDataTypes().isSuccess)
+  }
+
+  // -- SortedIntersectLongs (value-returning sibling; triangle pass) ----
+
+  private def evalLongs(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    SortedIntersectLongs(
+      Literal.create(a, ArrayType(LongType, containsNull = false)),
+      Literal.create(b, ArrayType(LongType, containsNull = false)))
+      .eval(InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+
+  test("property: interpreted longs-intersect returns A ∩ B ascending") {
+    Gen.listOfN(200, Gen.zip(longSets, longSets)).sample.get.foreach {
+      case (a, b) =>
+        assert(evalLongs(a, b) == a.toSet.intersect(b.toSet).toSeq.sorted,
+          s"a=$a b=$b")
+    }
+  }
+
+  test("property: codegen longs-intersect matches the set oracle") {
+    import spark.implicits._
+    val cases = Gen.listOfN(60, Gen.zip(longSets, longSets)).sample.get
+    val df = cases.toDF("a", "b")
+      .select(ArraySets.sortedIntersectLongs(spark, col("a"), col("b")).as("c"))
+    assert(df.as[Seq[Long]].collect().toSeq ==
+      cases.map { case (a, b) => a.toSet.intersect(b.toSet).toSeq.sorted })
+  }
+
+  test("longs-intersect skips null elements and rejects non-long arrays") {
+    val withNulls = new GenericArrayData(Array[Any](1L, 2L, 5L, null, null))
+    val clean = new GenericArrayData(Array[Any](2L, 5L, 9L))
+    val e = SortedIntersectLongs(
+      BoundReference(0, ArrayType(LongType, containsNull = true), nullable = false),
+      BoundReference(1, ArrayType(LongType, containsNull = true), nullable = false))
+    assert(e.eval(InternalRow(withNulls, clean))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq == Seq(2L, 5L))
+    val st = Literal.create(Seq("a"), ArrayType(StringType))
+    assert(!SortedIntersectLongs(st, st).checkInputDataTypes().isSuccess)
   }
 }
