@@ -94,9 +94,11 @@ object Bench {
       "ev_user_stats"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +
       "scaled_stream_{window,session,chain,tws}_x20; these replay 100k " +
-      "events and track replay-scratch scan cost" -> Seq(
+      "events and track replay-scratch scan cost (enrich is stateless " +
+      "broadcast, scan-bound by construction)" -> Seq(
       "ev_stream_dedup", "ev_stream_join", "ev_stream_outer",
-      "ev_stream_replay", "ev_stream_session", "ev_stream_update"),
+      "ev_stream_replay", "ev_stream_session", "ev_stream_update",
+      "ev_stream_enrich"),
     "I/O write-path roundtrips (timed in SourcesSpec / ZOrderSpec / " +
       "BucketingSpec; the read-side join representative io_bucketed_join " +
       "IS timed): sweep times would measure tmp-dir write throughput" -> Seq(

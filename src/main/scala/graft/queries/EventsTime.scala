@@ -212,6 +212,39 @@ object EventsTime extends QueryModule {
     * the file source — which is what lets a custom state machine be
     * value-compared against a plain batch aggregate.
     */
+  /** Stream-STATIC enrichment under the oracle gate: the events table
+    * replayed as a stream, left-joined against the static customer
+    * dimension via [[graft.streaming.Streaming.streamStaticEnrich]]
+    * (broadcast — the static side never shuffles and holds no
+    * streaming state), then batch-aggregated from the sink per
+    * (market segment, event type). Stateless append emits every
+    * enriched row exactly once under AvailableNow, so the oracle is
+    * the plain batch join + aggregate; money stays in integer cents
+    * (the q1_agg fixed-point discipline).
+    */
+  def streamEnrichReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = graft.streaming.Streaming.streamStaticEnrich(
+      stream, dim, "user_id", "c_custkey")
+    val sink = "ev_stream_enrich_" + System.nanoTime()
+    val q = enriched.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("segment", "event_type")
+    }
+  }
+
   def streamStateReplay(s: SparkSession, d: String): DataFrame = {
     val (batch, scratch) = replayScratch(s, d)
     val stream = s.readStream.schema(batch.schema).parquet(scratch)
@@ -429,6 +462,7 @@ object EventsTime extends QueryModule {
     //    per-user count / last event time / distinct-type set carried
     //    in state; monotone emissions -> batch-invariant final maxima --
     "ev_stream_state" -> ((s, d) => streamStateReplay(s, d)),
+    "ev_stream_enrich" -> ((s, d) => streamEnrichReplay(s, d)),
 
     // -- chained stateful operators: dedup -> window agg in one query --
     "ev_stream_chain" -> ((s, d) => streamChainReplay(s, d)),
@@ -917,6 +951,17 @@ object EventsTime extends QueryModule {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // stateless broadcast enrichment emits every row exactly once
+    // under AvailableNow, so the mirror is the plain batch join + agg
+    "ev_stream_enrich" -> """
+      SELECT c.c_mktsegment AS segment, e.event_type,
+             count(1) AS n_events,
+             sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
+      FROM events e
+      LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+      ORDER BY segment, event_type""",
 
     // update mode emits EVERY window (open ones too), so the mirror is
     // the plain count with no watermark clause — the semantic line
