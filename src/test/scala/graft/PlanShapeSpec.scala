@@ -314,6 +314,13 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("weighted sampling: top-k heap, never a global sort") {
+    val p = plan("pipe_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort planned for a k=10 selection:\n" + p)
+  }
+
   test("ngram novelty: gram strings never cross an exchange") {
     val p = plan("txt_ngram_novelty")
     // both shuffles key on the fixed-width xxhash64 column
