@@ -744,6 +744,42 @@ object Bench {
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id"), k = 3, rounds = 8)))
+    // survives-100x triangle row (r10 verdict #6): the wedge-volume
+    // guard promoted from the manual scaledtri100 probe to per-round
+    // evidence. Measure the oriented wedge volume FIRST (degree join +
+    // agg — no wedge materialization); only when it fits the 2e9
+    // budget is the full adjacency-intersection pass timed, else the
+    // refusal itself is the recorded result (the x100 planted-clique
+    // graph's triangle output is cubic in clique size — ~33.5e9
+    // oriented wedges on recent testdata — and a 10^10-row explode is
+    // not a benchmark). Rows emitted: scaled_tri_x100_wedges2 (the
+    // measured bound, always), scaled_tri_x100_bound_sec (pair build +
+    // measurement wall), scaled_tri_x100 (only when under budget).
+    // Informational — excluded from totals so their conditional
+    // presence can't make round-over-round totals jump.
+    val docs100 = prepareScaledDocs(spark, sfDir, factor = 100)
+    snap("scaled_tri_x100_bound")
+    val triBoundT0 = System.nanoTime()
+    val pairs100 = graft.queries.Dedup.minhashPairsFrom(
+        spark.read.parquet(docs100), ordered = false)
+      .select("a_id", "b_id")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val wedges2x100 = graft.queries.Dedup.orientedWedgeVolume2(pairs100)
+    val triBoundSec = (System.nanoTime() - triBoundT0) / 1e9
+    System.err.println(f"[bench] scaled_tri_x100 orientedWedges2=$wedges2x100 " +
+      f"boundMeasure=$triBoundSec%.1f s " +
+      (if (wedges2x100 > 4_000_000_000L) "-> SKIP (over 2e9 wedge budget)"
+       else "-> timing"))
+    val triX100: Seq[(String, Double)] =
+      Seq("scaled_tri_x100_wedges2" -> wedges2x100.toDouble,
+        "scaled_tri_x100_bound_sec" -> triBoundSec) ++
+      (if (wedges2x100 <= 4_000_000_000L)
+        Seq("scaled_tri_x100" -> timeOne("scaled_tri_x100", () =>
+          graft.queries.Dedup.trianglesFromPairs(pairs100)))
+      else Seq.empty)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(pairs100)
+
     // DEEP-merge BPE regime, tracked per-round (previously the manual
     // bpewide probe only): 200 merges on the 100k-vocabulary workload-A
     // corpus — the wide-vocabulary regime a real tokenizer trains on,
@@ -812,7 +848,7 @@ object Bench {
       "scaled_tri_x20" -> tri.min,
       "scaled_ejacc_x20" -> ejacc.min,
       "scaled_kcore_x20" -> kcore.min,
-      "scaled_bpe_deep200" -> bpeDeep.min)
+      "scaled_bpe_deep200" -> bpeDeep.min) ++ triX100
 
     // NaN (= failed) prints as null and never reaches a sum: a reader
     // of only the metric lines sees the gap, not a fake-fast number
@@ -828,13 +864,14 @@ object Bench {
       bloomS.min, chunk.min, winnow.min, ppjoin.min, sparse.min,
       inc.min, substr.min, ivf.min, pq.min, stw.min, sts.min,
       stc.min, stt.min, bpe.min, simh.min, sem.min, knng.min, tri.min,
-      bpeDeep.min))
+      ejacc.min, kcore.min, bpeDeep.min))
     val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head,
       mh.head, cc.head, contam.head, bloomC.head, contamS.head,
       bloomS.head, chunk.head, winnow.head, ppjoin.head,
       sparse.head, inc.head, substr.head, ivf.head, pq.head,
       stw.head, sts.head, stc.head, stt.head, bpe.head, simh.head,
-      sem.head, knng.head, tri.head, bpeDeep.head))
+      sem.head, knng.head, tri.head, ejacc.head, kcore.head,
+      bpeDeep.head))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load at exit: the box is shared, and outside load
     // inflates the barrier-heavy workloads 2-4x — record it so a noisy
@@ -848,7 +885,27 @@ object Bench {
     // The full line above outgrew tail-capture windows once (r09:
     // "parsed": null) — so a SHORT summary line always comes LAST,
     // carrying the headline numbers a capped tail capture needs.
-    println(f"""{"metric":"summary","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"ref_wordcount_12m":${jNum(refRuns.min)},"ref_wordcount_12m_cold":${jNum(coldRuns.min)},"ref_wordcount_2m_skew":${jNum(refBRuns.min)},"load_avg":$loadAvg%.2f,"sf":"$sfDir"}""")
+    val summaryLine = f"""{"metric":"summary","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"ref_wordcount_12m":${jNum(refRuns.min)},"ref_wordcount_12m_cold":${jNum(coldRuns.min)},"ref_wordcount_2m_skew":${jNum(refBRuns.min)},"load_avg":$loadAvg%.2f,"sf":"$sfDir"}"""
+    println(summaryLine)
+    // Row-level perf history must survive the driver's capped tail
+    // capture too (r10's full per-query line was clipped, so r10-vs-r09
+    // row comparisons needed the README): re-emit the most expensive
+    // ~36 rows as SHORT "metric":"q" part lines (~12 rows, ~450 bytes
+    // each) right before the end of output. Most-expensive-first across
+    // parts; _wedges2 is a count, not a time, so it stays out of the
+    // ranking. The summary line is then printed ONCE MORE as the very
+    // last line, so a tail window of any size that keeps anything keeps
+    // a parseable summary — and every byte before it is top-row data.
+    val ranked = results
+      .filterNot { case (k, v) => k.endsWith("_wedges2") || v.isNaN }
+      .sortBy(-_._2)
+      .take(36)
+    ranked.grouped(12).zipWithIndex.foreach { case (grp, i) =>
+      val rows = grp.map { case (k, v) => "\"" + k + "\":" + jNum(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"q","part":${i + 1},"of":${(ranked.size + 11) / 12},"rows":$rows}""")
+    }
+    println(summaryLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1117,6 +1117,31 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Oriented wedge volume (x2) of a pair graph under the degree-ordered
+    * orientation [[trianglesFromPairs]] uses: sum over nodes of
+    * fwdDeg*(fwdDeg-1) — the number of candidate-wedge walks the
+    * adjacency-intersection pass performs (x2). Cheap to measure (one
+    * degree join + an agg, no wedge materialization), and the guard the
+    * survives-100x rows check BEFORE committing to a pass whose
+    * triangle output is cubic in planted-clique size.
+    */
+  def orientedWedgeVolume2(pairs: DataFrame): Long = {
+    val deg = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a_id") < col("b_id"))
+    pairs
+      .join(deg.select(col("id").as("a"), col("degree").as("da")),
+        col("a_id") === col("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("db")),
+        col("b_id") === col("b"))
+      .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("fd"))
+      .agg(sum(col("fd") * (col("fd") - 1)).as("w"))
+      .collect()(0).getAs[Long]("w")
+  }
+
   /** k-core of an undirected pair graph (Seidman, "Network structure
     * and minimum degree", Social Networks 1983) via BOUNDED-round
     * degree peeling: each round drops every node with degree < k and
