@@ -237,8 +237,13 @@ object EventsTime extends QueryModule {
     try q.awaitTermination()
     finally q.stop()
     dropSinkAfter(s, sink) {
+      // segment is NULL for a user_id with no customer row; coalesce to
+      // a sentinel on BOTH sides (here and the oracle) so engine null
+      // ORDER BY placement (Spark NULLS FIRST vs DuckDB NULLS LAST)
+      // can never flip the positional compare on regenerated testdata
       s.table(sink)
-        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+          col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
         .orderBy("segment", "event_type")
@@ -953,9 +958,11 @@ object EventsTime extends QueryModule {
       ORDER BY user_id""",
 
     // stateless broadcast enrichment emits every row exactly once
-    // under AvailableNow, so the mirror is the plain batch join + agg
+    // under AvailableNow, so the mirror is the plain batch join + agg;
+    // unmatched user_ids coalesce to '(none)' on both sides so null
+    // ORDER BY placement differences can't flip the positional compare
     "ev_stream_enrich" -> """
-      SELECT c.c_mktsegment AS segment, e.event_type,
+      SELECT coalesce(c.c_mktsegment, '(none)') AS segment, e.event_type,
              count(1) AS n_events,
              sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
       FROM events e

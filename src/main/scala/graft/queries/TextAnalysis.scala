@@ -235,8 +235,11 @@ object TextAnalysis extends QueryModule {
     * b = 0.75) of every document against the corpus's three highest-df
     * query terms, as top-20 (doc_id, score_e6, n_hit). Per-term
     * weights are 1e6-scaled to integers BEFORE the per-doc sum, so the
-    * aggregate is exact order-free arithmetic; the ln/division chain
-    * keeps identical association in the DuckDB oracle. avgdl is an
+    * aggregate is exact order-free arithmetic; the idf ln is
+    * [[graft.functions.DetMath]] (bit-identical across engines) and the
+    * division chain keeps identical association, with every oracle
+    * constant forced through '…'::DOUBLE (DuckDB's bare-decimal DECIMAL
+    * path diverges from the double product by ~1 ulp). avgdl is an
     * exact-integer total / count, never avg() (whose double summation
     * is order-dependent). Shapes: two hash aggs over the token stream,
     * broadcast-only attaches for query terms + 1-row corpus stats.
@@ -258,8 +261,9 @@ object TextAnalysis extends QueryModule {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("w_e6", round(
-        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))) *
+        graft.functions.DetMath.lnColumn(
+          lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
         (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) *
           (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
@@ -915,15 +919,17 @@ object TextAnalysis extends QueryModule {
     //    sample — the primitive behind quality- and length-weighted
     //    mixture draws. One scan + one top-k, no shuffle beyond the
     //    bounded sort; md5 (not xxhash64) so the DuckDB oracle
-    //    reproduces the exact sample, and selection/order use the
-    //    1e9-scaled integer key so a last-ulp ln() divergence can't
-    //    flip the gate ---------------------------------------------------
+    //    reproduces the exact sample. ln is [[graft.functions.DetMath]]
+    //    — built only from correctly-rounded double ops, so the key is
+    //    BIT-IDENTICAL across engines (no libm-vs-JVM last-ulp flake;
+    //    ln(u) = lnDet(h+1) - 48·ln2 since u = (h+1)/2^48) ----------------
     "pipe_sample_weighted" -> ((s, d) => {
       val h = conv(substring(md5(concat(lit("wsamp|"),
         col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
         .cast("long")
-      val u = (h.cast("double") + lit(1.0)) / lit(281474976710656.0) // 2^48
-      val key = log(u) / greatest(col("n_chars"), lit(1)).cast("double")
+      val m = h.cast("double") + lit(1.0) // in [1, 2^48]: exact double
+      val lnU = graft.functions.DetMath.lnColumn(m) - lit(LN_2P48)
+      val key = lnU / greatest(col("n_chars"), lit(1)).cast("double")
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
           round(key * lit(1e9)).cast("long").as("key_e9"))
@@ -952,6 +958,13 @@ object TextAnalysis extends QueryModule {
     * interpolated into BOTH the Spark filter and the oracle SQL.
     */
   private val LM_TAU = 3500000L
+
+  /** 48·ln2 — the range-reduction constant for pipe_sample_weighted's
+    * 48-bit uniform (u = m/2^48 → ln u = lnDet(m) − this). Computed
+    * once here and interpolated into the oracle as a string literal so
+    * both engines subtract the identical double.
+    */
+  private val LN_2P48: Double = 48.0 * graft.functions.DetMath.LN2
 
   /** Bigram-LM document scoring (see the txt_lm_score entry) over any
     * (doc_id, text) frame.
@@ -1437,9 +1450,12 @@ object TextAnalysis extends QueryModule {
       WHERE rk <= 3
       ORDER BY doc_id, rk""",
 
-    // BM25 with the identical association of the ln/division chain as
-    // the Spark side; per-term weights integer-scaled BEFORE the
-    // per-doc sum so the aggregate is order-free exact arithmetic.
+    // BM25 with the idf ln computed via DetMath (bit-identical across
+    // engines) and identical association of the division chain;
+    // constants forced through '…'::DOUBLE so DuckDB's DECIMAL literal
+    // path (exact-rational, ≠ double product in ~half of tf values)
+    // never enters; per-term weights integer-scaled BEFORE the per-doc
+    // sum so the aggregate is order-free exact arithmetic.
     "txt_bm25" -> s"""
       WITH tf AS (
         SELECT doc_id, term, count(1)::BIGINT AS tf
@@ -1450,15 +1466,26 @@ object TextAnalysis extends QueryModule {
       stats AS (SELECT sum(dl)::DOUBLE / count(1) AS avgdl FROM dl),
       n AS (SELECT count(1)::DOUBLE AS n_docs FROM documents),
       q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
-      w AS (SELECT tf.doc_id,
-                   round(ln(1.0 + (n.n_docs - q.df + 0.5) / (q.df + 0.5))
-                         * (tf.tf * 2.2)
-                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+      w0 AS (SELECT tf.doc_id, tf.tf, dl.dl, stats.avgdl,
+                    ('1.0'::DOUBLE
+                     + (n.n_docs - q.df + '0.5'::DOUBLE)
+                       / (q.df + '0.5'::DOUBLE)) AS x
+             FROM tf
+             JOIN q USING (term)
+             JOIN dl USING (doc_id)
+             CROSS JOIN stats CROSS JOIN n),
+      w1 AS (SELECT *, ${graft.functions.DetMath.eSql("x")} AS e FROM w0),
+      w2 AS (SELECT *, ${graft.functions.DetMath.ySql("x", "e")} AS y FROM w1),
+      w3 AS (SELECT *, ${graft.functions.DetMath.zSql("y")} AS z FROM w2),
+      w4 AS (SELECT *, (z * z) AS z2 FROM w3),
+      w AS (SELECT doc_id,
+                   round(${graft.functions.DetMath.lnSqlFromParts("e", "z", "z2")}
+                         * (tf * '2.2'::DOUBLE)
+                         / (tf + '1.2'::DOUBLE
+                            * ('0.25'::DOUBLE
+                               + '0.75'::DOUBLE * dl / avgdl))
                          * 1e6)::BIGINT AS w_e6
-            FROM tf
-            JOIN q USING (term)
-            JOIN dl USING (doc_id)
-            CROSS JOIN stats CROSS JOIN n)
+            FROM w4)
       SELECT doc_id, sum(w_e6)::BIGINT AS score_e6, count(1) AS n_hit
       FROM w
       GROUP BY doc_id
@@ -1566,14 +1593,24 @@ object TextAnalysis extends QueryModule {
       FROM ps CROSS JOIN t
       ORDER BY source""",
 
-    // identical association: ((h + 1) / 2^48) -> ln -> / w -> * 1e9
-    "pipe_sample_weighted" -> """
+    // DetMath deterministic ln, staged as named columns (one eval per
+    // stage, like Catalyst subexpr elim): ln(u) = lnDet(h+1) − 48·ln2,
+    // then / w → * 1e9, identical association — every double op is
+    // correctly rounded on both engines, so key_e9 is bit-exact
+    "pipe_sample_weighted" -> s"""
+      WITH s0 AS (SELECT doc_id, n_chars,
+                    (('0x' || substr(md5('wsamp|' || doc_id::VARCHAR),
+                       1, 12))::BIGINT::DOUBLE + '1.0'::DOUBLE) AS x
+                  FROM documents),
+      s1 AS (SELECT *, ${graft.functions.DetMath.eSql("x")} AS e FROM s0),
+      s2 AS (SELECT *, ${graft.functions.DetMath.ySql("x", "e")} AS y FROM s1),
+      s3 AS (SELECT *, ${graft.functions.DetMath.zSql("y")} AS z FROM s2),
+      s4 AS (SELECT *, (z * z) AS z2 FROM s3)
       SELECT doc_id, n_chars,
-             round(ln((('0x' || substr(md5('wsamp|' || doc_id::VARCHAR),
-                          1, 12))::BIGINT::DOUBLE + 1.0)
-                      / 281474976710656.0)
-                   / greatest(n_chars, 1)::DOUBLE * 1e9)::BIGINT AS key_e9
-      FROM documents
+             round(((${graft.functions.DetMath.lnSqlFromParts("e", "z", "z2")}
+                     - '$LN_2P48'::DOUBLE)
+                    / greatest(n_chars, 1)::DOUBLE) * 1e9)::BIGINT AS key_e9
+      FROM s4
       ORDER BY key_e9 DESC, doc_id
       LIMIT 10""",
 
