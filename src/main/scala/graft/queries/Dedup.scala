@@ -1190,6 +1190,9 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Default hub-degree cap for [[edgeJaccardFrom]] — see its scaladoc. */
+  val EDGE_JACC_MAX_DEG = 100000
+
   /** SCAN structural similarity per existing undirected edge (Xu et
     * al., KDD 2007): common = |N(a) ∩ N(b)|, per-mille over the
     * endpoints-excluded union |N(a)\{b} ∪ N(b)\{a}| = da + db - 2 -
@@ -1199,16 +1202,39 @@ object Dedup extends QueryModule {
     * rows through the exchanges, no wedge stream. Top 25 by
     * (jacc_mille desc, a_id, b_id).
     *
-    * @param pairs unique undirected edges as (a_id, b_id), a_id < b_id
+    * Hub safety: adjacency arrays are capped at `maxDeg` BEFORE the
+    * collect (rank-and-cut under a per-node window), so the widest row
+    * the operator ever builds — agg buffer included — is one
+    * maxDeg-long neighbor array (~800 KB of longs at the default),
+    * regardless of the input graph. Edges touching a capped node emit
+    * the loud `jacc_mille = -1` overflow marker instead of a
+    * silently-truncated estimate. The gate corpora never reach the cap
+    * (minhash pair generation's MAX_BLOCK bounds degree far below it).
+    *
+    * @param pairs0 unique undirected edges as (a_id, b_id), a_id < b_id
+    * @param maxDeg per-node neighbor-array cap (row-width bound)
     */
-  def edgeJaccardFrom(pairs0: DataFrame): DataFrame = {
+  def edgeJaccardFrom(pairs0: DataFrame,
+      maxDeg: Int = EDGE_JACC_MAX_DEG): DataFrame = {
     val s = pairs0.sparkSession
     val pairs = pairs0.localCheckpoint(true) // consumed three times below
     val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val adj = e.groupBy("src").agg(
-      sort_array(collect_list("dst")).as("nbrs"),
-      count(lit(1)).as("deg"))
+    // Cap BEFORE the collect: rows ranked per node and cut at
+    // maxDeg + 1, so neither the agg buffer nor the output row ever
+    // holds more than maxDeg neighbors (a slice AFTER collect_list
+    // would still materialize the fat row in the buffer). deg =
+    // max(rank) equals the true degree for uncapped nodes and
+    // maxDeg + 1 as the "capped" sentinel otherwise.
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val adj = e.withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") <= maxDeg + 1)
+      .groupBy("src")
+      .agg(sort_array(collect_list(when(col("rn") <= maxDeg, col("dst"))))
+        .as("nbrs"),
+        // row_number is Int; deg was a count (long) — keep the schema
+        max("rn").cast("long").as("deg"))
     pairs
       .join(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
         col("deg").as("da")), "a_id")
@@ -1219,7 +1245,8 @@ object Dedup extends QueryModule {
           s, col("na"), col("nb")).as("common"),
         col("da"), col("db"))
       .select(col("a_id"), col("b_id"), col("common"), col("da"), col("db"),
-        when(col("da") + col("db") - 2 - col("common") === 0, lit(1000L))
+        when(col("da") > maxDeg || col("db") > maxDeg, lit(-1L))
+          .when(col("da") + col("db") - 2 - col("common") === 0, lit(1000L))
           .otherwise(expr("common * 1000 DIV (da + db - 2 - common)"))
           .as("jacc_mille"))
       .orderBy(col("jacc_mille").desc, col("a_id"), col("b_id"))

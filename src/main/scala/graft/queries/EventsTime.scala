@@ -129,6 +129,86 @@ object EventsTime extends QueryModule {
     windowedReplayOn(s, batch.schema, scratch)
   }
 
+  /** Time-contiguous multi-file copy of the replay scratch for
+    * [[streamMultiBatchReplay]]: events ntile'd into `nChunks` chunks
+    * in ts order, each written as ONE parquet file with strictly
+    * increasing modification times (4 s apart — the file source orders
+    * oldest-mtime-first, and coarse filesystems have 1 s granularity).
+    * The single-partition ordering window is scratch PREP, built once
+    * per source fingerprint — never a per-query cost.
+    */
+  private def multiBatchScratch(batch: DataFrame, baseScratch: String,
+      nChunks: Int): String = {
+    val dir = new java.io.File(baseScratch + s"_mb$nChunks")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("ts"), col("user_id"), col("event_type"))
+      val bucketed = batch.withColumn("_b", ntile(nChunks).over(w))
+      dir.mkdirs()
+      val base = System.currentTimeMillis() - 3600000L
+      (1 to nChunks).foreach { i =>
+        val tmp = new java.io.File(dir, s"_tmp_$i")
+        bucketed.filter(col("_b") === i).drop("_b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val dst = new java.io.File(dir, f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 4000L)
+        Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
+        tmp.delete()
+      }
+      new java.io.File(dir, "_SUCCESS").createNewFile()
+    }
+    dir.getPath
+  }
+
+  /** MULTI-batch windowed replay under the oracle gate — the path
+    * [[assertSingleDataBatch]] fences off elsewhere, exercised for
+    * real: the events table split into 4 time-contiguous files and
+    * replayed with `maxFilesPerTrigger=1`, so AvailableNow sequences
+    * >= 4 data micro-batches through the state store with the
+    * watermark ratcheting between batches and windows emitted
+    * incrementally as each batch's watermark closes them. Batch
+    * boundaries are time-MONOTONE by construction, so no row is ever
+    * late relative to the previous batch's watermark (a row's window
+    * end >= its ts >= the prior chunk's max > that chunk's max minus
+    * the 30-min delay) — nothing is dropped, append emission is exactly
+    * "windows the FINAL watermark closed", and the oracle is the same
+    * batching-invariant watermark-rule mirror as ev_stream_replay.
+    * The >= 3 data batches are asserted loudly: this query exists to
+    * execute multi-batch sequencing, not to assume it.
+    */
+  def streamMultiBatchReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val mbDir = multiBatchScratch(batch, scratch, nChunks = 4)
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(mbDir)
+    val agg = graft.streaming.Streaming
+      .windowedTypeCounts(stream, "1 hour", "1 hour", "30 minutes")
+    val sink = "ev_stream_multibatch_" + System.nanoTime()
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3 && q.lastProgress.batchId >= 2,
+      s"ev_stream_multibatch: expected >= 3 data micro-batches " +
+        s"(got $dataBatches, last batchId ${q.lastProgress.batchId}) — " +
+        "the multi-file scratch or maxFilesPerTrigger sequencing broke")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"))
+        .orderBy("hour", "event_type")
+    }
+  }
+
   /** Streaming dedup under the oracle gate: the events table replayed
     * through `dropDuplicatesWithinWatermark` (real streaming state +
     * eviction), then batch-aggregated to a deterministic per-user
@@ -450,6 +530,7 @@ object EventsTime extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
+    "ev_stream_multibatch" -> ((s, d) => streamMultiBatchReplay(s, d)),
 
     // -- stream-stream join, driver-checked (see streamJoinReplay) --------
     "ev_stream_join" -> ((s, d) => streamJoinReplay(s, d)),
@@ -858,6 +939,19 @@ object EventsTime extends QueryModule {
     // append-mode emission rule in SQL: a tumbling window materializes
     // iff the final watermark (max ts - 30 min) passed its end
     "ev_stream_replay" -> """
+      WITH m AS (SELECT max(ts) AS mx FROM events)
+      SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
+             event_type, count(1) AS n
+      FROM events, m
+      GROUP BY date_trunc('hour', ts::TIMESTAMP), event_type, mx
+      HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
+               <= mx - INTERVAL 30 MINUTE
+      ORDER BY hour, event_type""",
+
+    // multi-batch replay over time-monotone chunks drops nothing and
+    // emits exactly the windows the FINAL watermark closed — the same
+    // batching-invariant emission rule as the single-batch replay
+    "ev_stream_multibatch" -> """
       WITH m AS (SELECT max(ts) AS mx FROM events)
       SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
              event_type, count(1) AS n

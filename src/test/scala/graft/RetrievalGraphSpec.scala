@@ -39,6 +39,37 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(rows((7L, 9L)) == 1000L)
   }
 
+  test("edge jaccard: mega-hub is capped with the loud -1 marker") {
+    import spark.implicits._
+    // star: hub 0 -> 1..20 (degree 20), plus edge (1,2). With
+    // maxDeg = 8 the hub is capped: its adjacency array holds 8
+    // neighbors (bounded row width), deg reads the maxDeg+1 sentinel,
+    // and every hub edge emits jacc_mille = -1 instead of a
+    // silently-truncated estimate. Uncapped edge (1,2) stays exact.
+    val edges = ((1L to 20L).map(i => (0L, i)) :+ (1L, 2L))
+      .toDF("a_id", "b_id")
+    val rows = Dedup.edgeJaccardFrom(edges, maxDeg = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // top-25 keeps all 21 edges here; hub edges carry the marker
+    (3L to 20L).foreach { i =>
+      val (da, _, jm) = rows((0L, i))
+      assert(jm == -1L, s"edge (0,$i) should carry the cap marker")
+      assert(da == 9L, "capped deg must read the maxDeg+1 sentinel")
+    }
+    // (1,2): N(1)={0,2}, N(2)={0,1} -> common {0}=1, denom 2+2-2-1=1
+    assert(rows((1L, 2L)) == ((2L, 2L, 1000L)))
+    // and the nbrs arrays the operator built for the hub were capped:
+    // re-run the adjacency stage shape via the public API at default
+    // cap to confirm the same graph is exact when uncapped
+    val uncapped = Dedup.edgeJaccardFrom(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5))
+      .toMap
+    assert(uncapped((0L, 3L)) == 0L) // hub spoke: common 0 -> 0, not -1
+  }
+
   test("ngram novelty: exact duplicate scores 0, originals 1000") {
     import spark.implicits._
     val text = "a b c d e f g h i j" // 10 tokens -> 3 distinct 8-grams
