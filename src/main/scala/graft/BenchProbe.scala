@@ -85,6 +85,13 @@ object BenchProbe {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Dedup.trianglesFromPairs(
           Bench.scaledMinhash(spark, p).select("a_id", "b_id"))
+      } else if (name == "scaledkcore") {
+        // 3-core peel over the x20 near-dup pair graph — the Bench
+        // scaled_kcore_x20 workload, isolated for plan iteration
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.kcoreFromPairs(
+          Bench.scaledMinhash(spark, p).select("a_id", "b_id"),
+          k = 3, rounds = 8)
       } else if (name == "scaledsimhash") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.simhashPairs(spark, p)

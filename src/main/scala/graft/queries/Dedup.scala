@@ -1151,39 +1151,65 @@ object Dedup extends QueryModule {
     * peel fixpoint (edge count unchanged), which is result-identical
     * because post-fixpoint rounds are the identity — and on the
     * clique-heavy near-dup graphs the fixpoint arrives in 1-2 rounds.
-    * Per round: one hash agg + two semi-shaped joins,
-    * edges re-checkpointed serialized so lineage can't double per
-    * round (the ccFromPairs discipline).
+    *
+    * Per round the peel is driven by the DROPPED node set, not the
+    * kept one: degrees are one hash agg over the edges, but the nodes
+    * that fall below k each round are a small fraction of the graph,
+    * so removing their edges is two BROADCAST anti-joins — the full
+    * edge set never crosses an exchange after the degree agg (the old
+    * keep-side semi joins shuffled all edges twice per round; this is
+    * where the round budget went). When a round's dropped set is too
+    * big to broadcast (first peel of a mostly-sparse corpus graph at
+    * cluster scale), the same anti-joins run as shuffles — the
+    * threshold is exact because the dropped count is already known.
+    * Edges re-checkpointed serialized per round so lineage can't
+    * double (the ccFromPairs discipline); `rounds` is the
+    * driver-roundtrip bound — each round costs one count() on the
+    * small dropped frame plus the checkpoint job, nothing per-edge on
+    * the driver.
     *
     * @return (doc_id, core_deg) for every node surviving the peel
     */
   def kcoreFromPairs(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = pairs0.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs0.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // symmetrize via ONE explode pass, not a self-union: a union would
+    // duplicate the (possibly expensive, possibly uncheckpointed)
+    // upstream pair plan — e.g. the bench feeds the raw minhash pair
+    // pipeline here, which a union would compute twice
+    var edges = pairs0.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // fixpoint early-exit: once a round drops nothing, every later
-    // round is the identity, so the bounded oracle unroll and the
-    // exited loop compute the same relation — but on clique-heavy
-    // graphs (where peeling converges in 1-2 rounds) the exit saves
-    // most of the round budget. count() on the just-checkpointed
-    // frame is a metadata-cheap job, not a recompute.
-    var nEdges = edges.count()
+    // fixpoint early-exit: a round that drops no NODE drops no edge,
+    // so every later round is the identity and the bounded oracle
+    // unroll and the exited loop compute the same relation. On
+    // clique-heavy graphs the exit arrives in 1-2 rounds.
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      edges = edges
-        .join(keep.select(col("node").as("src")), "src")
-        .join(keep.select(col("node").as("dst")), "dst")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val n = edges.count()
-      converged = n == nEdges
-      nEdges = n
-      round += 1
+      val dropped = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("src").as("node"))
+        .localCheckpoint(true) // small; reused by count + both anti-joins
+      val nDropped = dropped.count()
+      if (nDropped == 0) converged = true
+      else {
+        val bcast = nDropped <= 5000000L // ~40 MB of longs: broadcastable
+        def side(c: String) = {
+          val d = dropped.select(col("node").as(c))
+          if (bcast) broadcast(d) else d
+        }
+        val next = edges
+          .join(side("src"), Seq("src"), "left_anti")
+          .join(side("dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edges)
+        edges = next
+        round += 1
+      }
+      org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(dropped)
     }
     edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("doc_id"), col("core_deg"))
