@@ -57,7 +57,10 @@ object Bench {
     // (two gram-hash shuffles), edge structural similarity (the
     // adjacency-intersect path)
     "txt_bm25", "txt_ngram_novelty", "graph_edge_jaccard",
-    "pipe_sample_weighted")
+    "pipe_sample_weighted",
+    // round 11: hybrid BM25 + IVF reciprocal-rank fusion (the RAG /
+    // decontamination retrieval composition)
+    "txt_hybrid_retrieval")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at

@@ -662,6 +662,48 @@ object Similarity extends QueryModule {
 
   private val sqlCos = "round(list_cosine_similarity(%s, %s) * 1e6)::BIGINT"
 
+  /** The IVF top-k oracle as a prefixable CTE chain — shared by
+    * sim_ivf_topk (prefix "") and txt_hybrid_retrieval's dense arm
+    * (prefix "iv", composed next to the BM25 CTEs). The final CTE
+    * `<p>ranked` holds (q_id, vec_id, icos_e6, rk); the caller filters
+    * rk to its top-k. Renaming CTEs is the only parameterization —
+    * the arithmetic is byte-identical across uses.
+    */
+  private[queries] def ivfCtesSql(queryCond: String, p: String): String = s"""
+      ${p}e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+           ${p}seeds AS (SELECT label, min(vec_id) AS seed_id
+                         FROM ${p}e GROUP BY label),
+           ${p}cent AS (SELECT e.label AS c_label, e.v AS c_v
+                    FROM ${p}e e JOIN ${p}seeds seeds
+                      ON e.vec_id = seeds.seed_id),
+           ${p}assigned AS (
+             SELECT vec_id, v, c_label FROM (
+               SELECT e.vec_id, e.v, cent.c_label,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${sqlCos.format("e.v", "cent.c_v")} DESC, cent.c_label) AS arn
+               FROM ${p}e e CROSS JOIN ${p}cent cent)
+             WHERE arn = 1),
+           ${p}q AS (SELECT vec_id AS q_id, v AS q_v FROM ${p}e
+                     WHERE $queryCond),
+           ${p}probes AS (
+             SELECT q_id, q_v, c_label FROM (
+               SELECT q.q_id, q.q_v, cent.c_label,
+                      row_number() OVER (PARTITION BY q.q_id
+                        ORDER BY ${sqlCos.format("q.q_v", "cent.c_v")} DESC, cent.c_label) AS prn
+               FROM ${p}q q CROSS JOIN ${p}cent cent)
+             WHERE prn <= $NPROBE),
+           ${p}searched AS (
+             SELECT p.q_id, a.vec_id,
+                    ${sqlCos.format("p.q_v", "a.v")} AS icos_e6
+             FROM ${p}assigned a JOIN ${p}probes p ON a.c_label = p.c_label
+             WHERE a.vec_id <> p.q_id),
+           ${p}ranked AS (
+             SELECT q_id, vec_id, icos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY icos_e6 DESC, vec_id) AS rk
+             FROM ${p}searched)"""
+
   /** One Lloyd round as two oracle CTEs (distance agg + argmin assign). */
   private def kmeansRoundSql(n: Int): String = s"""
            d$n AS (SELECT e.vec_id, c.c, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
@@ -847,36 +889,7 @@ object Similarity extends QueryModule {
     },
 
     "sim_ivf_topk" -> s"""
-      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-                 FROM embeddings),
-           seeds AS (SELECT label, min(vec_id) AS seed_id FROM e GROUP BY label),
-           cent AS (SELECT e.label AS c_label, e.v AS c_v
-                    FROM e JOIN seeds ON e.vec_id = seeds.seed_id),
-           assigned AS (
-             SELECT vec_id, v, c_label FROM (
-               SELECT e.vec_id, e.v, cent.c_label,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY ${sqlCos.format("e.v", "cent.c_v")} DESC, cent.c_label) AS arn
-               FROM e CROSS JOIN cent)
-             WHERE arn = 1),
-           q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $NQUERIES),
-           probes AS (
-             SELECT q_id, q_v, c_label FROM (
-               SELECT q.q_id, q.q_v, cent.c_label,
-                      row_number() OVER (PARTITION BY q.q_id
-                        ORDER BY ${sqlCos.format("q.q_v", "cent.c_v")} DESC, cent.c_label) AS prn
-               FROM q CROSS JOIN cent)
-             WHERE prn <= $NPROBE),
-           searched AS (
-             SELECT p.q_id, a.vec_id,
-                    ${sqlCos.format("p.q_v", "a.v")} AS icos_e6
-             FROM assigned a JOIN probes p ON a.c_label = p.c_label
-             WHERE a.vec_id <> p.q_id),
-           ranked AS (
-             SELECT q_id, vec_id, icos_e6,
-                    row_number() OVER (PARTITION BY q_id
-                                       ORDER BY icos_e6 DESC, vec_id) AS rk
-             FROM searched)
+      WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "")}
       SELECT q_id, rk, vec_id, icos_e6
       FROM ranked WHERE rk <= $IVFK
       ORDER BY q_id, rk""",

@@ -715,6 +715,37 @@ object TextAnalysis extends QueryModule {
     //    anything wider than (doc_id, term) ---------------------------------
     "txt_bm25" -> ((s, d) => bm25From(Tables.documents(s, d))),
 
+    // -- hybrid sparse+dense retrieval: reciprocal-rank fusion (Cormack,
+    //    Clarke & Buettcher, SIGIR 2009) of the BM25 top-20 and the IVF
+    //    dense top-20 for query vector 0 (vec_id doubles as doc_id on
+    //    this corpus) — the retrieval shape RAG / decontamination
+    //    pipelines actually run. RRF score per arm = 1e6 DIV (60+rank),
+    //    integer-exact and distinct per rank; a doc missing from one
+    //    arm contributes 0 (rank sentinel 0). Both arms are the proven
+    //    operators composed unchanged; the fusion itself is a full
+    //    outer join of two 20-row lists — broadcast-trivial at any
+    //    corpus scale (the arms do the heavy lifting) ------------------
+    "txt_hybrid_retrieval" -> ((s, d) => {
+      val ws = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e6").desc, col("doc_id"))
+      val sparse = bm25From(Tables.documents(s, d)) // top-20: bounded window
+        .select(col("doc_id"), row_number().over(ws).as("rank_s"))
+      val dense = Similarity.ivfTopkFrom(s, Tables.embeddings(s, d),
+          queryPred = col("vec_id") === 0, topK = 20)
+        .select(col("vec_id").as("doc_id"), col("rk").as("rank_d"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_s"), lit(0)).cast("long").as("rank_sparse"),
+          coalesce(col("rank_d"), lit(0)).cast("long").as("rank_dense"),
+          (expr("CASE WHEN rank_s IS NULL THEN 0L " +
+            "ELSE 1000000L DIV (60L + rank_s) END") +
+           expr("CASE WHEN rank_d IS NULL THEN 0L " +
+             "ELSE 1000000L DIV (60L + rank_d) END")).cast("long")
+            .as("rrf_e6"))
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     // -- per-document n-gram novelty (the "how much of this doc is new
     //    text" curation signal, cf. Lee et al.'s dedup ablations):
     //    fraction of a doc's DISTINCT token 8-grams whose first corpus
@@ -958,6 +989,42 @@ object TextAnalysis extends QueryModule {
     * interpolated into BOTH the Spark filter and the oracle SQL.
     */
   private val LM_TAU = 3500000L
+
+  /** txt_bm25's oracle CTE chain through `w(doc_id, w_e6)` — the
+    * per-(doc, query-term) integer-scaled BM25 weights. Shared verbatim
+    * by txt_bm25 and txt_hybrid_retrieval so the two oracles can never
+    * drift. See bm25From's scaladoc for the DetMath/::DOUBLE
+    * determinism discipline.
+    */
+  private def bm25CtesSql: String = s"""tf AS (
+        SELECT doc_id, term, count(1)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, count(1)::BIGINT AS df FROM tf GROUP BY term),
+      dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+      stats AS (SELECT sum(dl)::DOUBLE / count(1) AS avgdl FROM dl),
+      n AS (SELECT count(1)::DOUBLE AS n_docs FROM documents),
+      q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
+      w0 AS (SELECT tf.doc_id, tf.tf, dl.dl, stats.avgdl,
+                    ('1.0'::DOUBLE
+                     + (n.n_docs - q.df + '0.5'::DOUBLE)
+                       / (q.df + '0.5'::DOUBLE)) AS x
+             FROM tf
+             JOIN q USING (term)
+             JOIN dl USING (doc_id)
+             CROSS JOIN stats CROSS JOIN n),
+      w1 AS (SELECT *, ${graft.functions.DetMath.eSql("x")} AS e FROM w0),
+      w2 AS (SELECT *, ${graft.functions.DetMath.ySql("x", "e")} AS y FROM w1),
+      w3 AS (SELECT *, ${graft.functions.DetMath.zSql("y")} AS z FROM w2),
+      w4 AS (SELECT *, (z * z) AS z2 FROM w3),
+      w AS (SELECT doc_id,
+                   round(${graft.functions.DetMath.lnSqlFromParts("e", "z", "z2")}
+                         * (tf * '2.2'::DOUBLE)
+                         / (tf + '1.2'::DOUBLE
+                            * ('0.25'::DOUBLE
+                               + '0.75'::DOUBLE * dl / avgdl))
+                         * 1e6)::BIGINT AS w_e6
+            FROM w4)"""
 
   /** 48·ln2 — the range-reduction constant for pipe_sample_weighted's
     * 48-bit uniform (u = m/2^48 → ln u = lnDet(m) − this). Computed
@@ -1457,40 +1524,41 @@ object TextAnalysis extends QueryModule {
     // never enters; per-term weights integer-scaled BEFORE the per-doc
     // sum so the aggregate is order-free exact arithmetic.
     "txt_bm25" -> s"""
-      WITH tf AS (
-        SELECT doc_id, term, count(1)::BIGINT AS tf
-        FROM (SELECT doc_id, unnest($sqlToks) AS term FROM documents)
-        GROUP BY doc_id, term),
-      df AS (SELECT term, count(1)::BIGINT AS df FROM tf GROUP BY term),
-      dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
-      stats AS (SELECT sum(dl)::DOUBLE / count(1) AS avgdl FROM dl),
-      n AS (SELECT count(1)::DOUBLE AS n_docs FROM documents),
-      q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
-      w0 AS (SELECT tf.doc_id, tf.tf, dl.dl, stats.avgdl,
-                    ('1.0'::DOUBLE
-                     + (n.n_docs - q.df + '0.5'::DOUBLE)
-                       / (q.df + '0.5'::DOUBLE)) AS x
-             FROM tf
-             JOIN q USING (term)
-             JOIN dl USING (doc_id)
-             CROSS JOIN stats CROSS JOIN n),
-      w1 AS (SELECT *, ${graft.functions.DetMath.eSql("x")} AS e FROM w0),
-      w2 AS (SELECT *, ${graft.functions.DetMath.ySql("x", "e")} AS y FROM w1),
-      w3 AS (SELECT *, ${graft.functions.DetMath.zSql("y")} AS z FROM w2),
-      w4 AS (SELECT *, (z * z) AS z2 FROM w3),
-      w AS (SELECT doc_id,
-                   round(${graft.functions.DetMath.lnSqlFromParts("e", "z", "z2")}
-                         * (tf * '2.2'::DOUBLE)
-                         / (tf + '1.2'::DOUBLE
-                            * ('0.25'::DOUBLE
-                               + '0.75'::DOUBLE * dl / avgdl))
-                         * 1e6)::BIGINT AS w_e6
-            FROM w4)
+      WITH $bm25CtesSql
       SELECT doc_id, sum(w_e6)::BIGINT AS score_e6, count(1) AS n_hit
       FROM w
       GROUP BY doc_id
       ORDER BY score_e6 DESC, doc_id
       LIMIT 20""",
+
+    // RRF fusion (Cormack, Clarke & Buettcher, SIGIR 2009): the BM25
+    // top-20 and the IVF dense top-20 for query vector 0, fused as
+    // 1e6 DIV (60 + rank) per arm — integer-exact, distinct per rank.
+    // Missing from one arm contributes 0 (rank sentinel 0). Composes
+    // the two proven CTE chains verbatim (bm25CtesSql + Similarity's
+    // prefixed ivfCtesSql).
+    "txt_hybrid_retrieval" -> s"""
+      WITH $bm25CtesSql,
+      bmtop AS (SELECT doc_id, sum(w_e6)::BIGINT AS score_e6
+                FROM w GROUP BY doc_id
+                ORDER BY score_e6 DESC, doc_id LIMIT 20),
+      brank AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+                         AS rank_s
+                FROM bmtop),
+      ${Similarity.ivfCtesSql("vec_id = 0", "iv")},
+      drank AS (SELECT vec_id AS doc_id, rk AS rank_d
+                FROM ivranked WHERE rk <= 20)
+      SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+             coalesce(b.rank_s, 0)::BIGINT AS rank_sparse,
+             coalesce(d.rank_d, 0)::BIGINT AS rank_dense,
+             (CASE WHEN b.rank_s IS NULL THEN 0
+                   ELSE 1000000 // (60 + b.rank_s) END
+              + CASE WHEN d.rank_d IS NULL THEN 0
+                     ELSE 1000000 // (60 + d.rank_d) END)::BIGINT AS rrf_e6
+      FROM brank b FULL OUTER JOIN drank d ON b.doc_id = d.doc_id
+      ORDER BY rrf_e6 DESC, doc_id
+      LIMIT 15""",
 
     // Novelty over raw grams (the Spark side's xxhash64 key is an
     // internal fixed-width shuffle key, transparent to the result).
