@@ -682,7 +682,10 @@ object TextAnalysis extends QueryModule {
     // -- TF-IDF: top terms per document (integer-scaled scores) -----------
     "txt_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val nDocs = docs.count() // tiny scalar; computed once at plan time
+      // corpus size folded into the DAG as a broadcast 1-row agg (no
+      // plan-time count job); idf ln via DetMath so both engines
+      // compute bit-identical scores (same discipline as txt_bm25)
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs
         .select(col("doc_id"),
           graft.functions.TokenizeExplode.tokenize(s, col("text")).as("term"))
@@ -690,8 +693,10 @@ object TextAnalysis extends QueryModule {
         .agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df_, "term")
+        .crossJoin(broadcast(n))
         .withColumn("iscore",
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long"))
+          round(col("tf") * graft.functions.DetMath.lnColumn(
+            col("n_docs") / col("df")) * 1e6).cast("long"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("iscore").desc, col("term"))
       scored
@@ -1503,10 +1508,17 @@ object TextAnalysis extends QueryModule {
         GROUP BY doc_id, term),
       df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
       n AS (SELECT count(1)::DOUBLE AS n_docs FROM documents),
+      s0 AS (SELECT tf.doc_id, tf.term, tf.tf, (n.n_docs / df.df) AS x
+             FROM tf JOIN df USING (term) CROSS JOIN n),
+      s1 AS (SELECT *, ${graft.functions.DetMath.eSql("x")} AS e FROM s0),
+      s2 AS (SELECT *, ${graft.functions.DetMath.ySql("x", "e")} AS y FROM s1),
+      s3 AS (SELECT *, ${graft.functions.DetMath.zSql("y")} AS z FROM s2),
+      s4 AS (SELECT *, (z * z) AS z2 FROM s3),
       scored AS (
-        SELECT tf.doc_id, tf.term,
-               round(tf.tf * ln(n.n_docs / df.df) * 1e6)::BIGINT AS iscore
-        FROM tf JOIN df USING (term) CROSS JOIN n),
+        SELECT doc_id, term,
+               round(tf * ${graft.functions.DetMath.lnSqlFromParts("e", "z", "z2")}
+                     * 1e6)::BIGINT AS iscore
+        FROM s4),
       ranked AS (
         SELECT doc_id, term, iscore,
                row_number() OVER (PARTITION BY doc_id
