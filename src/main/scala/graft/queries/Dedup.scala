@@ -1138,7 +1138,9 @@ object Dedup extends QueryModule {
         col("b_id") === col("b"))
       .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"))
       .groupBy("src").agg(count(lit(1)).as("fd"))
-      .agg(sum(col("fd") * (col("fd") - 1)).as("w"))
+      // coalesce: sum() over ZERO rows is NULL — an empty pair graph
+      // must report 0 wedges, not NPE the caller's unboxing getAs[Long]
+      .agg(coalesce(sum(col("fd") * (col("fd") - 1)), lit(0L)).as("w"))
       .collect()(0).getAs[Long]("w")
   }
 

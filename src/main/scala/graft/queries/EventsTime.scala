@@ -157,10 +157,24 @@ object EventsTime extends QueryModule {
         val dst = new java.io.File(dir, f"chunk-$i%02d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(base + i * 4000L)
+        // The whole multi-batch sequencing rides on these mtimes (the
+        // file source orders oldest-first): a filesystem that declines
+        // the write would replay chunks out of ts order, the watermark
+        // would drop rows, and the gate would fail nondeterministically
+        // with no diagnostic — so a declined write fails HERE, loudly.
+        require(dst.setLastModified(base + i * 4000L),
+          s"setLastModified declined on $dst — multi-batch replay " +
+            "ordering cannot be pinned on this filesystem")
         Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
         tmp.delete()
       }
+      // belt-and-braces: re-read the mtimes and assert they strictly
+      // increase chunk-over-chunk (coarse-granularity filesystems could
+      // round two 4 s-apart stamps together)
+      val mtimes = (1 to nChunks)
+        .map(i => new java.io.File(dir, f"chunk-$i%02d.parquet").lastModified)
+      require(mtimes.zip(mtimes.tail).forall { case (a, b) => a < b },
+        s"multi-batch chunk mtimes not strictly increasing: $mtimes")
       new java.io.File(dir, "_SUCCESS").createNewFile()
     }
     dir.getPath

@@ -418,7 +418,11 @@ object Relational extends QueryModule {
           floor(col("p_retailprice") / 100).cast("long").as("price_floor"),
           rnd(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
           pow(col("p_size"), 2).as("size_sq"),
-          rnd(log(col("p_retailprice")), 4).as("price_ln"),
+          // DetMath, not built-in log: the last transcendental in gated
+          // arithmetic — JVM Math.log vs DuckDB libm can differ 1 ulp,
+          // and a ulp near the 1e-4 rounding boundary flips the value
+          rnd(graft.functions.DetMath.lnColumn(
+            col("p_retailprice")), 4).as("price_ln"),
           pmod(col("p_partkey"), lit(7)).as("key_mod7"))
         .orderBy("p_partkey")),
 
@@ -1162,16 +1166,25 @@ object Relational extends QueryModule {
       GROUP BY 1
       ORDER BY ym""",
 
-    "q_math_funcs" -> """
+    // price_ln via the staged DetMath mirror (not DuckDB's libm ln) so
+    // both engines round the identical double — see DetMath scaladoc
+    "q_math_funcs" -> s"""
+      WITH m0 AS (SELECT p_partkey, p_size, p_retailprice,
+                         p_retailprice::DOUBLE AS x FROM part),
+           m1 AS (SELECT *, ${graft.functions.DetMath.eSql("x")} AS e FROM m0),
+           m2 AS (SELECT *, ${graft.functions.DetMath.ySql("x", "e")} AS y FROM m1),
+           m3 AS (SELECT *, ${graft.functions.DetMath.zSql("y")} AS z FROM m2),
+           m4 AS (SELECT *, (z * z) AS z2 FROM m3)
       SELECT p_partkey,
              abs(p_size - 25)::BIGINT AS size_dev,
              ceil(p_retailprice / 100)::BIGINT AS price_bucket,
              floor(p_retailprice / 100)::BIGINT AS price_floor,
              floor(sqrt(p_retailprice) * 10000.0 + 0.5) / 10000.0 AS price_sqrt,
              pow(p_size, 2) AS size_sq,
-             floor(ln(p_retailprice) * 10000.0 + 0.5) / 10000.0 AS price_ln,
+             floor(${graft.functions.DetMath.lnSqlFromParts("e", "z", "z2")}
+                   * 10000.0 + 0.5) / 10000.0 AS price_ln,
              p_partkey % 7 AS key_mod7
-      FROM part
+      FROM m4
       ORDER BY p_partkey""",
 
     "q_json_funcs" -> """

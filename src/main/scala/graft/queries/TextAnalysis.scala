@@ -246,7 +246,11 @@ object TextAnalysis extends QueryModule {
     */
   def bm25From(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    val nDocs = docs.count() // tiny scalar; computed once at plan time
+    // corpus size folded INTO the DAG as a broadcast 1-row agg — the
+    // txt_tfidf discipline. A plan-time docs.count() here would run a
+    // separate scan job on every build of this frame (and twice per
+    // txt_hybrid_retrieval run); the 1-row crossJoin costs nothing.
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col("doc_id"),
         graft.functions.TokenizeExplode.tokenize(s, col("text")).as("term"))
@@ -256,13 +260,14 @@ object TextAnalysis extends QueryModule {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      .crossJoin(n) // 1 row x 1 row: both corpus scalars in one broadcast
     val qterms = dfT.orderBy(col("df").desc, col("term")).limit(3)
     tf.join(broadcast(qterms), Seq("term"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("w_e6", round(
         graft.functions.DetMath.lnColumn(
-          lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5))) *
         (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) *
@@ -1052,8 +1057,10 @@ object TextAnalysis extends QueryModule {
     bi.join(c12, "bg")
       .join(uni, substring_index(col("bg"), " ", 1) === col("w"))
       .select(col("doc_id"),
-        round((log(col("c1").cast("double"))
-          - log(col("c12").cast("double"))) * 1e6)
+        // DetMath ln, not built-in log: counts are exact integers, so
+        // both engines reduce/round the identical doubles bit-for-bit
+        round((graft.functions.DetMath.lnColumn(col("c1").cast("double"))
+          - graft.functions.DetMath.lnColumn(col("c12").cast("double"))) * 1e6)
           .cast("long").as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_micronat"))
@@ -1775,11 +1782,27 @@ object TextAnalysis extends QueryModule {
            luni AS (SELECT w, count(1) AS c1
                     FROM (SELECT unnest($sqlToksLower) AS w FROM documents)
                     GROUP BY w),
+           lsc0 AS (SELECT doc_id, c1::DOUBLE AS xa, c12::DOUBLE AS xb
+                    FROM lbi
+                    JOIN lc12 USING (bg)
+                    JOIN luni ON string_split(bg, ' ')[1] = w),
+           la1 AS (SELECT *, ${graft.functions.DetMath.eSql("xa")} AS ea,
+                          ${graft.functions.DetMath.eSql("xb")} AS eb
+                   FROM lsc0),
+           la2 AS (SELECT *, ${graft.functions.DetMath.ySql("xa", "ea")} AS ya,
+                          ${graft.functions.DetMath.ySql("xb", "eb")} AS yb
+                   FROM la1),
+           la3 AS (SELECT *, ${graft.functions.DetMath.zSql("ya")} AS za,
+                          ${graft.functions.DetMath.zSql("yb")} AS zb
+                   FROM la2),
+           la4 AS (SELECT *, (za * za) AS za2, (zb * zb) AS zb2 FROM la3),
            lsc AS (SELECT doc_id,
-                          round((ln(c1) - ln(c12)) * 1e6)::BIGINT AS nll
-                   FROM lbi
-                   JOIN lc12 USING (bg)
-                   JOIN luni ON string_split(bg, ' ')[1] = w)
+                          round((${graft.functions.DetMath
+                              .lnSqlFromParts("ea", "za", "za2")}
+                            - ${graft.functions.DetMath
+                              .lnSqlFromParts("eb", "zb", "zb2")})
+                            * 1e6)::BIGINT AS nll
+                   FROM la4)
       SELECT doc_id, count(1) AS n_bigrams,
              sum(nll)::BIGINT AS nll_micronat,
              sum(nll)::BIGINT // count(1) AS avg_micronat
