@@ -87,6 +87,10 @@ object Bench {
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk" -> Seq(
       "sim_range_search"),
+    "cap-parity probe on a 40-edge synthetic star+clique graph: exists " +
+      "to exercise edgeJaccardFrom's capped path against the oracle " +
+      "mirror every round; the operator's cost is timed at 20x by " +
+      "scaled_ejacc_x20" -> Seq("graph_ejacc_hubcap"),
     "event-time BATCH variants of timed representatives (ev_sessionize / " +
       "ev_asof_join / ev_range_join / ev_sliding / ev_gap_fill / " +
       "ev_outliers / ev_funnel / ev_asof_nearest): same scan + window / " +

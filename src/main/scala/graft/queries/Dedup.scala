@@ -1221,6 +1221,29 @@ object Dedup extends QueryModule {
   /** Default hub-degree cap for [[edgeJaccardFrom]] — see its scaladoc. */
   val EDGE_JACC_MAX_DEG = 100000
 
+  /** graph_ejacc_hubcap's deliberately tiny cap: the synthetic star's
+    * hub (degree 30) exceeds it at every SF, so the driver's DuckDB
+    * compare exercises the capped path — sentinel deg, truncated
+    * adjacency, `-1` marker — on BOTH engines every round.
+    */
+  val HUBCAP_MAX_DEG = 8
+
+  /** Synthetic star+clique pair graph for the cap-parity probe: node 0
+    * linked to doc_ids 1..30 (a genuine over-cap hub at
+    * [[HUBCAP_MAX_DEG]]), plus the 5-clique over doc_ids 1..5. Derived
+    * from the documents table's doc_ids so both engines build the
+    * identical relation (see sqlHubcapPairs).
+    */
+  def hubcapPairs(docs: DataFrame): DataFrame = {
+    val star = docs.select(col("doc_id")).filter(col("doc_id").between(1, 30))
+      .select(lit(0L).as("a_id"), col("doc_id").as("b_id"))
+    val five = docs.select(col("doc_id")).filter(col("doc_id").between(1, 5))
+    val clique = five.select(col("doc_id").as("a_id"))
+      .crossJoin(broadcast(five.select(col("doc_id").as("b_id"))))
+      .filter(col("a_id") < col("b_id"))
+    star.unionByName(clique)
+  }
+
   /** SCAN structural similarity per existing undirected edge (Xu et
     * al., KDD 2007): common = |N(a) ∩ N(b)|, per-mille over the
     * endpoints-excluded union |N(a)\{b} ∪ N(b)\{a}| = da + db - 2 -
@@ -1231,13 +1254,20 @@ object Dedup extends QueryModule {
     * (jacc_mille desc, a_id, b_id).
     *
     * Hub safety: adjacency arrays are capped at `maxDeg` BEFORE the
-    * collect (rank-and-cut under a per-node window), so the widest row
-    * the operator ever builds — agg buffer included — is one
-    * maxDeg-long neighbor array (~800 KB of longs at the default),
-    * regardless of the input graph. Edges touching a capped node emit
-    * the loud `jacc_mille = -1` overflow marker instead of a
-    * silently-truncated estimate. The gate corpora never reach the cap
-    * (minhash pair generation's MAX_BLOCK bounds degree far below it).
+    * collect via a HUB-SPLIT (degree pre-agg → broadcast over-cap node
+    * set → windowless collect_list for everything else, rank-and-cut
+    * window only over hub edges), so the widest row the operator ever
+    * builds — agg buffer included — is one maxDeg-long neighbor array
+    * (~800 KB of longs at the default), regardless of the input graph,
+    * and the no-hub common case never sorts the edge list. Edges
+    * touching a capped node emit the loud `jacc_mille = -1` overflow
+    * marker instead of a silently-truncated estimate; `deg` reports
+    * maxDeg + 1 as the "capped" sentinel. The DuckDB oracle mirrors
+    * the cap rule engine-identically (see sqlEdgeJaccard), and the
+    * graph_ejacc_hubcap gate query proves the parity every round on a
+    * synthetic over-cap hub. The gate corpora's organic graphs never
+    * reach the default cap (minhash pair generation's MAX_BLOCK bounds
+    * degree far below it).
     *
     * @param pairs0 unique undirected edges as (a_id, b_id), a_id < b_id
     * @param maxDeg per-node neighbor-array cap (row-width bound)
@@ -1245,24 +1275,38 @@ object Dedup extends QueryModule {
   def edgeJaccardFrom(pairs0: DataFrame,
       maxDeg: Int = EDGE_JACC_MAX_DEG): DataFrame = {
     val s = pairs0.sparkSession
-    val pairs = pairs0.localCheckpoint(true) // consumed three times below
+    val pairs = pairs0.localCheckpoint(true) // consumed four times below
     val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    // Cap BEFORE the collect: rows ranked per node and cut at
-    // maxDeg + 1, so neither the agg buffer nor the output row ever
-    // holds more than maxDeg neighbors (a slice AFTER collect_list
-    // would still materialize the fat row in the buffer). deg =
-    // max(rank) equals the true degree for uncapped nodes and
-    // maxDeg + 1 as the "capped" sentinel otherwise.
+    // HUB-SPLIT cap: the cap must bound row width BEFORE the collect
+    // (a slice after collect_list would still materialize the fat row
+    // in the agg buffer), but a rank-and-cut window over ALL edges
+    // sorts the whole edge list every run to bound hubs that usually
+    // don't exist — at corpus scale that full sorted shuffle is the
+    // plan's one scale-killer. Split instead: a degree pre-agg finds
+    // the over-cap nodes (at most 2m/maxDeg of them — broadcastable by
+    // construction), the windowless collect_list handles every other
+    // node (one hash agg, no sort of the edge list), and the
+    // rank-and-cut window runs ONLY over edges whose src is a hub.
+    // deg = true degree for uncapped nodes, maxDeg + 1 as the "capped"
+    // sentinel otherwise — identical to the old all-window semantics,
+    // and mirrored CASE-for-CASE by the DuckDB oracle (sqlEdgeJaccard)
+    // so a gate corpus with a genuine hub stays hash-green.
+    val hubs = e.groupBy("src").agg(count(lit(1)).as("td"))
+      .filter(col("td") > maxDeg).select("src")
+    val common = e.join(broadcast(hubs), Seq("src"), "left_anti")
+      .groupBy("src")
+      .agg(sort_array(collect_list("dst")).as("nbrs"),
+        count(lit(1)).as("deg"))
     val byNode = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("dst")
-    val adj = e.withColumn("rn", row_number().over(byNode))
-      .filter(col("rn") <= maxDeg + 1)
+    val hubAdj = e.join(broadcast(hubs), Seq("src"), "left_semi")
+      .withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") <= maxDeg)
       .groupBy("src")
-      .agg(sort_array(collect_list(when(col("rn") <= maxDeg, col("dst"))))
-        .as("nbrs"),
-        // row_number is Int; deg was a count (long) — keep the schema
-        max("rn").cast("long").as("deg"))
+      .agg(sort_array(collect_list("dst")).as("nbrs"))
+      .withColumn("deg", lit(maxDeg + 1).cast("long"))
+    val adj = common.unionByName(hubAdj)
     pairs
       .join(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
         col("deg").as("da")), "a_id")
@@ -1426,6 +1470,15 @@ object Dedup extends QueryModule {
       edgeJaccardFrom(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
+
+    // -- cap-parity probe: the same operator at a deliberately tiny cap
+    //    over a synthetic star+clique graph whose hub (degree 30)
+    //    exceeds it at every SF, so the capped path — sentinel deg,
+    //    truncated adjacency, -1 marker — is exercised against the
+    //    oracle mirror every round, not only when a regenerated corpus
+    //    happens to grow a genuine hub ----------------------------------
+    "graph_ejacc_hubcap" -> ((s, d) =>
+      edgeJaccardFrom(hubcapPairs(Tables.documents(s, d)), HUBCAP_MAX_DEG)),
 
     // -- 3-core of the near-dup pair graph (see kcoreFromPairs): the
     //    dense duplication communities with chains/pendants peeled
@@ -1695,6 +1748,65 @@ object Dedup extends QueryModule {
               / $K.0 >= 0.5
       ${if (ordered) "ORDER BY a_id, b_id" else ""}"""
 
+  /** SQL twin of [[hubcapPairs]]: the synthetic star+clique pair graph
+    * for the cap-parity probe, derived from the documents table's
+    * doc_ids so both engines build the identical relation.
+    */
+  private def sqlHubcapPairs: String = s"""
+      SELECT 0::BIGINT AS a_id, doc_id AS b_id
+      FROM documents WHERE doc_id BETWEEN 1 AND 30
+      UNION ALL
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      WHERE a.doc_id BETWEEN 1 AND 5 AND b.doc_id BETWEEN 1 AND 5"""
+
+  /** SQL twin of [[edgeJaccardFrom]] with the hub cap mirrored
+    * engine-identically: per-node rank-and-cut at `maxDeg` (ordered by
+    * dst, exactly the Spark window's order), `deg = maxDeg + 1` as the
+    * "capped" sentinel, and `jacc_mille = -1` for any edge touching a
+    * capped node — so a regenerated gate corpus with a genuine hub
+    * stays hash-green on both engines instead of diverging silently.
+    * Common neighbors come from the (oracle-scale-fine) co-neighbor
+    * wedge enumeration over the CAPPED adjacency; pairs with no common
+    * neighbor survive via the LEFT JOIN with COALESCE(0).
+    */
+  private def sqlEdgeJaccard(pairsSql: String, maxDeg: Int): String = s"""
+      WITH p AS ($pairsSql),
+           e AS (SELECT a_id AS src, b_id AS dst FROM p
+                 UNION ALL
+                 SELECT b_id AS src, a_id AS dst FROM p),
+           d AS (SELECT src, count(1)::BIGINT AS td FROM e GROUP BY src),
+           r AS (SELECT src, dst,
+                        row_number() OVER (PARTITION BY src ORDER BY dst)
+                          AS rn
+                 FROM e),
+           cap AS (SELECT r.src, r.dst
+                   FROM r JOIN d ON d.src = r.src
+                   WHERE d.td <= $maxDeg OR r.rn <= $maxDeg),
+           dd AS (SELECT src,
+                         (CASE WHEN td > $maxDeg THEN ${maxDeg + 1}
+                               ELSE td END)::BIGINT AS deg
+                  FROM d),
+           cm AS (SELECT x.src AS a_id, y.src AS b_id,
+                         count(1)::BIGINT AS common
+                  FROM cap x JOIN cap y ON x.dst = y.dst AND x.src < y.src
+                  GROUP BY x.src, y.src),
+           j AS (SELECT p.a_id, p.b_id,
+                        COALESCE(cm.common, 0)::BIGINT AS common,
+                        da.deg AS da, db.deg AS db
+                 FROM p
+                 LEFT JOIN cm ON cm.a_id = p.a_id AND cm.b_id = p.b_id
+                 JOIN dd da ON da.src = p.a_id
+                 JOIN dd db ON db.src = p.b_id)
+      SELECT a_id, b_id, common, da, db,
+             (CASE WHEN da > $maxDeg OR db > $maxDeg THEN -1
+                   WHEN da + db - 2 - common = 0 THEN 1000
+                   ELSE common * 1000 // (da + db - 2 - common)
+              END)::BIGINT AS jacc_mille
+      FROM j
+      ORDER BY jacc_mille DESC, a_id, b_id
+      LIMIT 25"""
+
   /** SimHash oracle (mirrors [[simhashFrom]]), unordered for embedding. */
   private def simhashSql: String = {
     val bitSums = (1 to SIMHASH_BITS).map(j =>
@@ -1958,33 +2070,15 @@ object Dedup extends QueryModule {
     },
 
     // common neighbors via the (oracle-scale-fine) co-neighbor wedge
-    // enumeration; pairs with no common neighbor survive via the LEFT
-    // JOIN with COALESCE(0)
-    "graph_edge_jaccard" -> s"""
-      WITH p AS (SELECT a_id, b_id
-                 FROM (${minhashPairsSql(ordered = false)}) mp),
-           e AS (SELECT a_id AS src, b_id AS dst FROM p
-                 UNION ALL
-                 SELECT b_id AS src, a_id AS dst FROM p),
-           d AS (SELECT src, count(1) AS deg FROM e GROUP BY src),
-           cm AS (SELECT x.src AS a_id, y.src AS b_id,
-                         count(1)::BIGINT AS common
-                  FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
-                  GROUP BY x.src, y.src),
-           j AS (SELECT p.a_id, p.b_id,
-                        COALESCE(cm.common, 0)::BIGINT AS common,
-                        da.deg AS da, db.deg AS db
-                 FROM p
-                 LEFT JOIN cm ON cm.a_id = p.a_id AND cm.b_id = p.b_id
-                 JOIN d da ON da.src = p.a_id
-                 JOIN d db ON db.src = p.b_id)
-      SELECT a_id, b_id, common, da, db,
-             CASE WHEN da + db - 2 - common = 0 THEN 1000
-                  ELSE common * 1000 // (da + db - 2 - common) END
-               AS jacc_mille
-      FROM j
-      ORDER BY jacc_mille DESC, a_id, b_id
-      LIMIT 25""",
+    // enumeration, under the SAME hub cap as edgeJaccardFrom
+    "graph_edge_jaccard" ->
+      sqlEdgeJaccard(s"SELECT a_id, b_id FROM (${
+        minhashPairsSql(ordered = false)}) mp", EDGE_JACC_MAX_DEG),
+
+    // cap-parity probe: same operator, tiny synthetic star+clique
+    // graph with a genuine over-cap hub (see the queries entry)
+    "graph_ejacc_hubcap" ->
+      sqlEdgeJaccard(sqlHubcapPairs, HUBCAP_MAX_DEG),
 
     "dedup_contamination" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShingles(sqlToksL)}) AS s

@@ -70,6 +70,22 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(uncapped((0L, 3L)) == 0L) // hub spoke: common 0 -> 0, not -1
   }
 
+  test("graph_ejacc_hubcap: the gate probe exercises the capped path") {
+    // star hub 0 -> 1..30 (over the HUBCAP_MAX_DEG = 8 cap) + 5-clique
+    // on 1..5: the 10 clique edges are exact (common 4, denom 4 ->
+    // 1000); every surviving star spoke carries the -1 marker with the
+    // hub's deg reading the sentinel 9 on the hub side
+    val rows = SparkEntry.queries("graph_ejacc_hubcap")(
+      spark, TestSpark.sf0001).collect()
+    assert(rows.length == 25)
+    val (clique, spokes) = rows.partition(_.getLong(5) == 1000L)
+    assert(clique.length == 10)
+    assert(clique.forall(r =>
+      r.getLong(2) == 4L && r.getLong(3) == 5L && r.getLong(4) == 5L))
+    assert(spokes.forall(r =>
+      r.getLong(0) == 0L && r.getLong(3) == 9L && r.getLong(5) == -1L))
+  }
+
   test("ngram novelty: exact duplicate scores 0, originals 1000") {
     import spark.implicits._
     val text = "a b c d e f g h i j" // 10 tokens -> 3 distinct 8-grams
