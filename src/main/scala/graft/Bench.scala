@@ -751,42 +751,6 @@ object Bench {
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id"), k = 3, rounds = 8)))
-    // survives-100x triangle row (r10 verdict #6): the wedge-volume
-    // guard promoted from the manual scaledtri100 probe to per-round
-    // evidence. Measure the oriented wedge volume FIRST (degree join +
-    // agg — no wedge materialization); only when it fits the 2e9
-    // budget is the full adjacency-intersection pass timed, else the
-    // refusal itself is the recorded result (the x100 planted-clique
-    // graph's triangle output is cubic in clique size — ~33.5e9
-    // oriented wedges on recent testdata — and a 10^10-row explode is
-    // not a benchmark). Rows emitted: scaled_tri_x100_wedges2 (the
-    // measured bound, always), scaled_tri_x100_bound_sec (pair build +
-    // measurement wall), scaled_tri_x100 (only when under budget).
-    // Informational — excluded from totals so their conditional
-    // presence can't make round-over-round totals jump.
-    val docs100 = prepareScaledDocs(spark, sfDir, factor = 100)
-    snap("scaled_tri_x100_bound")
-    val triBoundT0 = System.nanoTime()
-    val pairs100 = graft.queries.Dedup.minhashPairsFrom(
-        spark.read.parquet(docs100), ordered = false)
-      .select("a_id", "b_id")
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val wedges2x100 = graft.queries.Dedup.orientedWedgeVolume2(pairs100)
-    val triBoundSec = (System.nanoTime() - triBoundT0) / 1e9
-    System.err.println(f"[bench] scaled_tri_x100 orientedWedges2=$wedges2x100 " +
-      f"boundMeasure=$triBoundSec%.1f s " +
-      (if (wedges2x100 > 4_000_000_000L) "-> SKIP (over 2e9 wedge budget)"
-       else "-> timing"))
-    val triX100: Seq[(String, Double)] =
-      Seq("scaled_tri_x100_wedges2" -> wedges2x100.toDouble,
-        "scaled_tri_x100_bound_sec" -> triBoundSec) ++
-      (if (wedges2x100 <= 4_000_000_000L)
-        Seq("scaled_tri_x100" -> timeOne("scaled_tri_x100", () =>
-          graft.queries.Dedup.trianglesFromPairs(pairs100)))
-      else Seq.empty)
-    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(pairs100)
-
     // DEEP-merge BPE regime, tracked per-round (previously the manual
     // bpewide probe only): 200 merges on the 100k-vocabulary workload-A
     // corpus — the wide-vocabulary regime a real tokenizer trains on,
@@ -819,6 +783,49 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+
+    // survives-100x triangle row (r10 verdict #6): the wedge-volume
+    // guard promoted from the manual scaledtri100 probe to per-round
+    // evidence. Measure the oriented wedge volume FIRST (degree join +
+    // agg — no wedge materialization); only when it fits the 2e9
+    // budget is the full adjacency-intersection pass timed, else the
+    // refusal itself is the recorded result (the x100 planted-clique
+    // graph's triangle output is cubic in clique size — ~33.5e9
+    // oriented wedges on recent testdata — and a 10^10-row explode is
+    // not a benchmark). Rows emitted: scaled_tri_x100_wedges2 (the
+    // measured bound, always), scaled_tri_x100_bound_sec (pair build +
+    // measurement wall), scaled_tri_x100 (only when under budget).
+    // Informational — excluded from totals so their conditional
+    // presence can't make round-over-round totals jump. This block
+    // runs AFTER every timed row: its 500k-doc corpus build and
+    // 127M-edge MEMORY_AND_DISK_SER checkpoint evict page cache and
+    // fill the old gen, and the r11-vs-r12 identical-code A/B showed
+    // the immediately-following timed row (then scaled_bpe_deep200)
+    // absorbing a 2.7x hit from exactly that adjacency.
+    val docs100 = prepareScaledDocs(spark, sfDir, factor = 100)
+    snap("scaled_tri_x100_bound")
+    val triBoundT0 = System.nanoTime()
+    val pairs100 = graft.queries.Dedup.minhashPairsFrom(
+        spark.read.parquet(docs100), ordered = false)
+      .select("a_id", "b_id")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val wedges2x100 = graft.queries.Dedup.orientedWedgeVolume2(pairs100)
+    val triBoundSec = (System.nanoTime() - triBoundT0) / 1e9
+    System.err.println(f"[bench] scaled_tri_x100 orientedWedges2=$wedges2x100 " +
+      f"boundMeasure=$triBoundSec%.1f s " +
+      (if (wedges2x100 > 4_000_000_000L) "-> SKIP (over 2e9 wedge budget)"
+       else "-> timing"))
+    val triX100skipped = wedges2x100 > 4_000_000_000L
+    val triX100: Seq[(String, Double)] =
+      Seq("scaled_tri_x100_wedges2" -> wedges2x100.toDouble,
+        "scaled_tri_x100_bound_sec" -> triBoundSec) ++
+      (if (!triX100skipped)
+        Seq("scaled_tri_x100" -> timeOne("scaled_tri_x100", () =>
+          graft.queries.Dedup.trianglesFromPairs(pairs100)))
+      else Seq.empty)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(pairs100)
+
     val results = results0 ++ Seq(
       "ref_wordcount_12m" -> refRuns.min,
       "ref_wordcount_12m_median" -> median(refRuns),
@@ -911,6 +918,25 @@ object Bench {
       val rows = grp.map { case (k, v) => "\"" + k + "\":" + jNum(v) }
         .mkString("{", ",", "}")
       println(s"""{"metric":"q","part":${i + 1},"of":${(ranked.size + 11) / 12},"rows":$rows}""")
+    }
+    // The x100 refusal's justification must survive the same capped
+    // tail window (r11/r12: the wedge count lived only in the clipped
+    // full line, so the skip read as an unexplained hole): one SHORT
+    // info line carrying the measured bound, the guard budget, and
+    // whether the timed pass was skipped.
+    println(f"""{"metric":"info","scaled_tri_x100_wedges2":$wedges2x100,"budget":4000000000,"scaled_tri_x100_bound_sec":$triBoundSec%.3f,"skipped":$triX100skipped}""")
+    // Per-scaled-row [load, heap MB] stage telemetry as SHORT part
+    // lines: the stage_tel map in the full line is the first thing a
+    // capped tail capture clips, and r11's bpe_deep 2.7x anomaly took
+    // a full round to adjudicate for exactly that reason — the load
+    // sample that explained it never survived to the artifact.
+    val telRanked = ranked.map(_._1)
+    val telTail = stageTel.filter { case (k, _) =>
+      telRanked.contains(k) || k.startsWith("scaled_") }
+    telTail.grouped(16).zipWithIndex.foreach { case (grp, i) =>
+      val rows = grp.map { case (k, (l, h)) => f""""$k":[$l%.2f,$h]""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"tel","part":${i + 1},"of":${(telTail.size + 15) / 16},"rows":$rows}""")
     }
     println(summaryLine)
     spark.stop()
