@@ -83,7 +83,7 @@ object Bench {
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +
       "scaled_cc_x20's contract-then-solve loop family; gate-scale graph " +
-      "is tiny" -> Seq("graph_pagerank", "graph_kcore"),
+      "is tiny" -> Seq("graph_pagerank", "graph_kcore", "graph_coreness"),
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk" -> Seq(
       "sim_range_search"),
@@ -751,6 +751,11 @@ object Bench {
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id"), k = 3, rounds = 8)))
+    val coreness = Seq(timeOne("scaled_coreness_x20", () =>
+      graft.queries.Dedup.corenessFromPairs(
+        graft.queries.Dedup.minhashPairsFrom(
+          spark.read.parquet(scaledPath), ordered = false)
+          .select("a_id", "b_id"))))
     // DEEP-merge BPE regime, tracked per-round (previously the manual
     // bpewide probe only): 200 merges on the 100k-vocabulary workload-A
     // corpus — the wide-vocabulary regime a real tokenizer trains on,
@@ -862,6 +867,7 @@ object Bench {
       "scaled_tri_x20" -> tri.min,
       "scaled_ejacc_x20" -> ejacc.min,
       "scaled_kcore_x20" -> kcore.min,
+      "scaled_coreness_x20" -> coreness.min,
       "scaled_bpe_deep200" -> bpeDeep.min) ++ triX100
 
     // NaN (= failed) prints as null and never reaches a sum: a reader
@@ -878,13 +884,13 @@ object Bench {
       bloomS.min, chunk.min, winnow.min, ppjoin.min, sparse.min,
       inc.min, substr.min, ivf.min, pq.min, stw.min, sts.min,
       stc.min, stt.min, bpe.min, simh.min, sem.min, knng.min, tri.min,
-      ejacc.min, kcore.min, bpeDeep.min))
+      ejacc.min, kcore.min, coreness.min, bpeDeep.min))
     val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head,
       mh.head, cc.head, contam.head, bloomC.head, contamS.head,
       bloomS.head, chunk.head, winnow.head, ppjoin.head,
       sparse.head, inc.head, substr.head, ivf.head, pq.head,
       stw.head, sts.head, stc.head, stt.head, bpe.head, simh.head,
-      sem.head, knng.head, tri.head, ejacc.head, kcore.head,
+      sem.head, knng.head, tri.head, ejacc.head, kcore.head, coreness.head,
       bpeDeep.head))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load at exit: the box is shared, and outside load

@@ -1172,21 +1172,34 @@ object Dedup extends QueryModule {
     *
     * @return (doc_id, core_deg) for every node surviving the peel
     */
-  def kcoreFromPairs(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    // symmetrize via ONE explode pass, not a self-union: a union would
-    // duplicate the (possibly expensive, possibly uncheckpointed)
-    // upstream pair plan — e.g. the bench feeds the raw minhash pair
-    // pipeline here, which a union would compute twice
-    var edges = pairs0.select(explode(array(
+  /** Symmetrize an undirected (a_id, b_id) pair list into a directed
+    * (src, dst) edge list via ONE explode pass, not a self-union: a
+    * union would duplicate the (possibly expensive, possibly
+    * uncheckpointed) upstream pair plan — e.g. the bench feeds the raw
+    * minhash pair pipeline here, which a union would compute twice.
+    * Returned eagerly checkpointed (serialized, spillable).
+    */
+  private def symmetrized(pairs0: DataFrame): DataFrame =
+    pairs0.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // fixpoint early-exit: a round that drops no NODE drops no edge,
-    // so every later round is the identity and the bounded oracle
-    // unroll and the exited loop compute the same relation. On
-    // clique-heavy graphs the exit arrives in 1-2 rounds.
+
+  /** Peel a (symmetrized, checkpointed) edge list to its k-core
+    * fixpoint in at most `rounds` synchronous remove-all-under-k
+    * rounds, dropped-set-driven: each round is one degree hash agg
+    * plus two (broadcast while the dropped set is small) anti-joins.
+    * Fixpoint early-exit: a round that drops no NODE drops no edge, so
+    * every later round is the identity and the bounded oracle unroll
+    * and the exited loop compute the same relation. On clique-heavy
+    * graphs the exit arrives in 1-2 rounds. Superseded input/
+    * intermediate checkpoints are released; the returned fixpoint edge
+    * list stays checkpointed.
+    */
+  private def peelToCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edges0
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -1213,8 +1226,107 @@ object Dedup extends QueryModule {
       }
       org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(dropped)
     }
-    edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
+    edges
+  }
+
+  def kcoreFromPairs(pairs0: DataFrame, k: Int, rounds: Int): DataFrame =
+    peelToCore(symmetrized(pairs0), k, rounds)
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
+
+  /** Coreness cap / rounds-per-level for [[corenessFromPairs]] and its
+    * oracle — BOTH engines unroll the identical bounded chain, so the
+    * compare is engine-identical even before convergence; on the
+    * minhash pair-graph family 8 rounds per level converge (same
+    * contract as graph_kcore's fixed 8).
+    */
+  val CORENESS_KMAX = 8
+  val CORENESS_ROUNDS = 8
+
+  /** Full core decomposition — per-node coreness, the graph signal
+    * curation pipelines actually threshold on (peel order per
+    * Batagelj & Zaveršnik 2003, distributed as bounded synchronous
+    * remove-all rounds). Level k's peel starts from level (k-1)'s
+    * fixpoint (the k-core is a subgraph of the (k-1)-core), so the
+    * edge list only shrinks across levels and the total work is a few
+    * degree hash-aggs + broadcast anti-joins over an ever-smaller
+    * core. coreness(v) = 1 + |{k in 2..kmax : v in nodes(k-core)}| —
+    * level 1 is the whole node set (deg < 1 is impossible on an
+    * edge-derived graph), computed as a weighted sum over the captured
+    * level node sets (nested decreasing; a capture spanning the
+    * identity levels k..m carries multiplicity m - k + 1).
+    * Values cap at `kmax` on BOTH engines; nodes silently isolated
+    * mid-peel (all neighbors dropped) vanish from the level's edge
+    * list and correctly stop accruing levels. Early exit when a level
+    * empties — every higher core is empty too.
+    *
+    * @return (doc_id, coreness) for every node of the pair graph
+    */
+  def corenessFromPairs(pairs0: DataFrame,
+      kmax: Int = CORENESS_KMAX,
+      rounds: Int = CORENESS_ROUNDS): DataFrame = {
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(df)
+    var edges = symmetrized(pairs0)
+    // (level node set, multiplicity) accumulator; level 1 = every node
+    var levels = List((
+      edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true),
+      1))
+    var k = 2
+    var roundInLevel = 0
+    var done = false
+    while (k <= kmax && !done) {
+      // ONE degree agg per iteration, checkpointed and reused for the
+      // fixpoint test (min degree), the level capture (its src column
+      // IS the node set), and the dropped side of the anti-joins — the
+      // naive per-level peel pays a full identity round per level just
+      // to detect convergence; min degree m >= k detects it AND proves
+      // the current graph is its own k'-core for every k' <= m, so
+      // levels k..min(m, kmax) collapse into one capture with that
+      // multiplicity and k jumps straight past them.
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val minRow = deg.agg(min("deg").as("m")).collect()
+      val m = if (minRow(0).isNullAt(0)) -1L else minRow(0).getLong(0)
+      if (m < 0) done = true // graph emptied: every higher core is empty
+      else if (m >= k) {
+        val hi = math.min(m, kmax.toLong).toInt
+        val nk = deg.select(col("src").as("doc_id")).localCheckpoint(true)
+        levels ::= (nk, hi - k + 1)
+        k = hi + 1
+        roundInLevel = 0
+      } else if (roundInLevel == rounds) {
+        // level's bounded unroll exhausted unconverged: capture the
+        // mid-peel state — exactly the oracle's e_{k}_{ROUNDS} — and
+        // move to the next level from it
+        val nk = deg.select(col("src").as("doc_id")).localCheckpoint(true)
+        levels ::= (nk, 1)
+        k += 1
+        roundInLevel = 0
+      } else {
+        val dropped = deg.filter(col("deg") < k).select(col("src").as("node"))
+        val bcast = dropped.count() <= 5000000L // ~40 MB: broadcastable
+        def side(c: String) = {
+          val d = dropped.select(col("node").as(c))
+          if (bcast) broadcast(d) else d
+        }
+        val next = edges
+          .join(side("src"), Seq("src"), "left_anti")
+          .join(side("dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        release(edges)
+        edges = next
+        roundInLevel += 1
+      }
+      release(deg)
+    }
+    release(edges)
+    levels.map { case (df, w) => df.withColumn("w", lit(w.toLong)) }
+      .reduce(_ unionByName _)
+      .groupBy("doc_id").agg(sum("w").as("coreness"))
       .orderBy("doc_id")
   }
 
@@ -1488,6 +1600,15 @@ object Dedup extends QueryModule {
       kcoreFromPairs(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"), k = 3, rounds = 8)),
+
+    // -- full core decomposition of the near-dup pair graph (see
+    //    corenessFromPairs): per-node coreness, the density signal a
+    //    curation pipeline thresholds on directly ("keep one doc per
+    //    cluster of coreness >= c") instead of re-peeling per k --------
+    "graph_coreness" -> ((s, d) =>
+      corenessFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
 
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {
@@ -2067,6 +2188,44 @@ object Dedup extends QueryModule {
       FROM e8
       GROUP BY src
       ORDER BY doc_id"""
+    },
+
+    // coreness: the identical bounded peel chain, unrolled — level k
+    // peels level (k-1)'s fixpoint for CORENESS_ROUNDS rounds; a
+    // node's coreness is 1 (every node has an edge) plus the number of
+    // level fixpoints it appears in. Engine-identical to the Spark
+    // loop by construction: Spark's early exits only skip identity
+    // rounds, and both sides run at most the same bounded chain.
+    "graph_coreness" -> {
+      def lvl(k: Int): String = {
+        (1 to CORENESS_ROUNDS).map { r =>
+          val prev = if (r == 1) { if (k == 2) "e0"
+                                   else s"e${k - 1}_$CORENESS_ROUNDS" }
+                     else s"e${k}_${r - 1}"
+          s"""
+           k${k}_$r AS MATERIALIZED (SELECT src AS node FROM $prev
+                   GROUP BY src HAVING count(1) >= $k),
+           e${k}_$r AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+                   JOIN k${k}_$r ka ON e.src = ka.node
+                   JOIN k${k}_$r kb ON e.dst = kb.node)"""
+        }.mkString(",")
+      }
+      val lvUnion = (2 to CORENESS_KMAX)
+        .map(k => s"SELECT DISTINCT src AS doc_id FROM e${k}_$CORENESS_ROUNDS")
+        .mkString("\n             UNION ALL\n             ")
+      s"""
+      WITH p AS MATERIALIZED (SELECT a_id, b_id
+                 FROM (${minhashPairsSql(ordered = false)}) mp),
+           e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+                  UNION ALL
+                  SELECT b_id AS src, a_id AS dst FROM p),
+           ${(2 to CORENESS_KMAX).map(lvl).mkString(",")},
+           lv AS ($lvUnion)
+      SELECT n.doc_id, (1 + COALESCE(c.cnt, 0))::BIGINT AS coreness
+      FROM (SELECT DISTINCT src AS doc_id FROM e0) n
+      LEFT JOIN (SELECT doc_id, count(1) AS cnt FROM lv GROUP BY doc_id) c
+        ON c.doc_id = n.doc_id
+      ORDER BY n.doc_id"""
     },
 
     // common neighbors via the (oracle-scale-fine) co-neighbor wedge

@@ -149,6 +149,28 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(tri.count() == 0)
   }
 
+  test("coreness: clique members rank by density, chains and pendants at 1") {
+    import spark.implicits._
+    // K4 on 1..4 + pendant 4-5 + path 6-7-8: K4 nodes have coreness 3,
+    // everything else 1 (the pendant and path peel away at k=2)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L))
+    val rows = Dedup.corenessFromPairs(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
+    // coreness caps at kmax on a denser-than-kmax graph: K6 at kmax=4
+    val six = (1L to 6L).combinations(2).map(p => (p(0), p(1))).toSeq
+    val capped = Dedup.corenessFromPairs(six.toDF("a_id", "b_id"), kmax = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.values.toSet == Set(4L)) // true coreness 5, capped
+    // a cycle is 2-regular: it IS its own 2-core and has no 3-core
+    val ring = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val ringRows = Dedup.corenessFromPairs(ring.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ringRows.values.toSet == Set(2L))
+  }
+
   test("weighted sampling: deterministic top-k with strictly negative keys") {
     val out = SparkEntry.queries("pipe_sample_weighted")(
       spark, TestSpark.sf0001).collect()
