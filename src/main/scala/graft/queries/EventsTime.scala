@@ -223,6 +223,130 @@ object EventsTime extends QueryModule {
     }
   }
 
+  /** Chunk scratch for [[streamLateDropReplay]]: the four time-monotone
+    * real-event chunks of [[multiBatchScratch]] hard-copied, plus TWO
+    * synthetic chunks replayed last (newest mtimes) planting the
+    * late-arrival cases against mx = max real ts:
+    *   - chunk 5: ts = mx - 20 min, 'late_probe' — out-of-order but
+    *     within the 30-min delay, accepted; and ts = mx + 2 h,
+    *     'wm_push' — advances the final watermark past every other
+    *     window so the accepted row's window closes and its acceptance
+    *     is visible in the append-mode output (its own window stays
+    *     open and never emits)
+    *   - chunk 6: ts = mx - 3 h, 'late_probe' — genuinely late,
+    *     DROPPED (numRowsDroppedByWatermark)
+    * The genuinely-late row needs its own chunk because Spark filters
+    * late events with the PREVIOUS batch's watermark
+    * (`watermarkForLateEvents`, SPARK-24634), not the current eviction
+    * watermark: a batch-N row is dropped iff its window closed before
+    * the watermark derived from data through batch N-2. With the late
+    * row in chunk 6, that filter watermark is mx - 30 min (from chunks
+    * 1-4) and its window closed >= 90 min earlier — dropped on every
+    * corpus. Timestamps derive from mx with exact micros arithmetic
+    * (java.time.Instant), mirrored by the oracle's INTERVAL arithmetic.
+    */
+  private def lateDropScratch(s: SparkSession, batch: DataFrame,
+      baseScratch: String): String = {
+    val mb = multiBatchScratch(batch, baseScratch, nChunks = 4)
+    val dir = new java.io.File(baseScratch + "_mb4late")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      dir.mkdirs()
+      val base = System.currentTimeMillis() - 3600000L
+      def pin(f: java.io.File, i: Int): Unit =
+        require(f.setLastModified(base + i * 4000L),
+          s"setLastModified declined on $f — multi-batch replay " +
+            "ordering cannot be pinned on this filesystem")
+      (1 to 4).foreach { i =>
+        val dst = new java.io.File(dir, f"chunk-$i%02d.parquet")
+        java.nio.file.Files.copy(
+          new java.io.File(mb, f"chunk-$i%02d.parquet").toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        pin(dst, i)
+      }
+      val mx = batch.agg(max("ts")).collect()(0).getTimestamp(0).toInstant
+      def t(i: java.time.Instant) = java.sql.Timestamp.from(i)
+      def writeSyn(i: Int, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+        val syn = s.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+          batch.schema)
+        val tmp = new java.io.File(dir, s"_tmp_$i")
+        syn.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        val dst = new java.io.File(dir, f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        pin(dst, i)
+        Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
+        tmp.delete()
+      }
+      writeSyn(5, Seq(
+        org.apache.spark.sql.Row(9000002L,
+          t(mx.minus(java.time.Duration.ofMinutes(20))),
+          1L, "late_probe", 0.0, "{}"),
+        org.apache.spark.sql.Row(9000003L,
+          t(mx.plus(java.time.Duration.ofHours(2))),
+          1L, "wm_push", 0.0, "{}")))
+      writeSyn(6, Seq(
+        org.apache.spark.sql.Row(9000001L,
+          t(mx.minus(java.time.Duration.ofHours(3))),
+          1L, "late_probe", 0.0, "{}")))
+      val mtimes = (1 to 6)
+        .map(i => new java.io.File(dir, f"chunk-$i%02d.parquet").lastModified)
+      require(mtimes.zip(mtimes.tail).forall { case (a, b) => a < b },
+        s"late-drop chunk mtimes not strictly increasing: $mtimes")
+      new java.io.File(dir, "_SUCCESS").createNewFile()
+    }
+    dir.getPath
+  }
+
+  /** The LATE-data path of multi-batch replay, executed for real — the
+    * one streaming code path [[streamMultiBatchReplay]]'s time-monotone
+    * chunking can never reach: chunk 6 (see [[lateDropScratch]])
+    * arrives after the late-events watermark ratcheted to mx - 30 min,
+    * so its genuinely-late row is dropped by the stateful operator's
+    * late-event predicate (asserted: numRowsDroppedByWatermark > 0 —
+    * this query exists to execute the drop, not to assume it), chunk
+    * 5's within-delay out-of-order row is accepted, and the
+    * watermark-pushing row closes the accepted row's window so both
+    * outcomes are visible in the gate hash. The oracle mirrors the
+    * drop rule explicitly.
+    */
+  def streamLateDropReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val mbDir = lateDropScratch(s, batch, scratch)
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(mbDir)
+    val agg = graft.streaming.Streaming
+      .windowedTypeCounts(stream, "1 hour", "1 hour", "30 minutes")
+    val sink = "ev_stream_late_drop_" + System.nanoTime()
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 5,
+      s"ev_stream_late_drop: expected >= 5 data micro-batches " +
+        s"(got $dataBatches) — the multi-file sequencing broke")
+    val droppedByWm = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    require(droppedByWm > 0,
+      "ev_stream_late_drop: numRowsDroppedByWatermark == 0 — the " +
+        "genuinely-late chunk-5 row was not dropped; the late-data " +
+        "path this query exists to execute did not run")
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"))
+        .orderBy("hour", "event_type")
+    }
+  }
+
   /** Streaming dedup under the oracle gate: the events table replayed
     * through `dropDuplicatesWithinWatermark` (real streaming state +
     * eviction), then batch-aggregated to a deterministic per-user
@@ -545,6 +669,7 @@ object EventsTime extends QueryModule {
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
     "ev_stream_multibatch" -> ((s, d) => streamMultiBatchReplay(s, d)),
+    "ev_stream_late_drop" -> ((s, d) => streamLateDropReplay(s, d)),
 
     // -- stream-stream join, driver-checked (see streamJoinReplay) --------
     "ev_stream_join" -> ((s, d) => streamJoinReplay(s, d)),
@@ -973,6 +1098,39 @@ object EventsTime extends QueryModule {
       GROUP BY date_trunc('hour', ts::TIMESTAMP), event_type, mx
       HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
                <= mx - INTERVAL 30 MINUTE
+      ORDER BY hour, event_type""",
+
+    // the late-data path, drop rule EXPLICIT: the three synthetic
+    // chunk-5/6 rows (see lateDropScratch) are reconstructed from
+    // max(ts) with the same interval arithmetic; a synthetic row
+    // survives iff its hourly window end > its batch's late-events
+    // watermark (mx - 30 min for the chunk-6 row — chunks 5/6 rows are
+    // all well inside their filters except the mx - 3 h plant) — that
+    // predicate IS Spark's numRowsDroppedByWatermark filter, and it
+    // kills the mx - 3 h row. Emission = windows the FINAL watermark
+    // (mx + 2 h - 30 min, courtesy of the wm_push row) closed, which
+    // is every real window plus the accepted late_probe's — and never
+    // wm_push's own.
+    "ev_stream_late_drop" -> """
+      WITH m AS (SELECT max(ts) AS mx FROM events),
+           syn AS (SELECT mx - INTERVAL 3 HOUR AS ts,
+                          'late_probe' AS event_type FROM m
+                   UNION ALL
+                   SELECT mx - INTERVAL 20 MINUTE, 'late_probe' FROM m
+                   UNION ALL
+                   SELECT mx + INTERVAL 2 HOUR, 'wm_push' FROM m),
+           kept AS (SELECT s.ts, s.event_type FROM syn s, m
+                    WHERE date_trunc('hour', s.ts) + INTERVAL 1 HOUR
+                            > mx - INTERVAL 30 MINUTE),
+           aug AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events
+                   UNION ALL
+                   SELECT ts, event_type FROM kept)
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+             event_type, count(1) AS n
+      FROM aug, m
+      GROUP BY date_trunc('hour', ts), event_type, mx
+      HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+               <= mx + INTERVAL 2 HOUR - INTERVAL 30 MINUTE
       ORDER BY hour, event_type""",
 
     // inner stream-stream joins emit every match (state-bounding only),
