@@ -29,4 +29,11 @@ object GraftShims {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drain the async listener bus, so a test that counts listener
+    * events (e.g. "zero jobs ran while CONSTRUCTING this frame" — the
+    * no-plan-time-scan discipline) observes every event already posted.
+    */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -135,6 +135,30 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(byDoc(4L) == w(1, 3, 2) + w(1, 3, 2))
   }
 
+  test("bm25: constructing the frame launches ZERO Spark jobs") {
+    import spark.implicits._
+    // the corpus size must be a broadcast 1-row agg inside the DAG, not
+    // a plan-time docs.count() — a count here would charge an extra
+    // corpus scan to every build (twice per txt_hybrid_retrieval)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val docs = Seq((1L, "a b c"), (2L, "a d")).toDF("doc_id", "text")
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val frame = TextAnalysis.bm25From(docs) // construction only
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      assert(jobs.get == 0,
+        s"bm25From ran ${jobs.get} Spark job(s) at plan-construction " +
+          "time — the corpus-size count has escaped the DAG again")
+      assert(frame.count() >= 1) // and the frame still executes
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("kcore: peeling keeps the clique, drops chains and pendants") {
     import spark.implicits._
     // K4 on 1..4 + pendant 4-5 + path 6-7-8: the 3-core is exactly K4
