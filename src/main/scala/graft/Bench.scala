@@ -807,6 +807,11 @@ object Bench {
     // fill the old gen, and the r11-vs-r12 identical-code A/B showed
     // the immediately-following timed row (then scaled_bpe_deep200)
     // absorbing a 2.7x hit from exactly that adjacency.
+    // compact the heap first: the block starts after 100+ queries'
+    // accumulated garbage, and its 500k-doc corpus + 127M-edge
+    // checkpoint is the sweep's largest single allocation (informational
+    // rows — the gc is off every timed path)
+    System.gc()
     val docs100 = prepareScaledDocs(spark, sfDir, factor = 100)
     snap("scaled_tri_x100_bound")
     val triBoundT0 = System.nanoTime()

@@ -92,6 +92,13 @@ object BenchProbe {
         graft.queries.Dedup.kcoreFromPairs(
           Bench.scaledMinhash(spark, p).select("a_id", "b_id"),
           k = 3, rounds = 8)
+      } else if (name == "scaledcoreness") {
+        // full h-index core decomposition over the x20 pair graph —
+        // the Bench scaled_coreness_x20 workload, isolated for plan
+        // iteration against scaledkcore
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.corenessFromPairs(
+          Bench.scaledMinhash(spark, p).select("a_id", "b_id"))
       } else if (name == "scaledsimhash") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.simhashPairs(spark, p)

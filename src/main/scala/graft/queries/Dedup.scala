@@ -1241,95 +1241,67 @@ object Dedup extends QueryModule {
     * minhash pair-graph family 8 rounds per level converge (same
     * contract as graph_kcore's fixed 8).
     */
-  val CORENESS_KMAX = 8
+  /** Bounded h-index rounds for [[corenessFromPairs]] and its oracle —
+    * BOTH engines unroll the identical chain, so the compare is
+    * engine-identical even before convergence; on the minhash
+    * pair-graph family (cliques + short chains) the iterate converges
+    * well inside 8 rounds.
+    */
   val CORENESS_ROUNDS = 8
 
   /** Full core decomposition — per-node coreness, the graph signal
-    * curation pipelines actually threshold on (peel order per
-    * Batagelj & Zaveršnik 2003, distributed as bounded synchronous
-    * remove-all rounds). Level k's peel starts from level (k-1)'s
-    * fixpoint (the k-core is a subgraph of the (k-1)-core), so the
-    * edge list only shrinks across levels and the total work is a few
-    * degree hash-aggs + broadcast anti-joins over an ever-smaller
-    * core. coreness(v) = 1 + |{k in 2..kmax : v in nodes(k-core)}| —
-    * level 1 is the whole node set (deg < 1 is impossible on an
-    * edge-derived graph), computed as a weighted sum over the captured
-    * level node sets (nested decreasing; a capture spanning the
-    * identity levels k..m carries multiplicity m - k + 1).
-    * Values cap at `kmax` on BOTH engines; nodes silently isolated
-    * mid-peel (all neighbors dropped) vanish from the level's edge
-    * list and correctly stop accruing levels. Early exit when a level
-    * empties — every higher core is empty too.
+    * curation pipelines actually threshold on — via the ITERATED
+    * H-INDEX fixpoint (Lü, Zhou, Zhang & Stanley, "The H-index of a
+    * network node and its relation to degree and coreness", Nature
+    * Communications 7:10168, 2016): c0(v) = deg(v), c(n+1)(v) =
+    * H({cn(u) : u ~ v}), which decreases monotonically to coreness.
+    * Scale shape: the symmetrized edge list is checkpointed ONCE and
+    * never rewritten — each round is one edges-to-estimates join plus
+    * one collect-per-node hash agg, updating an n-row estimate table
+    * (a peel-per-level formulation rewrites the m-row edge list every
+    * drop round; on clique-heavy x20 graphs that made full
+    * decomposition ~4x a single k-core peel, where this formulation
+    * tracks it). H per node is computed on the desc-sorted neighbor
+    * array: H = |{i : arr(i) >= i}| (1-based), a codegen-friendly
+    * size(filter(...)) — row width is one neighbor-values array,
+    * bounded by max degree like the sibling adjacency-array operators.
+    * Early exit when sum(c) stops falling: the iterate is pointwise
+    * non-increasing, so an unchanged sum means fixpoint and every
+    * later round is the identity — the bounded oracle unroll and the
+    * exited loop compute the same relation.
     *
     * @return (doc_id, coreness) for every node of the pair graph
     */
   def corenessFromPairs(pairs0: DataFrame,
-      kmax: Int = CORENESS_KMAX,
       rounds: Int = CORENESS_ROUNDS): DataFrame = {
     def release(df: DataFrame): Unit =
       org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(df)
-    var edges = symmetrized(pairs0)
-    // (level node set, multiplicity) accumulator; level 1 = every node
-    var levels = List((
-      edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true),
-      1))
-    var k = 2
-    var roundInLevel = 0
-    var done = false
-    while (k <= kmax && !done) {
-      // ONE degree agg per iteration, checkpointed and reused for the
-      // fixpoint test (min degree), the level capture (its src column
-      // IS the node set), and the dropped side of the anti-joins — the
-      // naive per-level peel pays a full identity round per level just
-      // to detect convergence; min degree m >= k detects it AND proves
-      // the current graph is its own k'-core for every k' <= m, so
-      // levels k..min(m, kmax) collapse into one capture with that
-      // multiplicity and k jumps straight past them.
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = symmetrized(pairs0)
+    var c = edges.groupBy("src").agg(count(lit(1)).as("c"))
+      .select(col("src").as("id"), col("c"))
+      .localCheckpoint(true)
+    var cSum = c.agg(sum("c")).collect()(0).getLong(0)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val next = edges
+        .join(c.select(col("id").as("dst"), col("c").as("cv")), "dst")
+        .groupBy("src")
+        .agg(sort_array(collect_list("cv"), asc = false).as("vs"))
+        .select(col("src").as("id"),
+          size(filter(col("vs"),
+            (x: Column, i: Column) => x >= i + lit(1))).cast("long").as("c"))
         .localCheckpoint(true)
-      val minRow = deg.agg(min("deg").as("m")).collect()
-      val m = if (minRow(0).isNullAt(0)) -1L else minRow(0).getLong(0)
-      if (m < 0) done = true // graph emptied: every higher core is empty
-      else if (m >= k) {
-        val hi = math.min(m, kmax.toLong).toInt
-        val nk = deg.select(col("src").as("doc_id")).localCheckpoint(true)
-        levels ::= (nk, hi - k + 1)
-        k = hi + 1
-        roundInLevel = 0
-      } else if (roundInLevel == rounds) {
-        // level's bounded unroll exhausted unconverged: capture the
-        // mid-peel state — exactly the oracle's e_{k}_{ROUNDS} — and
-        // move to the next level from it
-        val nk = deg.select(col("src").as("doc_id")).localCheckpoint(true)
-        levels ::= (nk, 1)
-        k += 1
-        roundInLevel = 0
-      } else {
-        val dropped = deg.filter(col("deg") < k).select(col("src").as("node"))
-        val bcast = dropped.count() <= 5000000L // ~40 MB: broadcastable
-        def side(c: String) = {
-          val d = dropped.select(col("node").as(c))
-          if (bcast) broadcast(d) else d
-        }
-        val next = edges
-          .join(side("src"), Seq("src"), "left_anti")
-          .join(side("dst"), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst"))
-          .localCheckpoint(true,
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        release(edges)
-        edges = next
-        roundInLevel += 1
-      }
-      release(deg)
+      val nextSum = next.agg(sum("c")).collect()(0).getLong(0)
+      release(c)
+      c = next
+      if (nextSum == cSum) converged = true // pointwise <= + equal sum
+      cSum = nextSum
+      r += 1
     }
-    release(edges)
-    levels.map { case (df, w) => df.withColumn("w", lit(w.toLong)) }
-      .reduce(_ unionByName _)
-      .groupBy("doc_id").agg(sum("w").as("coreness"))
+    c.select(col("id").as("doc_id"), col("c").as("coreness"))
       .orderBy("doc_id")
   }
-
   /** Default hub-degree cap for [[edgeJaccardFrom]] — see its scaladoc. */
   val EDGE_JACC_MAX_DEG = 100000
 
@@ -2196,36 +2168,36 @@ object Dedup extends QueryModule {
     // level fixpoints it appears in. Engine-identical to the Spark
     // loop by construction: Spark's early exits only skip identity
     // rounds, and both sides run at most the same bounded chain.
+    // coreness via the identical bounded h-index chain, unrolled:
+    // c0 = degree; round r computes, per node, the H-index of its
+    // neighbors' round-(r-1) values (max over desc-ranked values of
+    // least(rank, value) — the window formulation, oracle-scale-fine).
+    // Engine-identical to the Spark loop by construction: Spark's
+    // sum-unchanged early exit only skips identity rounds, and both
+    // sides run at most CORENESS_ROUNDS rounds.
     "graph_coreness" -> {
-      def lvl(k: Int): String = {
-        (1 to CORENESS_ROUNDS).map { r =>
-          val prev = if (r == 1) { if (k == 2) "e0"
-                                   else s"e${k - 1}_$CORENESS_ROUNDS" }
-                     else s"e${k}_${r - 1}"
-          s"""
-           k${k}_$r AS MATERIALIZED (SELECT src AS node FROM $prev
-                   GROUP BY src HAVING count(1) >= $k),
-           e${k}_$r AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
-                   JOIN k${k}_$r ka ON e.src = ka.node
-                   JOIN k${k}_$r kb ON e.dst = kb.node)"""
-        }.mkString(",")
-      }
-      val lvUnion = (2 to CORENESS_KMAX)
-        .map(k => s"SELECT DISTINCT src AS doc_id FROM e${k}_$CORENESS_ROUNDS")
-        .mkString("\n             UNION ALL\n             ")
+      def round(r: Int): String = s"""
+           j$r AS (SELECT e.src, c.c AS cv
+                   FROM e0 e JOIN c${r - 1} c ON c.id = e.dst),
+           r$r AS (SELECT src, cv,
+                          row_number() OVER (PARTITION BY src
+                                             ORDER BY cv DESC) AS rn
+                   FROM j$r),
+           c$r AS MATERIALIZED (SELECT src AS id,
+                          max(least(rn, cv))::BIGINT AS c
+                   FROM r$r GROUP BY src)"""
       s"""
       WITH p AS MATERIALIZED (SELECT a_id, b_id
                  FROM (${minhashPairsSql(ordered = false)}) mp),
            e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
                   UNION ALL
                   SELECT b_id AS src, a_id AS dst FROM p),
-           ${(2 to CORENESS_KMAX).map(lvl).mkString(",")},
-           lv AS ($lvUnion)
-      SELECT n.doc_id, (1 + COALESCE(c.cnt, 0))::BIGINT AS coreness
-      FROM (SELECT DISTINCT src AS doc_id FROM e0) n
-      LEFT JOIN (SELECT doc_id, count(1) AS cnt FROM lv GROUP BY doc_id) c
-        ON c.doc_id = n.doc_id
-      ORDER BY n.doc_id"""
+           c0 AS MATERIALIZED (SELECT src AS id, count(1)::BIGINT AS c
+                  FROM e0 GROUP BY src),
+           ${(1 to CORENESS_ROUNDS).map(round).mkString(",")}
+      SELECT id AS doc_id, c AS coreness
+      FROM c$CORENESS_ROUNDS
+      ORDER BY doc_id"""
     },
 
     // common neighbors via the (oracle-scale-fine) co-neighbor wedge

@@ -263,7 +263,11 @@ object EventsTime extends QueryModule {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         pin(dst, i)
       }
-      val mx = batch.agg(max("ts")).collect()(0).getTimestamp(0).toInstant
+      val mxRow = batch.agg(max("ts")).collect()(0)
+      require(!mxRow.isNullAt(0),
+        "lateDropScratch: events table is empty — max(ts) is NULL and " +
+          "no late-arrival plant can be derived")
+      val mx = mxRow.getTimestamp(0).toInstant
       def t(i: java.time.Instant) = java.sql.Timestamp.from(i)
       def writeSyn(i: Int, rows: Seq[org.apache.spark.sql.Row]): Unit = {
         val syn = s.createDataFrame(

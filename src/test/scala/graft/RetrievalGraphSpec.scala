@@ -176,23 +176,29 @@ class RetrievalGraphSpec extends AnyFunSuite {
   test("coreness: clique members rank by density, chains and pendants at 1") {
     import spark.implicits._
     // K4 on 1..4 + pendant 4-5 + path 6-7-8: K4 nodes have coreness 3,
-    // everything else 1 (the pendant and path peel away at k=2)
+    // everything else 1 (h-index iterate: converges in 2 rounds here)
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L))
     val rows = Dedup.corenessFromPairs(edges.toDF("a_id", "b_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
-    // coreness caps at kmax on a denser-than-kmax graph: K6 at kmax=4
+    // a clique is its own (n-1)-core: K6 members all have coreness 5
     val six = (1L to 6L).combinations(2).map(p => (p(0), p(1))).toSeq
-    val capped = Dedup.corenessFromPairs(six.toDF("a_id", "b_id"), kmax = 4)
+    val k6 = Dedup.corenessFromPairs(six.toDF("a_id", "b_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(capped.values.toSet == Set(4L)) // true coreness 5, capped
+    assert(k6.values.toSet == Set(5L))
     // a cycle is 2-regular: it IS its own 2-core and has no 3-core
     val ring = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
     val ringRows = Dedup.corenessFromPairs(ring.toDF("a_id", "b_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ringRows.values.toSet == Set(2L))
+    // a long path needs the most rounds (information travels one hop
+    // per round): coreness 1 everywhere once converged
+    val path = (20L until 30L).map(i => (i, i + 1))
+    val pathRows = Dedup.corenessFromPairs(path.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pathRows.values.toSet == Set(1L))
   }
 
   test("weighted sampling: deterministic top-k with strictly negative keys") {
