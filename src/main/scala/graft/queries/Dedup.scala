@@ -1249,6 +1249,15 @@ object Dedup extends QueryModule {
     */
   val CORENESS_ROUNDS = 8
 
+  /** Value clamp for [[corenessFromPairs]]' histogram rows: H over
+    * clamped values equals min(H, cap), so coreness is EXACT up to
+    * this cap (curation thresholds live in single digits) and the
+    * per-node agg buffer is bounded at cap entries on any graph —
+    * the same bounded-row-width discipline as EDGE_JACC_MAX_DEG.
+    * Mirrored verbatim in the oracle.
+    */
+  val CORENESS_MAX_H = 100000
+
   /** Full core decomposition — per-node coreness, the graph signal
     * curation pipelines actually threshold on — via the ITERATED
     * H-INDEX fixpoint (Lü, Zhou, Zhang & Stanley, "The H-index of a
@@ -1261,10 +1270,11 @@ object Dedup extends QueryModule {
     * (a peel-per-level formulation rewrites the m-row edge list every
     * drop round; on clique-heavy x20 graphs that made full
     * decomposition ~4x a single k-core peel, where this formulation
-    * tracks it). H per node is computed on the desc-sorted neighbor
-    * array: H = |{i : arr(i) >= i}| (1-based), a codegen-friendly
-    * size(filter(...)) — row width is one neighbor-values array,
-    * bounded by max degree like the sibling adjacency-array operators.
+    * tracks it). H per node is computed from the clamped VALUE
+    * HISTOGRAM (see [[CORENESS_MAX_H]]): equal neighbor values
+    * collapse in a (src, v) pre-agg, so the per-node row holds at
+    * most min(degree, cap) (v, n) pairs — bounded agg-buffer width on
+    * ANY graph, hubs included, unlike a raw neighbor-value array.
     * Early exit when sum(c) stops falling: the iterate is pointwise
     * non-increasing, so an unchanged sum means fixpoint and every
     * later round is the identity — the bounded oracle unroll and the
@@ -1284,13 +1294,30 @@ object Dedup extends QueryModule {
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
+      // H per node from the CAPPED VALUE HISTOGRAM, not a raw neighbor
+      // array: values clamp to CORENESS_MAX_H (H over clamped values =
+      // min(H, cap) — exact whenever coreness <= cap), then one
+      // (src, v) pre-agg collapses equal values so the per-node row
+      // holds at most min(degree, cap) (v, n) pairs — a bounded agg
+      // buffer on ANY graph, where a raw collect_list row is as wide
+      // as a hub's degree. H = max over desc-sorted (v, n) of
+      // min(v, cumulative n) — the citation-histogram identity.
       val next = edges
-        .join(c.select(col("id").as("dst"), col("c").as("cv")), "dst")
+        .join(c.select(col("id").as("dst"),
+          least(col("c"), lit(CORENESS_MAX_H.toLong)).as("cv")), "dst")
+        .groupBy(col("src"), col("cv").as("v"))
+        .agg(count(lit(1)).as("n"))
         .groupBy("src")
-        .agg(sort_array(collect_list("cv"), asc = false).as("vs"))
+        .agg(reverse(sort_array(collect_list(struct(col("v"), col("n")))))
+          .as("hist"))
         .select(col("src").as("id"),
-          size(filter(col("vs"),
-            (x: Column, i: Column) => x >= i + lit(1))).cast("long").as("c"))
+          aggregate(col("hist"),
+            struct(lit(0L).as("cum"), lit(0L).as("best")),
+            (acc, x) => struct(
+              (acc("cum") + x("n")).as("cum"),
+              greatest(acc("best"),
+                least(x("v"), acc("cum") + x("n"))).as("best")),
+            acc => acc("best")).as("c"))
         .localCheckpoint(true)
       val nextSum = next.agg(sum("c")).collect()(0).getLong(0)
       release(c)
@@ -2170,21 +2197,24 @@ object Dedup extends QueryModule {
     // rounds, and both sides run at most the same bounded chain.
     // coreness via the identical bounded h-index chain, unrolled:
     // c0 = degree; round r computes, per node, the H-index of its
-    // neighbors' round-(r-1) values (max over desc-ranked values of
-    // least(rank, value) — the window formulation, oracle-scale-fine).
+    // neighbors' round-(r-1) values from the clamped value histogram
+    // (max over desc-ordered values of least(value, cumulative count)
+    // — the citation-histogram identity, clamp mirrored verbatim).
     // Engine-identical to the Spark loop by construction: Spark's
     // sum-unchanged early exit only skips identity rounds, and both
     // sides run at most CORENESS_ROUNDS rounds.
     "graph_coreness" -> {
       def round(r: Int): String = s"""
-           j$r AS (SELECT e.src, c.c AS cv
+           j$r AS (SELECT e.src, least(c.c, $CORENESS_MAX_H) AS cv
                    FROM e0 e JOIN c${r - 1} c ON c.id = e.dst),
-           r$r AS (SELECT src, cv,
-                          row_number() OVER (PARTITION BY src
-                                             ORDER BY cv DESC) AS rn
-                   FROM j$r),
+           g$r AS (SELECT src, cv AS v, count(1)::BIGINT AS n
+                   FROM j$r GROUP BY src, cv),
+           r$r AS (SELECT src, v,
+                          sum(n) OVER (PARTITION BY src
+                                       ORDER BY v DESC) AS cum
+                   FROM g$r),
            c$r AS MATERIALIZED (SELECT src AS id,
-                          max(least(rn, cv))::BIGINT AS c
+                          max(least(v, cum))::BIGINT AS c
                    FROM r$r GROUP BY src)"""
       s"""
       WITH p AS MATERIALIZED (SELECT a_id, b_id
