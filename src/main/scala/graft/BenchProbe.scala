@@ -236,6 +236,17 @@ object BenchProbe {
       } else if (name == "scaledcc100") {
         val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
         graft.queries.Dedup.clustersFrom(spark.read.parquet(p), ordered = false)
+      } else if (name == "scaledcoreness100") {
+        // survives-100x evidence for the h-index decomposition: the
+        // x100 pair graph (~127M directed edge rows through each
+        // round's join) with the edge list checkpointed once — no
+        // per-round edge rewrite, so cost is rounds x (join + two
+        // bounded hash aggs)
+        val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
+        graft.queries.Dedup.corenessFromPairs(
+          graft.queries.Dedup.minhashPairsFrom(
+            spark.read.parquet(p), ordered = false)
+            .select("a_id", "b_id"))
       } else if (name == "scaledinc100") {
         val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
         val docs = spark.read.parquet(p)
