@@ -845,6 +845,40 @@ object TextAnalysis extends QueryModule {
     //    dedup). Shapes: one tokenize pass, one digest agg, one join,
     //    one final hash agg — the whole card is two shuffles at any
     //    corpus size. ---------------------------------------------------
+    // -- in-flight pipeline counters via Dataset.observe (the
+    //    accumulator-backed metrics API): a curation gate reports its
+    //    input volume, kept count and kept char mass from the SAME
+    //    scan that drives the pipeline — zero extra jobs, the
+    //    production alternative to a separate count() per stage (the
+    //    plan-time-scan anti-pattern bm25From once carried, stamped
+    //    out for good here: at 100 TB a redundant counting scan is
+    //    real money). The observed map becomes the 1-row result; the
+    //    oracle computes the identical aggregates explicitly ------------
+    "pipe_observe_metrics" -> ((s, d) => {
+      val keep = col("n_chars").between(200, 3000)
+      val obs = org.apache.spark.sql.Observation("pipe_gate")
+      val observed = Tables.documents(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_in"),
+          sum("n_chars").as("chars_in"),
+          count_if(keep).as("n_kept"),
+          coalesce(sum(when(keep, col("n_chars"))), lit(0L))
+            .as("chars_kept"))
+      // one job over the observed scan, zero sink cost — the metrics
+      // ride the job's accumulators, no second pass over the corpus
+      observed.filter(keep).write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      def g(k: String): Long = m(k).asInstanceOf[Number].longValue()
+      val (nIn, nKept) = (g("n_in"), g("n_kept"))
+      s.range(1).select(
+        lit(nIn).as("n_in"),
+        lit(nKept).as("n_kept"),
+        lit(if (nIn == 0L) 0L else nKept * 1000L / nIn)
+          .as("kept_per_mille"),
+        lit(g("chars_in")).as("chars_in"),
+        lit(g("chars_kept")).as("chars_kept"))
+    }),
+
     "pipe_dataset_card" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val g = gopherFrom(docs).select("doc_id", "n_tokens", "gopher_pass")
@@ -1626,6 +1660,20 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id, n_bigrams, nll_micronat, avg_micronat
       FROM $sqlLmScores
       ORDER BY doc_id""",
+
+    // the observe() counters, recomputed as plain aggregates: the
+    // Spark side reports what its accumulators saw in one pass; the
+    // oracle proves those numbers ARE the explicit aggregates
+    "pipe_observe_metrics" -> """
+      SELECT count(1)::BIGINT AS n_in,
+             (count(1) FILTER (WHERE n_chars BETWEEN 200 AND 3000))::BIGINT
+               AS n_kept,
+             ((count(1) FILTER (WHERE n_chars BETWEEN 200 AND 3000)) * 1000
+               // count(1))::BIGINT AS kept_per_mille,
+             sum(n_chars)::BIGINT AS chars_in,
+             COALESCE(sum(n_chars) FILTER (WHERE n_chars BETWEEN 200
+               AND 3000), 0)::BIGINT AS chars_kept
+      FROM documents""",
 
     "pipe_dataset_card" -> s"""
       WITH g AS (SELECT doc_id, n_tokens, gopher_pass FROM $sqlGopherFlags),
