@@ -83,7 +83,8 @@ object Bench {
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +
       "scaled_cc_x20's contract-then-solve loop family; gate-scale graph " +
-      "is tiny" -> Seq("graph_pagerank", "graph_kcore", "graph_coreness"),
+      "is tiny" -> Seq("graph_pagerank", "graph_kcore", "graph_coreness",
+      "graph_cluster_quality"),
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk" -> Seq(
       "sim_range_search"),

@@ -1329,6 +1329,59 @@ object Dedup extends QueryModule {
     c.select(col("id").as("doc_id"), col("c").as("coreness"))
       .orderBy("doc_id")
   }
+  /** Per-cluster quality report over the near-dup CC partition — the
+    * curation dial for whether cluster-dedup is collapsing genuine
+    * duplication communities (dense, low-boundary) or families glued
+    * together by boilerplate bridges (sparse, leaky). Per cluster:
+    * n_nodes, internal edge count, cut size (cross-cluster edge ends —
+    * with CC labels over the same pair set the cut is structurally 0;
+    * the column exists because the operator accepts ANY (docs, pairs,
+    * labels-consistent) triple, e.g. winnow labels scored against
+    * minhash pairs), internal density in per-mille
+    * (2 e_in / (n (n-1))) and conductance in per-mille
+    * (cut / (2 e_in + cut)) — all integer arithmetic, mirrored
+    * verbatim by the oracle. Top 25 clusters by (n_nodes desc, id).
+    *
+    * Scale shape: one CC solve (contract-then-solve, see
+    * [[ccFromPairs]]), two label re-attaches onto the pair list
+    * (broadcast while the corpus is inside broadcast reach — the
+    * size-gated [[graft.operators.DedupOps.sizeHint]] policy), then
+    * per-cluster hash aggs; nothing wider than a label row ever
+    * shuffles.
+    */
+  def clusterQualityFrom(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true) // labels pass + stats pass
+    val labs = ccFromPairs(docs, pairs, ordered = false)
+    val hint = graft.operators.DedupOps.sizeHint(docs)
+    def side(k: String, out: String) =
+      hint(labs.select(col("doc_id").as(k), col("cluster").as(out)))
+    val tagged = pairs
+      .join(side("a_id", "ca"), "a_id")
+      .join(side("b_id", "cb"), "b_id")
+      .localCheckpoint(true) // consumed by e_in and both cut sides
+    val eIn = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster")).agg(count(lit(1)).as("e_in"))
+    val cross = tagged.filter(col("ca") =!= col("cb"))
+    val cut = cross.select(col("ca").as("cluster"))
+      .unionByName(cross.select(col("cb").as("cluster")))
+      .groupBy("cluster").agg(count(lit(1)).as("cut"))
+    labs.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+      .join(eIn, Seq("cluster"), "left")
+      .join(cut, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("cut"), lit(0L)).as("cut"))
+      .withColumn("density_mille",
+        when(col("n_nodes") >= 2,
+          expr("e_in * 2000 DIV (n_nodes * (n_nodes - 1))"))
+          .otherwise(lit(0L)))
+      .withColumn("conductance_mille",
+        when(col("e_in") * 2 + col("cut") > 0,
+          expr("cut * 1000 DIV (2 * e_in + cut)")).otherwise(lit(0L)))
+      .orderBy(col("n_nodes").desc, col("cluster"))
+      .limit(25)
+  }
+
   /** Default hub-degree cap for [[edgeJaccardFrom]] — see its scaladoc. */
   val EDGE_JACC_MAX_DEG = 100000
 
@@ -1608,6 +1661,15 @@ object Dedup extends QueryModule {
       corenessFromPairs(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
+
+    // -- per-cluster quality report (see clusterQualityFrom): density
+    //    and conductance of every near-dup community — is cluster-dedup
+    //    collapsing real duplication families or boilerplate bridges? --
+    "graph_cluster_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      clusterQualityFrom(docs,
+        minhashPairsFrom(docs, ordered = false).select("a_id", "b_id"))
+    }),
 
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {
@@ -2043,6 +2105,51 @@ object Dedup extends QueryModule {
       FROM reach
       GROUP BY id
       ORDER BY doc_id""",
+
+    // per-cluster quality: the same recursive-CTE labels as
+    // dedup_clusters, then the integer density/conductance arithmetic
+    // mirrored from clusterQualityFrom verbatim (cut is structurally 0
+    // for CC labels over the same pair set — see the scaladoc)
+    "graph_cluster_quality" -> s"""
+      WITH RECURSIVE
+        p AS (SELECT a_id, b_id FROM (${minhashPairsSql(ordered = false)}) mp),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst FROM p),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src),
+        cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        t AS (SELECT ca.cluster AS ca, cb.cluster AS cb
+              FROM p
+              JOIN cc ca ON ca.doc_id = p.a_id
+              JOIN cc cb ON cb.doc_id = p.b_id),
+        ein AS (SELECT ca AS cluster, count(1)::BIGINT AS e_in
+                FROM t WHERE ca = cb GROUP BY ca),
+        cut AS (SELECT cluster, count(1)::BIGINT AS cut
+                FROM (SELECT ca AS cluster FROM t WHERE ca <> cb
+                      UNION ALL
+                      SELECT cb AS cluster FROM t WHERE ca <> cb) x
+                GROUP BY cluster),
+        nn AS (SELECT cluster, count(1)::BIGINT AS n_nodes
+               FROM cc GROUP BY cluster),
+        j AS (SELECT nn.cluster, nn.n_nodes,
+                     COALESCE(ein.e_in, 0)::BIGINT AS e_in,
+                     COALESCE(cut.cut, 0)::BIGINT AS cut
+              FROM nn
+              LEFT JOIN ein ON ein.cluster = nn.cluster
+              LEFT JOIN cut ON cut.cluster = nn.cluster)
+      SELECT cluster, n_nodes, e_in, cut,
+             (CASE WHEN n_nodes >= 2
+                   THEN e_in * 2000 // (n_nodes * (n_nodes - 1))
+                   ELSE 0 END)::BIGINT AS density_mille,
+             (CASE WHEN 2 * e_in + cut > 0
+                   THEN cut * 1000 // (2 * e_in + cut)
+                   ELSE 0 END)::BIGINT AS conductance_mille
+      FROM j
+      ORDER BY n_nodes DESC, cluster
+      LIMIT 25""",
 
     // cluster-keyed split: same recursive-CTE labels as dedup_clusters,
     // split arithmetic mirrored from pipe_split but over the label

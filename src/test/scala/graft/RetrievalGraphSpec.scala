@@ -201,6 +201,25 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(pathRows.values.toSet == Set(1L))
   }
 
+  test("cluster quality: cliques score dense, chains sparse, cut zero") {
+    import spark.implicits._
+    // disjoint K4 (1..4) and triangle (10..12) plus a path 20-21-22:
+    // three CC clusters; density = 2 e / (n (n-1)) per-mille
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L), (21L, 22L))
+    val docs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = Dedup.clusterQualityFrom(docs, pairs.toDF("a_id", "b_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // CC labels are component minima: 1 = K4, 10 = triangle, 20 = path.
+    // density = 2 e / (n (n-1)) per-mille; CC labels make every cut 0
+    assert(rows(1L) == ((4L, 6L, 0L, 1000L, 0L)))
+    assert(rows(10L) == ((3L, 3L, 0L, 1000L, 0L)))
+    assert(rows(20L) == ((3L, 2L, 0L, 666L, 0L)))
+  }
+
   test("weighted sampling: deterministic top-k with strictly negative keys") {
     val out = SparkEntry.queries("pipe_sample_weighted")(
       spark, TestSpark.sf0001).collect()
