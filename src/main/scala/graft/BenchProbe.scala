@@ -92,6 +92,12 @@ object BenchProbe {
         graft.queries.Dedup.kcoreFromPairs(
           Bench.scaledMinhash(spark, p).select("a_id", "b_id"),
           k = 3, rounds = 8)
+      } else if (name == "scaledejacc") {
+        // hub-split edge jaccard over the x20 pair graph — the Bench
+        // scaled_ejacc_x20 workload, isolated for variance triage
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.edgeJaccardFrom(
+          Bench.scaledMinhash(spark, p).select("a_id", "b_id"))
       } else if (name == "scaledcoreness") {
         // full h-index core decomposition over the x20 pair graph —
         // the Bench scaled_coreness_x20 workload, isolated for plan
