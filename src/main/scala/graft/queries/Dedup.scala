@@ -23,6 +23,16 @@ object Dedup extends QueryModule {
   private val BANDS = 4
   private val ROWS = 4 // rows per band; BANDS*ROWS == K
 
+  /** Hot-bucket guard for the LSH candidate self-join (see
+    * candidateMatches): a band bucket larger than this is skipped —
+    * it would emit O(bucket^2) candidate pairs, and buckets that big
+    * are exact-duplicate families the cascade's exact pass collapses
+    * upstream, not near-dup neighborhoods. Mirrored verbatim in every
+    * band-join oracle; gate/bench corpora peak around 10^2 per bucket,
+    * so the guard only fires on degenerate inputs.
+    */
+  val MINHASH_MAX_BUCKET = 10000
+
   /** 60-bit SimHash per document: one hex->long parse per token, then
     * the 60 per-bit +-1 votes are pure long bitwise ops inside
     * whole-stage codegen (15 hex chars = 60 bits fits signed 64-bit in
@@ -135,7 +145,8 @@ object Dedup extends QueryModule {
     * `m` in [0, K] — the shared core of [[minhashPairsFrom]] (est
     * Jaccard = m/K) and [[containmentPairsFrom]] (asymmetric overlap).
     */
-  private def candidateMatches(docs: DataFrame): DataFrame = {
+  private def candidateMatches(docs: DataFrame,
+      maxBucket: Int = MINHASH_MAX_BUCKET): DataFrame = {
     // Signatures stay as k FLAT long columns through this pipeline:
     // fixed-length UnsafeRows through the re-attach joins, and the
     // match-count is k direct long compares — the array form cost ~4x
@@ -158,9 +169,24 @@ object Dedup extends QueryModule {
     // down to a handful of tasks by the tiny input size, and the pair
     // stream inherits that narrow parallelism.
     val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val a = banded.select(col("bh"), col("doc_id").as("a_id"))
+    // HOT-BUCKET GUARD: a band bucket with more than MINHASH_MAX_BUCKET
+    // members contributes QUADRATICALLY to the self-join below — the
+    // classic LSH blow-up, where a family of byte-identical docs shares
+    // every band and one bucket emits O(family^2) pairs. Skip such
+    // buckets entirely: genuine near-dup buckets are small by
+    // construction (signature agreement at >= 0.5 Jaccard), and mass
+    // exact-duplicate families belong to the exact pass UPSTREAM
+    // (pipe_dedup_cascade collapses them before LSH ever runs). At most
+    // (corpus x BANDS) / cap buckets can be hot — broadcastable by
+    // construction, the same argument as edgeJaccardFrom's hub set.
+    // Mirrored verbatim in every band-join oracle, so a degenerate
+    // regenerated corpus cannot flip the gate.
+    val hot = banded.groupBy("bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("bh")
+    val cool = banded.join(broadcast(hot), Seq("bh"), "left_anti")
+    val a = cool.select(col("bh"), col("doc_id").as("a_id"))
       .repartition(nPart, col("bh"))
-    val b = banded.select(col("bh"), col("doc_id").as("b_id"))
+    val b = cool.select(col("bh"), col("doc_id").as("b_id"))
       .repartition(nPart, col("bh"))
     val pairs = a.join(b, Seq("bh"))
       .filter(col("a_id") < col("b_id"))
@@ -184,8 +210,9 @@ object Dedup extends QueryModule {
       .select(col("a_id"), col("b_id"), matches.cast("long").as("m"))
   }
 
-  def minhashPairsFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
-    val scored = candidateMatches(docs)
+  def minhashPairsFrom(docs: DataFrame, ordered: Boolean = true,
+      maxBucket: Int = MINHASH_MAX_BUCKET): DataFrame = {
+    val scored = candidateMatches(docs, maxBucket)
       .select(col("a_id"), col("b_id"),
         (col("m").cast("double") / K.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
@@ -1915,10 +1942,16 @@ object Dedup extends QueryModule {
              SELECT doc_id, sig, bb.b AS band,
                     array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
              FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           hotb AS (SELECT band, bkey FROM bands
+                    GROUP BY band, bkey HAVING count(1) > $MINHASH_MAX_BUCKET),
+           cool AS (SELECT b.* FROM bands b
+                    WHERE NOT EXISTS (SELECT 1 FROM hotb h
+                                      WHERE h.band = b.band
+                                        AND h.bkey = b.bkey)),
            cand AS (
              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                     a.sig AS a_sig, b.sig AS b_sig
-             FROM bands a JOIN bands b
+             FROM cool a JOIN cool b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
       SELECT a_id, b_id,
              list_aggregate(list_transform(range(1, ${K + 1}),
@@ -2068,10 +2101,16 @@ object Dedup extends QueryModule {
              SELECT doc_id, sig, bb.b AS band,
                     array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
              FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           hotb AS (SELECT band, bkey FROM bands
+                    GROUP BY band, bkey HAVING count(1) > $MINHASH_MAX_BUCKET),
+           cool AS (SELECT b.* FROM bands b
+                    WHERE NOT EXISTS (SELECT 1 FROM hotb h
+                                      WHERE h.band = b.band
+                                        AND h.bkey = b.bkey)),
            cand AS (
              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                     a.sig AS a_sig, b.sig AS b_sig
-             FROM bands a JOIN bands b
+             FROM cool a JOIN cool b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
            mm AS (
              SELECT a_id, b_id,
@@ -2615,10 +2654,16 @@ object Dedup extends QueryModule {
              SELECT doc_id, sig, bb.b AS band,
                     array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
              FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           hotb AS (SELECT band, bkey FROM bands
+                    GROUP BY band, bkey HAVING count(1) > $MINHASH_MAX_BUCKET),
+           cool AS (SELECT b.* FROM bands b
+                    WHERE NOT EXISTS (SELECT 1 FROM hotb h
+                                      WHERE h.band = b.band
+                                        AND h.bkey = b.bkey)),
            cand AS (
              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                     a.sig AS a_sig, b.sig AS b_sig
-             FROM bands a JOIN bands b
+             FROM cool a JOIN cool b
                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
       SELECT c.a_id, c.b_id,
              list_aggregate(list_transform(range(1, ${K + 1}),

@@ -22,6 +22,30 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(Dedup.levenshteinPairsFrom(boiler).count() === 0L)
   }
 
+  test("LSH hot-bucket guard skips an exact-duplicate family, keeps near-dups") {
+    // 30 byte-identical docs share every band -> one bucket of 30 in
+    // each of the 4 bands; unguarded, that family alone emits
+    // 4 * C(30,2) candidate rows before dedup — quadratic in family
+    // size (the 100 TB blow-up). At maxBucket = 8 every family bucket
+    // is skipped, while the genuine near-dup pair (bucket of 2)
+    // survives with its estimate intact.
+    val family = (0 until 30)
+      .map(i => (100L + i, "the exact same boilerplate text every time"))
+    val nearDup = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"))
+    val docs = (family ++ nearDup).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsFrom(docs, ordered = true, maxBucket = 8)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < 100L && r.getLong(1) < 100L),
+      "family pairs must be skipped by the hot-bucket guard")
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    // default cap (10000): the family is far under it and pairs freely
+    val unguarded = Dedup.minhashPairsFrom(docs, ordered = false).count()
+    assert(unguarded == 30L * 29 / 2 + 1) // all family pairs + the near-dup
+  }
+
   test("prefix-block cap keeps small blocks intact") {
     // Two near-identical docs sharing a distinct prefix: a block of 2 is
     // far under the cap, and the pair must survive with jac >= 0.5.
