@@ -93,8 +93,16 @@ class PlanShapeSpec extends AnyFunSuite {
       conf.set("spark.graft.dedup.broadcastCorpusBytes", "0")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val p = plan("dedup_minhash_pairs")
-      assert(!p.contains("BroadcastHashJoin"),
-        "size gate shut but a broadcast join still planned:\n" + p)
+      // the ONE allowed broadcast is the hot-bucket guard's LeftAnti
+      // (its build side is bounded by (corpus x BANDS)/cap regardless
+      // of corpus size — broadcastable by construction, unlike the
+      // corpus-sized signature frames this gate exists to keep off
+      // the driver)
+      val bhjTree = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") && l.contains("Build"))
+        .toSeq
+      assert(bhjTree.forall(_.contains("LeftAnti")),
+        "size gate shut but a non-guard broadcast join still planned:\n" + p)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         "expected shuffle joins for the signature re-attach:\n" + p)
     } finally {
