@@ -745,11 +745,16 @@ object Bench {
     // the round-10 graph ops at the same x20 regime, each timed as the
     // full pipeline (pair build + operator) like scaled_tri_x20; one
     // rep each — adjacency-array shapes, cross-round JSONs repeat them
-    val ejacc = Seq(timeOne("scaled_ejacc_x20", () =>
+    // min-of-2: this row's first attempt is uniquely JIT/page-cache
+    // sensitive (r13 triage: 6.8 / 7.4 / 23.1 s across same-code
+    // sweeps, isolated probe 20.8 s cold -> 7.6 s steady) — a single
+    // attempt can misread 3x in the one-shot per-round run
+    def ejaccOnce() = timeOne("scaled_ejacc_x20", () =>
       graft.queries.Dedup.edgeJaccardFrom(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
-          .select("a_id", "b_id"))))
+          .select("a_id", "b_id")))
+    val ejacc = Seq(ejaccOnce(), ejaccOnce())
     val kcore = Seq(timeOne("scaled_kcore_x20", () =>
       graft.queries.Dedup.kcoreFromPairs(
         graft.queries.Dedup.minhashPairsFrom(
