@@ -126,7 +126,8 @@ object Bench {
       "representative)" -> Seq(
       "ev_map_funcs", "q_array_funcs", "q_collation", "q_date_funcs",
       "q_date_funcs2", "q_encode_funcs", "q_math_funcs", "q_scalar_misc",
-      "q_string_funcs", "q_try_funcs", "q_url_funcs", "q_variant_json"),
+      "q_serde_funcs", "q_string_funcs", "q_try_funcs", "q_url_funcs",
+      "q_variant_json"),
     "sketch/aggregate function rows: per-row update cost is pinned in " +
       "GkSpec / HllSpec / KmvSketchSpec / MisraGriesSpec microbenches; " +
       "q_kmv_setops is the timed representative" -> Seq(

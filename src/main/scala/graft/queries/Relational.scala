@@ -608,6 +608,32 @@ object Relational extends QueryModule {
             .as("name_roundtrip"))
         .orderBy("c_custkey")),
 
+    // -- scalar serde functions: Spark 4 native XML (to_xml/from_xml)
+    //    and per-row CSV (to_csv/from_csv) round-tripped through their
+    //    string forms back to typed fields. DuckDB has no XML parser,
+    //    so the oracle is the ROUNDTRIP IDENTITY — the original
+    //    columns — which is exactly the property worth pinning: a
+    //    serde that drops precision, mangles encoding or reorders
+    //    fields breaks the hash ------------------------------------------
+    "q_serde_funcs" -> ((s, d) => {
+      val base = cust(s, d)
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val payload = struct(col("c_custkey"), col("c_name"),
+        col("c_nationkey"))
+      val sch = "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT"
+      base
+        .withColumn("x", from_xml(to_xml(payload), lit(sch)))
+        .withColumn("c", from_csv(to_csv(payload), lit(sch),
+          new java.util.HashMap[String, String]()))
+        .select(col("c_custkey"),
+          col("x.c_name").as("xml_name"),
+          col("x.c_nationkey").as("xml_nation"),
+          col("c.c_name").as("csv_name"),
+          col("c.c_nationkey").as("csv_nation"))
+        .orderBy("c_custkey")
+    }),
+
     // -- explicit null ordering: customers without orders sort under
     //    NULLS LAST / NULLS FIRST control (left-join-produced nulls) ------
     "q_null_order" -> ((s, d) => {
@@ -1355,6 +1381,19 @@ object Relational extends QueryModule {
              base64(c_name::BLOB) AS name_b64,
              hex(c_name::BLOB) AS name_hex,
              c_name AS name_roundtrip
+      FROM customer
+      WHERE c_custkey <= 100
+      ORDER BY c_custkey""",
+
+    // serde roundtrip identity: a to_xml/from_xml or to_csv/from_csv
+    // pass that drops precision, mangles encoding or reorders fields
+    // diverges from the raw columns and breaks the hash
+    "q_serde_funcs" -> """
+      SELECT c_custkey,
+             c_name AS xml_name,
+             c_nationkey AS xml_nation,
+             c_name AS csv_name,
+             c_nationkey AS csv_nation
       FROM customer
       WHERE c_custkey <= 100
       ORDER BY c_custkey""",
