@@ -988,9 +988,13 @@ object Dedup extends QueryModule {
 
   /** Exact n-gram Jaccard over prefix-blocked candidate pairs. */
   def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+    // token-free docs don't block: their empty-string prefix key would
+    // pool them into one shared block and the Jaccard denominator
+    // |A u B| = 0 aborts the ANSI divide (oracle: WHERE len(ts) > 0)
     val t = docs.select(col("doc_id"),
       array_distinct(Text.tokensLower(col("text"))).as("ts"),
       array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
+      .filter(size(col("ts")) > 0)
     blockedPairs(t)
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         DedupOps.jaccard(col("a_ts"), col("b_ts")).as("jac"))
@@ -1012,9 +1016,12 @@ object Dedup extends QueryModule {
     * order-independent and oracle-exact.
     */
   def weightedJaccardPairsFrom(docs: DataFrame): DataFrame = {
+    // same token-free guard as jaccardPairsFrom (denominator
+    // ta + tb - smin = 0 for a pair of empty token lists)
     val t = docs.select(col("doc_id"),
       array_sort(Text.tokensLower(col("text"))).as("ms"),
       array_join(slice(Text.tokensLower(col("text")), 1, 3), " ").as("blk"))
+      .filter(size(col("ms")) > 0)
     blockedPairs(t)
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         size(col("a_ms")).cast("long").as("ta"),
@@ -2443,7 +2450,7 @@ object Dedup extends QueryModule {
       WITH t AS (
         SELECT doc_id, list_distinct($sqlToksL) AS ts,
                array_to_string(($sqlToksL)[1:3], ' ') AS blk
-        FROM documents),
+        FROM documents WHERE len($sqlToksL) > 0),
       ok AS (SELECT blk FROM t GROUP BY blk HAVING count(1) <= $MAX_BLOCK)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              len(list_intersect(a.ts, b.ts))::DOUBLE
@@ -2482,7 +2489,7 @@ object Dedup extends QueryModule {
       WITH t AS (
         SELECT doc_id, $sqlToksL AS ts,
                array_to_string(($sqlToksL)[1:3], ' ') AS blk
-        FROM documents),
+        FROM documents WHERE len($sqlToksL) > 0),
       ok AS (SELECT blk FROM t GROUP BY blk
              HAVING count(1) BETWEEN 2 AND $MAX_BLOCK),
       tf AS (SELECT doc_id, tok, count(1) AS tf

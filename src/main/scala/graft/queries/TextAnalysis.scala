@@ -375,8 +375,12 @@ object TextAnalysis extends QueryModule {
           size(toks).cast("long").as("n_tokens"),
           size(array_distinct(toks)).cast("long").as("n_distinct"),
           length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long").as("n_alnum_chars"),
-          (length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double")
-            / size(toks)).as("avg_token_len"))
+          // token-free doc: the average is undefined, not a crash — the
+          // unguarded ANSI divide aborted the whole query on a corpus
+          // with one empty text (oracle mirrors the NULL)
+          when(size(toks) > 0,
+            length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+              .cast("double") / size(toks)).as("avg_token_len"))
         .orderBy("doc_id")),
 
     // -- quality scoring: stopword ratio, distinct ratio, length ----------
@@ -384,14 +388,15 @@ object TextAnalysis extends QueryModule {
       val nTok = size(toks).cast("long")
       val nStop = stopCount(toks)
       val nDist = size(array_distinct(toks)).cast("long")
+      def guarded(c: Column) = when(nTok > 0, c) // NULL on token-free docs
       Tables.documents(s, d)
         .select(
           col("doc_id"), nTok.as("n_tokens"),
-          (nStop.cast("double") / nTok).as("stop_ratio"),
-          (nDist.cast("double") / nTok).as("distinct_ratio"),
+          guarded(nStop.cast("double") / nTok).as("stop_ratio"),
+          guarded(nDist.cast("double") / nTok).as("distinct_ratio"),
           // Composite quality: stopword presence + vocabulary diversity,
           // penalized for very short docs. Single exact expression.
-          ((nStop.cast("double") / nTok) * 0.5
+          guarded((nStop.cast("double") / nTok) * 0.5
             + (nDist.cast("double") / nTok) * 0.3
             + when(nTok >= 50, 0.2).otherwise(0.0)).as("quality"))
         .orderBy("doc_id")
@@ -633,7 +638,11 @@ object TextAnalysis extends QueryModule {
       val quality = (nStop.cast("double") / nTok) * 0.5 +
         (nDist.cast("double") / nTok) * 0.3 +
         when(nTok >= 50, 0.2).otherwise(0.0)
+      // token-free docs carry no quality signal and divide by zero in
+      // the score: drop them BEFORE the projection (the oracle's
+      // scored CTE has the same WHERE n_tokens > 0)
       val scored = Tables.documents(s, d)
+        .filter(size(toks) > 0)
         .select(col("doc_id"), col("lang"), col("text"),
           nTok.as("n_tokens"), quality.as("q"))
         .filter(col("q") >= 0.30)
@@ -663,6 +672,7 @@ object TextAnalysis extends QueryModule {
         (nDist.cast("double") / nTok) * 0.3 +
         when(nTok >= 50, 0.2).otherwise(0.0)
       val scored = Tables.documents(s, d)
+        .filter(size(toks) > 0) // oracle's scored CTE: WHERE n_tokens > 0
         .select(col("doc_id"), col("text"), quality.as("q"))
         .filter(col("q") >= 0.30)
       val dedupW = Window
@@ -1245,8 +1255,9 @@ object TextAnalysis extends QueryModule {
              len($sqlToks) AS n_tokens,
              len(list_distinct($sqlToks)) AS n_distinct,
              length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum_chars,
-             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
-               / len($sqlToks) AS avg_token_len
+             CASE WHEN len($sqlToks) = 0 THEN NULL
+                  ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                         / len($sqlToks) END AS avg_token_len
       FROM documents
       ORDER BY doc_id""",
 
@@ -1258,11 +1269,15 @@ object TextAnalysis extends QueryModule {
                len(list_distinct($sqlToks)) AS n_dist
         FROM documents)
       SELECT doc_id, n_tokens,
-             n_stop::DOUBLE / n_tokens AS stop_ratio,
-             n_dist::DOUBLE / n_tokens AS distinct_ratio,
-             (n_stop::DOUBLE / n_tokens) * 0.5
-               + (n_dist::DOUBLE / n_tokens) * 0.3
-               + (CASE WHEN n_tokens >= 50 THEN 0.2 ELSE 0.0 END) AS quality
+             CASE WHEN n_tokens = 0 THEN NULL
+                  ELSE n_stop::DOUBLE / n_tokens END AS stop_ratio,
+             CASE WHEN n_tokens = 0 THEN NULL
+                  ELSE n_dist::DOUBLE / n_tokens END AS distinct_ratio,
+             CASE WHEN n_tokens = 0 THEN NULL
+                  ELSE (n_stop::DOUBLE / n_tokens) * 0.5
+                         + (n_dist::DOUBLE / n_tokens) * 0.3
+                         + (CASE WHEN n_tokens >= 50 THEN 0.2 ELSE 0.0 END)
+                  END AS quality
       FROM t
       ORDER BY doc_id""",
 

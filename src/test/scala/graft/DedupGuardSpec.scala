@@ -46,6 +46,24 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(unguarded == 30L * 29 / 2 + 1) // all family pairs + the near-dup
   }
 
+  test("token-free docs never enter similarity pairing") {
+    // empty text, separators-only, and non-ASCII-only docs all tokenize
+    // to ZERO tokens: their shared empty-string prefix key would pool
+    // them into one block and the Jaccard denominator |A u B| = 0 (or
+    // ta + tb - smin = 0) aborts the ANSI divide — the crash a single
+    // degenerate doc in a regenerated corpus would inflict on the gate
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "___***___"), (4L, "€漢字🙂"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairsFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.toSeq == Seq((10L, 11L)))
+    val wj = Dedup.weightedJaccardPairsFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wj.toSeq == Seq((10L, 11L)))
+  }
+
   test("prefix-block cap keeps small blocks intact") {
     // Two near-identical docs sharing a distinct prefix: a block of 2 is
     // far under the cap, and the pair must survive with jac >= 0.5.
