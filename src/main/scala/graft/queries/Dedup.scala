@@ -176,17 +176,32 @@ object Dedup extends QueryModule {
     // buckets entirely: genuine near-dup buckets are small by
     // construction (signature agreement at >= 0.5 Jaccard), and mass
     // exact-duplicate families belong to the exact pass UPSTREAM
-    // (pipe_dedup_cascade collapses them before LSH ever runs). At most
-    // (corpus x BANDS) / cap buckets can be hot — broadcastable by
-    // construction, the same argument as edgeJaccardFrom's hub set.
-    // Mirrored verbatim in every band-join oracle, so a degenerate
-    // regenerated corpus cannot flip the gate.
-    val hot = banded.groupBy("bh").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).select("bh")
-    val cool = banded.join(broadcast(hot), Seq("bh"), "left_anti")
-    val a = cool.select(col("bh"), col("doc_id").as("a_id"))
+    // (pipe_dedup_cascade collapses them before LSH ever runs).
+    // FREE formulation (r13 verdict #6 — the pre-agg + anti-join form
+    // cost a second pass over the whole signature pipeline, ~0.5 s at
+    // x20): a window count over bh on the ALREADY bh-partitioned a
+    // side. The window's hash partitioning and sort are exactly the
+    // join's own requirements, so the count rides the exchange the SMJ
+    // needs anyway — zero extra jobs, zero extra shuffles. Filtering
+    // ONE side suffices: a hot bucket with no a-side rows emits no
+    // pairs, and the blow-up is in the join OUTPUT, not its input.
+    // Mirrored in every band-join oracle (HAVING count > cap on exact
+    // (band, bkey) groups), so a degenerate regenerated corpus cannot
+    // flip the gate. Collision asymmetry note: the engine counts
+    // 64-bit bh buckets while the oracle counts exact (band, bkey)
+    // groups — an xxhash64 collision merging two buckets could fire
+    // the guard where the oracle's separate buckets stay under the
+    // cap (or add candidates the oracle lacks). Both sit on the same
+    // accepted 2^-64-per-pair collision surface as candidate
+    // generation itself; keying the guard pre-hash would re-widen the
+    // join rows the single-long bh exists to narrow.
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("bh")
+    val a = banded.select(col("bh"), col("doc_id").as("a_id"))
       .repartition(nPart, col("bh"))
-    val b = cool.select(col("bh"), col("doc_id").as("b_id"))
+      .withColumn("bn", count(lit(1)).over(bucketW))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    val b = banded.select(col("bh"), col("doc_id").as("b_id"))
       .repartition(nPart, col("bh"))
     val pairs = a.join(b, Seq("bh"))
       .filter(col("a_id") < col("b_id"))
@@ -1269,12 +1284,6 @@ object Dedup extends QueryModule {
       .select(col("src").as("doc_id"), col("core_deg"))
       .orderBy("doc_id")
 
-  /** Coreness cap / rounds-per-level for [[corenessFromPairs]] and its
-    * oracle — BOTH engines unroll the identical bounded chain, so the
-    * compare is engine-identical even before convergence; on the
-    * minhash pair-graph family 8 rounds per level converge (same
-    * contract as graph_kcore's fixed 8).
-    */
   /** Bounded h-index rounds for [[corenessFromPairs]] and its oracle —
     * BOTH engines unroll the identical chain, so the compare is
     * engine-identical even before convergence; on the minhash
@@ -1385,7 +1394,23 @@ object Dedup extends QueryModule {
     */
   def clusterQualityFrom(docs: DataFrame, pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.localCheckpoint(true) // labels pass + stats pass
-    val labs = ccFromPairs(docs, pairs, ordered = false)
+    clusterQualityLabeled(docs, pairs,
+      ccFromPairs(docs, pairs, ordered = false))
+  }
+
+  /** [[clusterQualityFrom]] with the label partition supplied by the
+    * caller — the cut/conductance-exercising form (r13 verdict #3):
+    * scoring one labeling against a pair set it was NOT derived from
+    * (e.g. winnow-CC labels against MinHash pairs) yields genuine
+    * cross-cluster edges, so cut > 0 and the conductance arithmetic is
+    * value-checked instead of structurally pinned at zero. `labels`
+    * must cover every endpoint in `pairs` (ccFromPairs labelings do:
+    * they seed from the full corpus). `pairs` should already be
+    * pinned (localCheckpoint) by the caller — it is consumed once here.
+    */
+  def clusterQualityLabeled(docs: DataFrame, pairs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val labs = labels
     val hint = graft.operators.DedupOps.sizeHint(docs)
     def side(k: String, out: String) =
       hint(labs.select(col("doc_id").as(k), col("cluster").as(out)))
@@ -1426,16 +1451,24 @@ object Dedup extends QueryModule {
     */
   val HUBCAP_MAX_DEG = 8
 
-  /** Synthetic star+clique pair graph for the cap-parity probe: node 0
-    * linked to doc_ids 1..30 (a genuine over-cap hub at
-    * [[HUBCAP_MAX_DEG]]), plus the 5-clique over doc_ids 1..5. Derived
-    * from the documents table's doc_ids so both engines build the
-    * identical relation (see sqlHubcapPairs).
+  /** Synthetic star+clique pair graph for the cap-parity probe: the
+    * SMALLEST doc_id as hub linked to the next 30 (a genuine over-cap
+    * hub at [[HUBCAP_MAX_DEG]]), plus the 5-clique over the first five
+    * spokes. Rank-derived — NOT hard-coded id ranges — so the hub's
+    * degree-30 guarantee survives any regenerated corpus re-keying
+    * (r13 advice: a dense-from-1 assumption would let the capped path
+    * silently stop being exercised while staying hash-green). Mirrored
+    * verbatim in sqlHubcapPairs; the 31-row rank window is a
+    * TakeOrderedAndProject feed, not a full-corpus sort.
     */
   def hubcapPairs(docs: DataFrame): DataFrame = {
-    val star = docs.select(col("doc_id")).filter(col("doc_id").between(1, 30))
-      .select(lit(0L).as("a_id"), col("doc_id").as("b_id"))
-    val five = docs.select(col("doc_id")).filter(col("doc_id").between(1, 5))
+    val ids = docs.select(col("doc_id")).orderBy("doc_id").limit(31)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    val hub = ids.filter(col("rk") === 1).select(col("doc_id").as("a_id"))
+    val star = hub.crossJoin(broadcast(
+      ids.filter(col("rk") >= 2).select(col("doc_id").as("b_id"))))
+    val five = ids.filter(col("rk").between(2, 6))
     val clique = five.select(col("doc_id").as("a_id"))
       .crossJoin(broadcast(five.select(col("doc_id").as("b_id"))))
       .filter(col("a_id") < col("b_id"))
@@ -1703,6 +1736,21 @@ object Dedup extends QueryModule {
       val docs = Tables.documents(s, d)
       clusterQualityFrom(docs,
         minhashPairsFrom(docs, ordered = false).select("a_id", "b_id"))
+    }),
+
+    // -- cross-labelset cluster quality (see clusterQualityLabeled):
+    //    winnow-CC labels scored against the MINHASH pair graph. The
+    //    two near-dup definitions disagree on some pairs, so cross-
+    //    cluster edges exist and the cut / conductance arithmetic is
+    //    value-checked by the oracle instead of structurally 0 as in
+    //    graph_cluster_quality (r13 verdict #3) -----------------------
+    "graph_cluster_xquality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mh = minhashPairsFrom(docs, ordered = false)
+        .select("a_id", "b_id").localCheckpoint(true)
+      clusterQualityLabeled(docs, mh,
+        ccFromPairs(docs, winnowPairsFrom(docs).select("a_id", "b_id"),
+          ordered = false))
     }),
 
     // -- benchmark decontamination (see contaminationFrom) ----------------
@@ -1975,12 +2023,18 @@ object Dedup extends QueryModule {
     * doc_ids so both engines build the identical relation.
     */
   private def sqlHubcapPairs: String = s"""
-      SELECT 0::BIGINT AS a_id, doc_id AS b_id
-      FROM documents WHERE doc_id BETWEEN 1 AND 30
-      UNION ALL
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-      WHERE a.doc_id BETWEEN 1 AND 5 AND b.doc_id BETWEEN 1 AND 5"""
+      SELECT a_id, b_id FROM (
+        WITH ids AS (SELECT doc_id, rk FROM (
+                       SELECT doc_id,
+                              row_number() OVER (ORDER BY doc_id) AS rk
+                       FROM documents) t
+                     WHERE rk <= 31)
+        SELECT h.doc_id AS a_id, s.doc_id AS b_id
+        FROM ids h JOIN ids s ON h.rk = 1 AND s.rk >= 2
+        UNION ALL
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+        WHERE a.rk BETWEEN 2 AND 6 AND b.rk BETWEEN 2 AND 6) u"""
 
   /** SQL twin of [[edgeJaccardFrom]] with the hub cap mirrored
     * engine-identically: per-node rank-and-cut at `maxDeg` (ordered by
@@ -2197,6 +2251,51 @@ object Dedup extends QueryModule {
       ORDER BY n_nodes DESC, cluster
       LIMIT 25""",
 
+    // cross-labelset quality: winnow-CC labels (the dedup_winnow_clusters
+    // CTE) scored against MINHASH pairs — cut > 0 for real, the same
+    // integer density/conductance arithmetic as graph_cluster_quality
+    "graph_cluster_xquality" -> s"""
+      WITH RECURSIVE
+        p AS (SELECT a_id, b_id FROM (${minhashPairsSql(ordered = false)}) mp),
+        wp AS (SELECT a_id, b_id FROM $sqlWinnowPairs w),
+        e AS (SELECT a_id AS src, b_id AS dst FROM wp
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst FROM wp),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src),
+        cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        t AS (SELECT ca.cluster AS ca, cb.cluster AS cb
+              FROM p
+              JOIN cc ca ON ca.doc_id = p.a_id
+              JOIN cc cb ON cb.doc_id = p.b_id),
+        ein AS (SELECT ca AS cluster, count(1)::BIGINT AS e_in
+                FROM t WHERE ca = cb GROUP BY ca),
+        cut AS (SELECT cluster, count(1)::BIGINT AS cut
+                FROM (SELECT ca AS cluster FROM t WHERE ca <> cb
+                      UNION ALL
+                      SELECT cb AS cluster FROM t WHERE ca <> cb) x
+                GROUP BY cluster),
+        nn AS (SELECT cluster, count(1)::BIGINT AS n_nodes
+               FROM cc GROUP BY cluster),
+        j AS (SELECT nn.cluster, nn.n_nodes,
+                     COALESCE(ein.e_in, 0)::BIGINT AS e_in,
+                     COALESCE(cut.cut, 0)::BIGINT AS cut
+              FROM nn
+              LEFT JOIN ein ON ein.cluster = nn.cluster
+              LEFT JOIN cut ON cut.cluster = nn.cluster)
+      SELECT cluster, n_nodes, e_in, cut,
+             (CASE WHEN n_nodes >= 2
+                   THEN e_in * 2000 // (n_nodes * (n_nodes - 1))
+                   ELSE 0 END)::BIGINT AS density_mille,
+             (CASE WHEN 2 * e_in + cut > 0
+                   THEN cut * 1000 // (2 * e_in + cut)
+                   ELSE 0 END)::BIGINT AS conductance_mille
+      FROM j
+      ORDER BY n_nodes DESC, cluster
+      LIMIT 25""",
+
     // cluster-keyed split: same recursive-CTE labels as dedup_clusters,
     // split arithmetic mirrored from pipe_split but over the label
     "pipe_cluster_split" -> s"""
@@ -2342,12 +2441,6 @@ object Dedup extends QueryModule {
       ORDER BY doc_id"""
     },
 
-    // coreness: the identical bounded peel chain, unrolled — level k
-    // peels level (k-1)'s fixpoint for CORENESS_ROUNDS rounds; a
-    // node's coreness is 1 (every node has an edge) plus the number of
-    // level fixpoints it appears in. Engine-identical to the Spark
-    // loop by construction: Spark's early exits only skip identity
-    // rounds, and both sides run at most the same bounded chain.
     // coreness via the identical bounded h-index chain, unrolled:
     // c0 = degree; round r computes, per node, the H-index of its
     // neighbors' round-(r-1) values from the clamped value histogram
@@ -2742,3 +2835,4 @@ object Dedup extends QueryModule {
       LIMIT 20"""
   )
 }
+

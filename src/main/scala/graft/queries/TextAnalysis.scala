@@ -870,7 +870,9 @@ object TextAnalysis extends QueryModule {
       val observed = Tables.documents(s, d)
         .observe(obs,
           count(lit(1)).as("n_in"),
-          sum("n_chars").as("chars_in"),
+          // coalesce like chars_kept: on an EMPTY corpus sum() is NULL
+          // and the Number cast below would NPE (r13 advice)
+          coalesce(sum("n_chars"), lit(0L)).as("chars_in"),
           count_if(keep).as("n_kept"),
           coalesce(sum(when(keep, col("n_chars"))), lit(0L))
             .as("chars_kept"))
@@ -1683,9 +1685,11 @@ object TextAnalysis extends QueryModule {
       SELECT count(1)::BIGINT AS n_in,
              (count(1) FILTER (WHERE n_chars BETWEEN 200 AND 3000))::BIGINT
                AS n_kept,
-             ((count(1) FILTER (WHERE n_chars BETWEEN 200 AND 3000)) * 1000
-               // count(1))::BIGINT AS kept_per_mille,
-             sum(n_chars)::BIGINT AS chars_in,
+             (CASE WHEN count(1) = 0 THEN 0
+                   ELSE (count(1) FILTER (WHERE n_chars BETWEEN 200
+                     AND 3000)) * 1000 // count(1) END)::BIGINT
+               AS kept_per_mille,
+             COALESCE(sum(n_chars), 0)::BIGINT AS chars_in,
              COALESCE(sum(n_chars) FILTER (WHERE n_chars BETWEEN 200
                AND 3000), 0)::BIGINT AS chars_kept
       FROM documents""",

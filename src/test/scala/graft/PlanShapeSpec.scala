@@ -93,16 +93,19 @@ class PlanShapeSpec extends AnyFunSuite {
       conf.set("spark.graft.dedup.broadcastCorpusBytes", "0")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val p = plan("dedup_minhash_pairs")
-      // the ONE allowed broadcast is the hot-bucket guard's LeftAnti
-      // (its build side is bounded by (corpus x BANDS)/cap regardless
-      // of corpus size — broadcastable by construction, unlike the
-      // corpus-sized signature frames this gate exists to keep off
-      // the driver)
-      val bhjTree = p.linesIterator
-        .filter(l => l.contains("BroadcastHashJoin") && l.contains("Build"))
-        .toSeq
-      assert(bhjTree.forall(_.contains("LeftAnti")),
-        "size gate shut but a non-guard broadcast join still planned:\n" + p)
+      // with the gate shut NOTHING may broadcast: the hot-bucket guard
+      // is a window count riding the band join's own exchange (no
+      // anti-join build side since r14), and the signature frames must
+      // degrade to shuffle joins. Asserting on the bare operator name
+      // (not a same-line "Build" conjunction) so a formatter change
+      // cannot make this vacuous (r13 advice).
+      assert(!p.contains("BroadcastHashJoin") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+        "size gate shut but a broadcast join still planned:\n" + p)
+      // the guard itself must still be present — the window count over
+      // the band-bucket key
+      assert(p.contains("Window"),
+        "hot-bucket guard window count missing from the plan:\n" + p)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         "expected shuffle joins for the signature re-attach:\n" + p)
     } finally {

@@ -220,6 +220,32 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(rows(20L) == ((3L, 2L, 0L, 666L, 0L)))
   }
 
+  test("cluster quality labeled: cross-labelset pairs yield nonzero conductance") {
+    import spark.implicits._
+    // K4 {1..4} plus a bridge 4-10 in the SCORED pair set, but labels
+    // that put 10 in its own cluster (as a labeling derived from a
+    // different pair graph would): the bridge becomes a genuine cut
+    // edge, lighting the conductance path that CC-labels-over-the-
+    // same-pairs structurally pins at zero (r13 verdict #3).
+    // Brute force: cluster 1 = {1,2,3,4}: e_in 6 (K4), cut 1, density
+    // 2*6*1000/(4*3) = 1000, conductance 1*1000 DIV (12+1) = 76.
+    // Cluster 10 = {10}: e_in 0, cut 1, density 0, conductance
+    // 1*1000 DIV (0+1) = 1000.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 10L))
+    val docs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L))
+      .toDF("doc_id", "cluster")
+    val rows = Dedup.clusterQualityLabeled(docs,
+        pairs.toDF("a_id", "b_id").localCheckpoint(true), labels)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows(1L) == ((4L, 6L, 1L, 1000L, 76L)))
+    assert(rows(10L) == ((1L, 0L, 1L, 0L, 1000L)))
+  }
+
   test("weighted sampling: deterministic top-k with strictly negative keys") {
     val out = SparkEntry.queries("pipe_sample_weighted")(
       spark, TestSpark.sf0001).collect()
