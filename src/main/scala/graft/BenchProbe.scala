@@ -395,6 +395,31 @@ object BenchProbe {
       }
       spark.stop(); return
     }
+    if (name == "lshrecall") {
+      // Measured recall of the banded-LSH near-dup pipeline vs exact
+      // PPJoin ground truth at the same threshold (J >= 0.5 over word
+      // trigrams) on the x20 corpus — guarded vs unguarded, so the
+      // hot-bucket guard's deliberately dropped candidates are priced
+      // (n_cand delta) alongside what they cost in recall.
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      val docs = spark.read.parquet(p)
+      val out = Seq(
+        "guarded" -> graft.queries.Dedup.MINHASH_MAX_BUCKET,
+        "unguarded" -> Int.MaxValue).map { case (lbl, cap) =>
+        val t0 = System.nanoTime()
+        val r = graft.queries.Dedup.lshRecallFrom(docs, cap).collect()(0)
+        println(f"[probe] lshrecall $lbl%-9s n_gt=${r.getLong(0)} " +
+          s"n_cand=${r.getLong(1)} cand_hits=${r.getLong(2)} " +
+          s"n_est=${r.getLong(3)} est_hits=${r.getLong(4)} " +
+          s"recall_cand_mille=${r.getLong(5)} " +
+          s"recall_est_mille=${r.getLong(6)} " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        lbl -> r.getLong(1)
+      }.toMap
+      println(s"[probe] lshrecall guard_dropped_cands=" +
+        s"${out("unguarded") - out("guarded")}")
+      spark.stop(); return
+    }
     if (name == "annrecall100") {
       // Recall at the survives-100x regime: IVF top-10 vs exact brute
       // cosine over the 200k-vector jittered corpus (AnnRecallSpec
@@ -515,6 +540,39 @@ object BenchProbe {
           graft.queries.TextAnalysis.bpeTrainRounds(words, nMerges)
         println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
           s" — ${merges.size} merges in $rounds rounds")
+      }
+      spark.stop(); return
+    }
+    if (name == "bpeprofile") {
+      // Where does scaled_bpe_deep200's driver-round floor come from?
+      // Per-round [merges-accepted, wall] breakdown of the deep-merge
+      // workload (the bpewide corpus: 100k distinct words), swept over
+      // the candidate-collect size topK. A larger K lowers the count
+      // floor assumed for uncollected adjacent pairs, tightening the
+      // created-pair bound — if rounds drop materially with K, the
+      // floor is bound-limited (fixable); if not, it's symbol-conflict
+      // limited (the documented floor of prefix-safe batching).
+      val nMerges = if (args.length > 1) args(1).toInt else 200
+      import org.apache.spark.sql.functions.{col, count, lit, lower}
+      val words = spark.read.text(Bench.prepareRefCorpus(spark))
+        .select(graft.functions.TokenizeExplode
+          .tokenize(spark, lower(col("value"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      for (k <- Seq(256, 1024, 4096)) {
+        val hist = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
+        val t0 = System.nanoTime()
+        val (merges, rounds) = graft.queries.TextAnalysis
+          .bpeTrainRounds(words, nMerges, topK = k,
+            onRound = (r, m, s) => hist += ((r, m, s)))
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] bpeprofile topK=$k%4d: ${merges.size} merges " +
+          f"in $rounds rounds, $wall%.1f s " +
+          f"(mean ${wall / rounds}%.2f s/round)")
+        println("[probe]   per-round merges: " +
+          hist.map(_._2).mkString(","))
+        println("[probe]   per-round wall_s: " +
+          hist.map(h => f"${h._3}%.2f").mkString(","))
       }
       spark.stop(); return
     }

@@ -238,6 +238,50 @@ object Dedup extends QueryModule {
     if (ordered) scored.orderBy("a_id", "b_id") else scored
   }
 
+  /** RECALL audit of the banded-LSH near-dup pipeline against exact
+    * ground truth: one row of counts + integer per-mille recalls, with
+    * [[ppjoinPairsFrom]] at t = 1/2 over the SAME word-trigram universe
+    * as the ground truth (PPJoin keeps the literal trigrams; MinHash
+    * hashes the identical `lower(text)` 3-grams, so "J >= 0.5" means
+    * the same set statistic on both sides).
+    *
+    *  - `recall_cand_mille` — fraction of true pairs surfaced as LSH
+    *    CANDIDATES (banding recall: with K=16 in 4 bands of 4 the
+    *    S-curve midpoint sits at J ~ 0.63, so borderline-0.5 pairs are
+    *    expected casualties; near-identical pairs are ~certain);
+    *  - `recall_est_mille` — after the est_jaccard >= 0.5 filter
+    *    (m >= K/2), i.e. what [[minhashPairsFrom]] actually emits.
+    *
+    * Run twice (default cap vs `Int.MaxValue`) to price the hot-bucket
+    * guard: `n_cand`'s delta is the guard's deliberately dropped
+    * candidate set (BenchProbe `lshrecall` does exactly that;
+    * LshRecallSpec pins a floor on a seeded corpus).
+    */
+  def lshRecallFrom(docs: DataFrame,
+      maxBucket: Int = MINHASH_MAX_BUCKET): DataFrame = {
+    val gt = ppjoinPairsFrom(docs).select("a_id", "b_id")
+      .localCheckpoint(true) // consumed by the join + its own count
+    val cand = candidateMatches(docs, maxBucket)
+      .select(col("a_id"), col("b_id"), (col("m") >= K / 2).as("est_hit"))
+      .localCheckpoint(true)
+    val hits = gt.join(cand, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_gt"),
+        count(col("est_hit")).as("cand_hits"), // non-null = candidate
+        coalesce(sum(when(col("est_hit"), lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("est_hits"))
+    val totals = cand
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum(when(col("est_hit"), lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("n_est"))
+    hits.crossJoin(broadcast(totals)) // two 1-row aggs
+      .select(col("n_gt"), col("n_cand"), col("cand_hits"),
+        col("n_est"), col("est_hits"),
+        expr("CASE WHEN n_gt > 0 THEN (cand_hits * 1000) DIV n_gt " +
+          "ELSE 1000 END").as("recall_cand_mille"),
+        expr("CASE WHEN n_gt > 0 THEN (est_hits * 1000) DIV n_gt " +
+          "ELSE 1000 END").as("recall_est_mille"))
+  }
+
   /** MinHash CONTAINMENT: per LSH candidate pair, the estimated
     * asymmetric overlap `|A∩B| / |A|` (and `/|B|`) in integer per-mille
     * — the fuzzy-decontamination primitive ("is this doc mostly inside

@@ -155,10 +155,19 @@ object TextAnalysis extends QueryModule {
     bpeTrainRounds(words, nMerges)._1
 
   /** [[bpeTrain]] plus the number of distributed rounds it took — the
-    * driver-round-trip count the batching exists to shrink.
+    * driver-round-trip count the batching exists to shrink. `onRound`
+    * observes (round, mergesAccepted, wallSec) after each distributed
+    * round for profiling (BenchProbe `bpeprofile`); it must not touch
+    * the returned state. `topK` sizes the per-round candidate collect:
+    * a larger K lowers the count FLOOR assumed for uncollected
+    * adjacent pairs (top.last's count), tightening the created-pair
+    * bound and so lengthening the provably-safe batch prefix — at the
+    * cost of a bigger driver collect (K rows of symbol strings).
     */
   def bpeTrainRounds(words: DataFrame, nMerges: Int,
-      topK: Int = 256): (Seq[(Long, String, String, Long)], Int) = {
+      topK: Int = 256,
+      onRound: (Int, Int, Double) => Unit = (_, _, _) => ())
+      : (Seq[(Long, String, String, Long)], Int) = {
     var seg = words.select(col("freq"), segInit(col("w")).as("seg"))
       .localCheckpoint() // vocab-sized; truncates the per-round lineage
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -166,6 +175,7 @@ object TextAnalysis extends QueryModule {
     var rounds = 0
     var exhausted = false
     while (k <= nMerges && !exhausted) {
+      val roundT0 = System.nanoTime()
       val pairs = seg
         .withColumn("sy", split(trim(col("seg"), "|"), "\\|\\|"))
         .filter(size(col("sy")) >= 2) // sequence(1,0) would DESCEND in Spark
@@ -178,8 +188,10 @@ object TextAnalysis extends QueryModule {
         .limit(topK).collect()
         .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
       rounds += 1
-      if (top.isEmpty) exhausted = true
-      else {
+      if (top.isEmpty) {
+        exhausted = true
+        onRound(rounds, 0, (System.nanoTime() - roundT0) / 1e9)
+      } else {
         // count floor for pairs the K-row collect didn't see
         val floorCnt = if (top.length == topK) top.last._3 else 0L
         val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -209,6 +221,7 @@ object TextAnalysis extends QueryModule {
         val next = seg.withColumn("seg", batched).localCheckpoint()
         org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(seg)
         seg = next
+        onRound(rounds, accepted.length, (System.nanoTime() - roundT0) / 1e9)
       }
     }
     org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(seg)
