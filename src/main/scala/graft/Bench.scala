@@ -131,7 +131,7 @@ object Bench {
     "sketch/aggregate function rows: per-row update cost is pinned in " +
       "GkSpec / HllSpec / KmvSketchSpec / MisraGriesSpec microbenches; " +
       "q_kmv_setops is the timed representative" -> Seq(
-      "q_approx_sketch", "q_gk_quantile", "q_hll_distinct",
+      "q_approx_sketch", "q_cms_freq", "q_gk_quantile", "q_hll_distinct",
       "q_kmv_distinct", "q_udaf_wavg"),
     "aggregation variants of timed q1_agg / q_stats_agg / " +
       "q_grouping_sets: same hash-agg shuffle shape, different function " +

@@ -764,6 +764,43 @@ object Relational extends QueryModule {
             col("gk_p50") <= col("p55"), 1L).otherwise(0L).as("gk_ok"))
         .orderBy("l_returnflag")),
 
+    // -- own Count-Min Sketch: point-frequency estimates from a d x w
+    //    counter matrix (Cormode & Muthukrishnan 2005 — see
+    //    functions/CountMinSketch.scala). The md5-half double-hash
+    //    bucket arithmetic is deterministic, so the oracle reproduces
+    //    every ESTIMATE bit-for-bit from its own bucket sums
+    //    (approximate operator, exact gate — the KMV contract), and
+    //    CMS's one-sided guarantee (estimate never under-counts) rides
+    //    along as an oracle-pinned literal-1 flag. Keys collapse to
+    //    exact per-key counts FIRST (the same distinct-before-hash
+    //    discipline as MinHash), then the weighted stream folds into
+    //    one 8-KiB row through the standard partial/merge path — at
+    //    100 TB the sketch build is one pass and the probe side is d
+    //    codegen'd array lookups per key.
+    "q_cms_freq" -> ((s, d) => {
+      val W = 256; val D = 4
+      val keyStr = col("l_partkey").cast("string")
+      val cnts = li(s, d)
+        .select(keyStr.as("part_key"),
+          conv(substring(md5(keyStr.cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("h1"),
+          conv(substring(md5(keyStr.cast("binary")), 13, 12), 16, 10)
+            .cast("long").as("h2"))
+        .groupBy("part_key", "h1", "h2")
+        .agg(count(lit(1)).as("exact_cnt"))
+      val sk = cnts.agg(graft.functions.CountMinAgg.cms(s,
+        col("h1"), col("h2"), col("exact_cnt"), W, D).as("sk"))
+      cnts.orderBy(col("exact_cnt").desc, col("part_key")).limit(20)
+        .crossJoin(broadcast(sk)) // 20 rows x 1 sketch row
+        .select(col("part_key"), col("exact_cnt"),
+          graft.functions.CountMinAgg.estimate(col("sk"),
+            col("h1"), col("h2"), W, D).as("cms_est"),
+          when(graft.functions.CountMinAgg.estimate(col("sk"),
+            col("h1"), col("h2"), W, D) >= col("exact_cnt"), 1L)
+            .otherwise(0L).as("over_ok"))
+        .orderBy(col("exact_cnt").desc, col("part_key"))
+    }),
+
     // -- sampling (training-data pipelines). Hash-mod sampling on the
     //    row key instead of engine RNG: md5(key) per-mille under a
     //    threshold. Deterministic in ANY engine (the DuckDB oracle
@@ -1363,6 +1400,32 @@ object Relational extends QueryModule {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // CMS mirrored bucket-for-bucket: exact per-key counts, the same
+    // (h1 + i*h2) mod w bucket arithmetic (md5 48-bit halves are
+    // non-negative, so DuckDB's % is Spark's pmod), per-(depth,bucket)
+    // sums = the sketch counters, min over depths = the estimate. The
+    // over_ok literal 1 is CMS's one-sided bound: the value compare IS
+    // the never-under-counts assertion.
+    "q_cms_freq" -> """
+      WITH cnts AS (
+        SELECT l_partkey::VARCHAR AS part_key,
+               ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h1,
+               ('0x' || substr(md5(l_partkey::VARCHAR), 13, 12))::BIGINT AS h2,
+               count(1)::BIGINT AS exact_cnt
+        FROM lineitem GROUP BY 1, 2, 3),
+      depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+      buckets AS (
+        SELECT i, (h1 + i * h2) % 256 AS b, sum(exact_cnt)::BIGINT AS tot
+        FROM cnts, depths GROUP BY 1, 2),
+      top AS (SELECT * FROM cnts ORDER BY exact_cnt DESC, part_key LIMIT 20)
+      SELECT t.part_key, t.exact_cnt,
+             (SELECT min(bu.tot) FROM depths dp
+              JOIN buckets bu ON bu.i = dp.i
+                AND bu.b = (t.h1 + dp.i * t.h2) % 256) AS cms_est,
+             CAST(1 AS BIGINT) AS over_ok
+      FROM top t
+      ORDER BY t.exact_cnt DESC, t.part_key""",
 
     "q_scalar_misc" -> """
       SELECT l_orderkey, l_linenumber,
