@@ -83,7 +83,8 @@ object Bench {
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +
       "scaled_cc_x20's contract-then-solve loop family; gate-scale graph " +
-      "is tiny" -> Seq("graph_pagerank", "graph_kcore", "graph_coreness",
+      "is tiny; LPA's round cost is timed at 20x by scaled_lpa_x20" ->
+      Seq("graph_pagerank", "graph_kcore", "graph_coreness", "graph_lpa",
       "graph_cluster_quality", "graph_cluster_xquality"),
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk" -> Seq(
@@ -766,6 +767,11 @@ object Bench {
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id"))))
+    val lpa = Seq(timeOne("scaled_lpa_x20", () =>
+      graft.queries.Dedup.lpaFromPairs(
+        graft.queries.Dedup.minhashPairsFrom(
+          spark.read.parquet(scaledPath), ordered = false)
+          .select("a_id", "b_id"))))
     // DEEP-merge BPE regime, tracked per-round (previously the manual
     // bpewide probe only): 200 merges on the 100k-vocabulary workload-A
     // corpus — the wide-vocabulary regime a real tokenizer trains on,
@@ -900,6 +906,7 @@ object Bench {
       "scaled_ejacc_x20" -> ejacc.min,
       "scaled_kcore_x20" -> kcore.min,
       "scaled_coreness_x20" -> coreness.min,
+      "scaled_lpa_x20" -> lpa.min,
       "scaled_bpe_deep200" -> bpeDeep.min) ++ triX100
 
     // NaN (= failed) prints as null and never reaches a sum: a reader

@@ -1416,6 +1416,58 @@ object Dedup extends QueryModule {
     c.select(col("id").as("doc_id"), col("c").as("coreness"))
       .orderBy("doc_id")
   }
+
+  /** Fixed synchronous rounds for [[lpaFromPairs]] and its oracle —
+    * run UNCONDITIONALLY (no early exit: unlike coreness' monotone
+    * iterate, LPA labels can oscillate on bipartite-ish subgraphs, so
+    * the only engine-identical contract is "both sides run exactly R
+    * rounds"). On the clique-heavy near-dup family, labels stabilize
+    * well inside 4 rounds.
+    */
+  val LPA_ROUNDS = 4
+
+  /** Community detection via synchronous label propagation (Raghavan,
+    * Albert & Kumara, "Near linear time algorithm to detect community
+    * structures in large-scale networks", Phys. Rev. E 76:036106,
+    * 2007), made DETERMINISTIC: every node starts as its own label;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken to the SMALLEST label (the paper breaks
+    * ties uniformly at random — useless under an exact oracle gate).
+    * Complements [[ccFromPairs]]: CC answers "what is transitively
+    * reachable" (one boilerplate bridge glues two duplication families
+    * into one component), LPA answers "where does the density actually
+    * live" — a bridge edge is outvoted by each side's internal
+    * majority, so the two families keep distinct labels and the
+    * cluster-dedup keep-one-per-cluster rule can act per family
+    * instead of per component.
+    *
+    * Scale shape: the symmetrized edge list is checkpointed ONCE; each
+    * round is one edges-to-labels join plus two hash aggs updating an
+    * n-row label table — the PageRank round cost, never a window, and
+    * the (src, lab) frequency rows are bounded by the edge count. The
+    * argmax is `max(struct(n, -lab))` — one agg, no per-node sort;
+    * mirrored in the oracle as max-count-then-min-label.
+    *
+    * @return (doc_id, community) for every non-isolated node
+    */
+  def lpaFromPairs(pairs0: DataFrame, rounds: Int = LPA_ROUNDS): DataFrame = {
+    val edges = symmetrized(pairs0)
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    (1 to rounds).foreach { _ =>
+      lab = edges
+        .join(lab.select(col("id").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("src")
+        .agg(max(struct(col("n"), (-col("lab")).as("neg"))).as("m"))
+        .select(col("src").as("id"), (-col("m.neg")).as("lab"))
+    }
+    // edges stays checkpointed until the caller consumes the (lazy)
+    // result — the one frame this call retains, like PageRank's
+    lab.select(col("id").as("doc_id"), col("lab").as("community"))
+      .orderBy("doc_id")
+  }
   /** Per-cluster quality report over the near-dup CC partition — the
     * curation dial for whether cluster-dedup is collapsing genuine
     * duplication communities (dense, low-boundary) or families glued
@@ -1770,6 +1822,15 @@ object Dedup extends QueryModule {
     //    cluster of coreness >= c") instead of re-peeling per k --------
     "graph_coreness" -> ((s, d) =>
       corenessFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
+
+    // -- label-propagation communities over the near-dup pair graph
+    //    (see lpaFromPairs): density-aware partition that keeps two
+    //    duplication families distinct even when a boilerplate bridge
+    //    edge glues them into one connected component ------------------
+    "graph_lpa" -> ((s, d) =>
+      lpaFromPairs(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
 
@@ -2517,6 +2578,36 @@ object Dedup extends QueryModule {
            ${(1 to CORENESS_ROUNDS).map(round).mkString(",")}
       SELECT id AS doc_id, c AS coreness
       FROM c$CORENESS_ROUNDS
+      ORDER BY doc_id"""
+    },
+
+    // the same fixed synchronous label-propagation rounds unrolled
+    // CTE-for-CTE: per (node, neighbor-label) counts, then max count
+    // with ties to the smallest label — Spark's max(struct(n, -lab))
+    // argmax expressed as a window max + min(lab) filter. MATERIALIZED
+    // per the graph_kcore file-handle discipline.
+    "graph_lpa" -> {
+      def round(r: Int): String = s"""
+           f$r AS (SELECT e.src, c.lab, count(1)::BIGINT AS n
+                   FROM e0 e JOIN c${r - 1} c ON e.dst = c.id
+                   GROUP BY e.src, c.lab),
+           c$r AS MATERIALIZED (SELECT src AS id, min(lab) AS lab FROM (
+                     SELECT src, lab, n,
+                            max(n) OVER (PARTITION BY src) AS mx
+                     FROM f$r) t
+                   WHERE n = mx
+                   GROUP BY src)"""
+      s"""
+      WITH p AS MATERIALIZED (SELECT a_id, b_id
+                 FROM (${minhashPairsSql(ordered = false)}) mp),
+           e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+                  UNION ALL
+                  SELECT b_id AS src, a_id AS dst FROM p),
+           c0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab
+                  FROM e0),
+           ${(1 to LPA_ROUNDS).map(round).mkString(",")}
+      SELECT id AS doc_id, lab AS community
+      FROM c$LPA_ROUNDS
       ORDER BY doc_id"""
     },
 
