@@ -162,8 +162,8 @@ object Bench {
       "scaled_bpe rows" -> Seq(
       "txt_bigrams", "txt_bpe_merges", "txt_dup_ngrams", "txt_fingerprint",
       "txt_heavy_hitters", "txt_lang_id", "txt_length_hist", "txt_pack",
-      "txt_redact", "txt_repetition", "txt_rolling_hash", "txt_token_bpe",
-      "txt_token_estimate"),
+      "txt_pmi", "txt_redact", "txt_repetition", "txt_rolling_hash",
+      "txt_token_bpe", "txt_token_estimate"),
     "sorted-limit tail of the timed wordcount plan" -> Seq("wordcount_topk"))
 
   /** Fails unless headline ∪ excluded == the registry, with no overlap

@@ -489,6 +489,9 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(30)),
 
+    // -- collocation mining: top adjacent pairs by PMI (see pmiFrom) ----
+    "txt_pmi" -> ((s, d) => pmiFrom(Tables.documents(s, d))),
+
     // -- exact heavy hitters via the two-phase sketch pattern ------------
     //    Phase 1: one scan through the Misra-Gries aggregate (constant
     //    O(k) state) yields <= 100 candidate tokens — guaranteed to
@@ -1128,6 +1131,56 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Support floor for [[pmiFrom]]: bigrams must occur at least this
+    * often to be scored (PMI is noise below small supports — a
+    * 1-occurrence pair of two rare words maxes the score). Mirrored
+    * in the oracle.
+    */
+  val PMI_MIN_SUPPORT = 5
+
+  /** Collocation mining via pointwise mutual information (Church &
+    * Hanks, "Word association norms, mutual information, and
+    * lexicography", Computational Linguistics 16(1), 1990):
+    * PMI(w1,w2) = ln(c12 * N / (c1 * c2)), N = corpus token count —
+    * which adjacent token pairs co-occur far above chance. Computed
+    * as ln(c12 * N) - ln(c1 * c2): both arguments are exact integers
+    * >= 1 (the products stay below 2^53 to ~10^9-token margins, so
+    * the double casts are exact), which keeps every input inside
+    * [[graft.functions.DetMath]]'s x >= 1 contract even where PMI
+    * itself is negative; `floor` (sign-uniform in both engines,
+    * unlike round-half conventions) scales to micronats.
+    *
+    * Scale shape: bigram/unigram vocabularies are corpus-sublinear
+    * hash aggs; the support filter shrinks the scored frame BEFORE
+    * the two margin joins; N attaches as a broadcast 1-row agg (no
+    * plan-time count job — the bm25 discipline); the global top-50
+    * is a TakeOrderedAndProject.
+    */
+  def pmiFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bi = docs.select(graft.functions.NgramExplode
+      .ngrams(s, col("text"), 2).as("bg"))
+    val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(graft.functions.TokenizeExplode
+        .tokenize(s, col("text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum("c1").as("nw"))
+    c12.filter(col("c12") >= PMI_MIN_SUPPORT)
+      .join(uni.select(col("w").as("wa"), col("c1").as("ca")),
+        substring_index(col("bg"), " ", 1) === col("wa"))
+      .join(uni.select(col("w").as("wb"), col("c1").as("cb")),
+        substring_index(col("bg"), " ", -1) === col("wb"))
+      .crossJoin(broadcast(n)) // 1-row N attach
+      .select(col("bg").as("bigram"), col("c12").as("cnt"),
+        floor((graft.functions.DetMath.lnColumn(
+            (col("c12") * col("nw")).cast("double"))
+          - graft.functions.DetMath.lnColumn(
+            (col("ca") * col("cb")).cast("double"))) * 1e6)
+          .cast("long").as("pmi_micronat"))
+      .orderBy(col("pmi_micronat").desc, col("bigram"))
+      .limit(50)
+  }
+
   /** Winnowing fingerprint selection (see the txt_winnow entry) over any
     * (doc_id, text) frame — k=3 token grams, window w=4, polynomial gram
     * hash mod 1e9+7. Docs shorter than k+w-1 = 6 tokens emit nothing.
@@ -1491,6 +1544,45 @@ object TextAnalysis extends QueryModule {
       FROM tot
       ORDER BY doc_id"""
     },
+
+    // PMI mirrored margin-for-margin: the same bigram/unigram counts,
+    // the same integer products cast to exact doubles, the DetMath ln
+    // staging for BOTH arguments, floor (sign-uniform — PMI goes
+    // negative) to micronats
+    "txt_pmi" -> s"""
+      WITH t AS (SELECT $sqlToks AS toks FROM documents),
+           b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                 FROM t WHERE len(toks) >= 2),
+           c12 AS (SELECT bg, count(1)::BIGINT AS c12 FROM b GROUP BY bg),
+           uni AS (SELECT w, count(1)::BIGINT AS c1
+                   FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+           n AS (SELECT sum(c1)::BIGINT AS nw FROM uni),
+           p0 AS (SELECT c.bg, c.c12,
+                         (c.c12 * n.nw)::DOUBLE AS xa,
+                         (ua.c1 * ub.c1)::DOUBLE AS xb
+                  FROM c12 c
+                  CROSS JOIN n
+                  JOIN uni ua ON split_part(c.bg, ' ', 1) = ua.w
+                  JOIN uni ub ON split_part(c.bg, ' ', 2) = ub.w
+                  WHERE c.c12 >= $PMI_MIN_SUPPORT),
+           p1 AS (SELECT *, ${graft.functions.DetMath.eSql("xa")} AS ea,
+                         ${graft.functions.DetMath.eSql("xb")} AS eb
+                  FROM p0),
+           p2 AS (SELECT *, ${graft.functions.DetMath.ySql("xa", "ea")} AS ya,
+                         ${graft.functions.DetMath.ySql("xb", "eb")} AS yb
+                  FROM p1),
+           p3 AS (SELECT *, ${graft.functions.DetMath.zSql("ya")} AS za,
+                         ${graft.functions.DetMath.zSql("yb")} AS zb
+                  FROM p2),
+           p4 AS (SELECT *, (za * za) AS za2, (zb * zb) AS zb2 FROM p3)
+      SELECT bg AS bigram, c12 AS cnt,
+             floor((${graft.functions.DetMath.lnSqlFromParts("ea", "za", "za2")}
+               - ${graft.functions.DetMath.lnSqlFromParts("eb", "zb", "zb2")})
+               * 1e6)::BIGINT AS pmi_micronat
+      FROM p4
+      ORDER BY pmi_micronat DESC, bigram
+      LIMIT 50""",
 
     "txt_bigrams" -> s"""
       WITH t AS (SELECT $sqlToks AS toks FROM documents),
