@@ -1426,6 +1426,57 @@ object Dedup extends QueryModule {
     */
   val LPA_ROUNDS = 4
 
+  /** Bounded relaxation rounds for [[bfsFromPairs]] and its oracle —
+    * distances beyond this depth are simply not reported (the operator
+    * answers "what is within R hops of the seed set", not full APSP).
+    * Both engines unroll the identical chain.
+    */
+  val BFS_ROUNDS = 4
+
+  /** Seed-set size for [[bfsFromPairs]]' gate query: the N smallest
+    * doc_ids of the pair graph (rank-derived — the hubcapPairs
+    * discipline, so a regenerated corpus can never empty the seed
+    * set).
+    */
+  val BFS_SEEDS = 10
+
+  /** Multi-source BFS hop distance, bounded depth: dist(v) = length of
+    * the shortest path from any seed to v, reported for nodes within
+    * `rounds` hops. The curation shape is "how far is every document
+    * from a trusted/flagged seed set" over the near-dup graph —
+    * contamination radius, trust propagation, cluster triage.
+    *
+    * Each round is one synchronous Bellman-Ford relaxation over the
+    * once-checkpointed symmetrized edge list: join the settled
+    * distance table to the edges, min-merge with the previous table —
+    * one join + one hash agg per round (the PageRank round cost), no
+    * windows. min() is order-insensitive, so the unrolled DuckDB
+    * mirror is engine-identical by construction. At depth budgets
+    * past a handful of rounds a frontier formulation (propagate only
+    * rows improved last round) cuts the join input; at R = 4 the
+    * settled table is small enough that full relaxation is the
+    * simpler plan.
+    *
+    * @return (doc_id, dist) for every node within `rounds` hops of a
+    *         seed; seeds themselves at dist 0
+    */
+  def bfsFromPairs(pairs0: DataFrame, seeds: Int = BFS_SEEDS,
+      rounds: Int = BFS_ROUNDS): DataFrame = {
+    val edges = symmetrized(pairs0)
+    var dist = edges.select(col("src").as("id")).distinct()
+      .orderBy("id").limit(seeds)
+      .select(col("id"), lit(0L).as("dist"))
+    (1 to rounds).foreach { _ =>
+      dist = edges
+        .join(dist.select(col("id").as("dst"), col("dist")), "dst")
+        .select(col("src").as("id"), (col("dist") + 1L).as("dist"))
+        .union(dist)
+        .groupBy("id").agg(min("dist").as("dist"))
+    }
+    dist.select(col("id").as("doc_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
   /** Community detection via synchronous label propagation (Raghavan,
     * Albert & Kumara, "Near linear time algorithm to detect community
     * structures in large-scale networks", Phys. Rev. E 76:036106,
@@ -1822,6 +1873,14 @@ object Dedup extends QueryModule {
     //    cluster of coreness >= c") instead of re-peeling per k --------
     "graph_coreness" -> ((s, d) =>
       corenessFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
+
+    // -- multi-source BFS hop distance from the graph's 10 smallest
+    //    doc_ids, depth 4 (see bfsFromPairs): how far every document
+    //    sits from a seed set over the near-dup graph ------------------
+    "graph_bfs" -> ((s, d) =>
+      bfsFromPairs(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
 
@@ -2578,6 +2637,35 @@ object Dedup extends QueryModule {
            ${(1 to CORENESS_ROUNDS).map(round).mkString(",")}
       SELECT id AS doc_id, c AS coreness
       FROM c$CORENESS_ROUNDS
+      ORDER BY doc_id"""
+    },
+
+    // the same bounded Bellman-Ford relaxation unrolled CTE-for-CTE:
+    // min is order-insensitive, so the mirror is engine-identical by
+    // construction; seeds rank-derived so corpus re-keying can't empty
+    // the set
+    "graph_bfs" -> {
+      def round(r: Int): String = s"""
+           p$r AS (SELECT e.src AS id, min(d.dist) + 1 AS dist
+                   FROM e0 e JOIN d${r - 1} d ON e.dst = d.id
+                   GROUP BY e.src),
+           d$r AS MATERIALIZED (SELECT id, min(dist)::BIGINT AS dist FROM (
+                     SELECT id, dist FROM d${r - 1}
+                     UNION ALL
+                     SELECT id, dist FROM p$r) u
+                   GROUP BY id)"""
+      s"""
+      WITH p AS MATERIALIZED (SELECT a_id, b_id
+                 FROM (${minhashPairsSql(ordered = false)}) mp),
+           e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+                  UNION ALL
+                  SELECT b_id AS src, a_id AS dst FROM p),
+           d0 AS MATERIALIZED (SELECT id, 0::BIGINT AS dist FROM (
+                  SELECT DISTINCT src AS id FROM e0
+                  ORDER BY id LIMIT $BFS_SEEDS) s),
+           ${(1 to BFS_ROUNDS).map(round).mkString(",")}
+      SELECT id AS doc_id, dist
+      FROM d$BFS_ROUNDS
       ORDER BY doc_id"""
     },
 
