@@ -109,8 +109,9 @@ object Bench {
       "events and track replay-scratch scan cost (enrich is stateless " +
       "broadcast, scan-bound by construction)" -> Seq(
       "ev_stream_dedup", "ev_stream_join", "ev_stream_outer",
-      "ev_stream_replay", "ev_stream_session", "ev_stream_update",
-      "ev_stream_enrich", "ev_stream_multibatch", "ev_stream_late_drop"),
+      "ev_stream_semi", "ev_stream_replay", "ev_stream_session",
+      "ev_stream_update", "ev_stream_enrich", "ev_stream_multibatch",
+      "ev_stream_late_drop"),
     "I/O write-path roundtrips (timed in SourcesSpec / ZOrderSpec / " +
       "BucketingSpec; the read-side join representative io_bucketed_join " +
       "IS timed): sweep times would measure tmp-dir write throughput" -> Seq(

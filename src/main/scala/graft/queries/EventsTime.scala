@@ -669,6 +669,34 @@ object EventsTime extends QueryModule {
     }
   }
 
+  /** Stream-stream LEFT SEMI join under the oracle gate (see
+    * Streaming.streamStreamLeftSemi): clicks with at least one
+    * purchase in their 10-minute lookback, each click emitted at most
+    * once — the dedup the inner join's pair multiplication can't give.
+    */
+  def streamSemiReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    def stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val semi = graft.streaming.Streaming.streamStreamLeftSemi(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val sink = "ev_stream_semi_" + System.nanoTime()
+    val q = semi.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min(unix_micros(col("l_ts"))).as("first_us"),
+          max(unix_micros(col("l_ts"))).as("last_us"))
+        .orderBy("user_id")
+    }
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
@@ -677,6 +705,7 @@ object EventsTime extends QueryModule {
 
     // -- stream-stream join, driver-checked (see streamJoinReplay) --------
     "ev_stream_join" -> ((s, d) => streamJoinReplay(s, d)),
+    "ev_stream_semi" -> ((s, d) => streamSemiReplay(s, d)),
 
     // -- stream-stream left outer, driver-checked (see above) -------------
     "ev_stream_outer" -> ((s, d) => streamLeftOuterReplay(s, d)),
@@ -1148,6 +1177,21 @@ object EventsTime extends QueryModule {
        AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
        AND epoch_us(r.ts) <= epoch_us(l.ts)
       GROUP BY l.user_id
+      ORDER BY user_id""",
+
+    // semi = batch EXISTS over a complete replay: each click row emits
+    // at most once, no pair multiplication, no eviction rows
+    "ev_stream_semi" -> """
+      SELECT c.user_id AS user_id, count(1) AS n_clicks,
+             min(epoch_us(c.ts)) AS first_us, max(epoch_us(c.ts)) AS last_us
+      FROM events c
+      WHERE c.event_type = 'click'
+        AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND epoch_us(p.ts) >= epoch_us(c.ts) - 600000000
+            AND epoch_us(p.ts) <= epoch_us(c.ts))
+      GROUP BY c.user_id
       ORDER BY user_id""",
 
     // left-outer emission rule mirrored: matched pairs emit eagerly;

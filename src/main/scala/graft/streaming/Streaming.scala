@@ -116,6 +116,28 @@ object Streaming {
       .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
   }
 
+  /** Stream-stream LEFT SEMI join: the streaming EXISTS — each left
+    * row emits at most ONCE when a qualifying right row exists, with
+    * no right columns attached (so no pair multiplication: a click
+    * with twenty matching purchases is one output row, where the inner
+    * join is twenty). State follows the same watermark rules as the
+    * inner join; over a complete replay the emitted set is exactly the
+    * batch EXISTS under the same condition, which the oracle mirrors.
+    */
+  def streamStreamLeftSemi(left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("r_ts") <= col("l_ts"),
+      "leftSemi")
+  }
+
   /** foreachBatch sink: run an arbitrary batch write per micro-batch.
     * `batchId` is the exactly-once hook — a sink that records the last
     * committed id (or writes to an idempotent location derived from it)

@@ -148,6 +148,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left semi emits each matched left row exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.streamStreamLeftSemi(
+      clicks.toDF().toDF("user_id", "ts", "event_type"),
+      views.toDF().toDF("user_id", "ts", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sss_out").start()
+    try {
+      // click@00:05 has TWO qualifying views (00:00 and 00:04): the
+      // inner join would emit two pairs, semi must emit the click once.
+      // click@01:00 has none (00:30 is 30 min earlier).
+      views.addData((1L, ts("2024-01-01 00:00:00"), "view"),
+        (1L, ts("2024-01-01 00:04:00"), "view"),
+        (1L, ts("2024-01-01 00:30:00"), "view"))
+      clicks.addData((1L, ts("2024-01-01 00:05:00"), "click"),
+        (1L, ts("2024-01-01 01:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sss_out").collect()
+        .map(r => (r.getLong(0), r.getAs[Timestamp]("l_ts").toString))
+      assert(rows.toSeq == Seq((1L, "2024-01-01 00:05:00.0")),
+        s"got ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered keys within watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
