@@ -85,7 +85,8 @@ object Bench {
       "scaled_cc_x20's contract-then-solve loop family; gate-scale graph " +
       "is tiny; LPA's round cost is timed at 20x by scaled_lpa_x20" ->
       Seq("graph_pagerank", "graph_kcore", "graph_coreness", "graph_lpa",
-      "graph_bfs", "graph_cluster_quality", "graph_cluster_xquality"),
+      "graph_bfs", "graph_walks", "graph_cluster_quality",
+      "graph_cluster_xquality"),
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk" -> Seq(
       "sim_range_search"),

@@ -1477,6 +1477,54 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Walk length for [[walksFromPairs]] and its oracle. */
+  val WALK_STEPS = 3
+
+  /** Deterministic random walks over the pair graph — the sampling
+    * primitive of DeepWalk/node2vec-style graph embeddings (Perozzi,
+    * Al-Rfou & Skiena, "DeepWalk: online learning of social
+    * representations", KDD 2014), made exactly reproducible: one walk
+    * per node, and step i from node `at` moves to neighbor number
+    * `md5(start|at|i) mod degree(at)` in the dst-sorted adjacency —
+    * the same md5-as-uniform-hash discipline as the MinHash
+    * signatures, so re-runs, retries, and the DuckDB oracle all pick
+    * the identical neighbor. Undirected symmetrized edges mean every
+    * non-isolated node has degree >= 1: walks never dead-end.
+    *
+    * Scale shape: neighbor ranks come from a row_number window
+    * PARTITIONED BY the node (per-key sort, never a global one); each
+    * step is one join to the degree table + one join to the ranked
+    * edge list, both equi-joins on node keys; output is
+    * nodes x (steps+1) rows. No adjacency arrays — a hub's neighbors
+    * stay as rows, so there is no unbounded agg buffer anywhere.
+    *
+    * @return (doc_id, step, at_node): the walk from each node,
+    *         step 0 = the start itself
+    */
+  def walksFromPairs(pairs0: DataFrame, steps: Int = WALK_STEPS): DataFrame = {
+    val edges = symmetrized(pairs0)
+    val ranked = edges.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var walk = edges.select(col("src").as("start")).distinct()
+      .select(col("start"), col("start").as("at"), lit(0L).as("step"))
+    var out = walk
+    (1 to steps).foreach { i =>
+      val pick = walk.join(deg, walk("at") === deg("src"))
+        .select(col("start"), col("at"),
+          (pmod(conv(substring(md5(concat_ws("|",
+              col("start"), col("at"), lit(i.toLong)).cast("binary")),
+            1, 12), 16, 10).cast("long"), col("deg")) + 1L).as("pick"))
+      walk = pick.join(ranked,
+          pick("at") === ranked("src") && pick("pick") === ranked("rk"))
+        .select(col("start"), col("dst").as("at"), lit(i.toLong).as("step"))
+      out = out.unionByName(walk)
+    }
+    out.select(col("start").as("doc_id"), col("step"), col("at").as("at_node"))
+      .orderBy("doc_id", "step")
+  }
+
   /** Community detection via synchronous label propagation (Raghavan,
     * Albert & Kumara, "Near linear time algorithm to detect community
     * structures in large-scale networks", Phys. Rev. E 76:036106,
@@ -1873,6 +1921,14 @@ object Dedup extends QueryModule {
     //    cluster of coreness >= c") instead of re-peeling per k --------
     "graph_coreness" -> ((s, d) =>
       corenessFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
+
+    // -- deterministic random walks (see walksFromPairs): the DeepWalk/
+    //    node2vec sampling primitive with md5-derived neighbor picks
+    //    both engines reproduce exactly -------------------------------
+    "graph_walks" -> ((s, d) =>
+      walksFromPairs(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
 
@@ -2638,6 +2694,38 @@ object Dedup extends QueryModule {
       SELECT id AS doc_id, c AS coreness
       FROM c$CORENESS_ROUNDS
       ORDER BY doc_id"""
+    },
+
+    // walks mirrored pick-for-pick: identical dst-sorted ranks
+    // (row_number per node), identical md5(start|at|i) mod degree
+    // neighbor selection, one CTE per step
+    "graph_walks" -> {
+      def step(i: Int): String = s"""
+           s$i AS (SELECT w.start, r.dst AS at, ${i}::BIGINT AS step
+                   FROM s${i - 1} w
+                   JOIN dg d ON w.at = d.src
+                   JOIN rk r ON r.src = w.at
+                    AND r.rk = 1 + ('0x' || substr(md5(
+                          w.start::VARCHAR || '|' || w.at::VARCHAR
+                            || '|$i'), 1, 12))::BIGINT % d.deg)"""
+      s"""
+      WITH p AS MATERIALIZED (SELECT a_id, b_id
+                 FROM (${minhashPairsSql(ordered = false)}) mp),
+           e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+                  UNION ALL
+                  SELECT b_id AS src, a_id AS dst FROM p),
+           rk AS MATERIALIZED (SELECT src, dst,
+                  row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+                  FROM e0),
+           dg AS MATERIALIZED (SELECT src, count(1)::BIGINT AS deg
+                  FROM e0 GROUP BY src),
+           s0 AS (SELECT DISTINCT src AS start, src AS at, 0::BIGINT AS step
+                  FROM e0),
+           ${(1 to WALK_STEPS).map(step).mkString(",")}
+      SELECT start AS doc_id, step, at AS at_node
+      FROM (${(0 to WALK_STEPS).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")}) u
+      ORDER BY doc_id, step"""
     },
 
     // the same bounded Bellman-Ford relaxation unrolled CTE-for-CTE:

@@ -338,4 +338,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(ngram"),
       "raw gram string used as a shuffle key:\n" + p)
   }
+
+  test("cms: 1-row sketch attaches by broadcast; top keys are a heap") {
+    val p = plan("q_cms_freq")
+    assert(p.contains("graft_cms"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 selection planned as a global sort:\n" + p)
+    // the sketch row must broadcast — a shuffled or cartesian attach
+    // would move the scored side for a constant-size right side
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("lpa: round argmax is a hash agg, never a window") {
+    val p = plan("graph_lpa")
+    assert(!p.contains("Window"),
+      "max(struct(n, -lab)) argmax replaced by a window rank:\n" + p)
+  }
+
+  test("bfs: relaxation is equi-joins + min aggs, never a window") {
+    val p = plan("graph_bfs")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("walks: per-node neighbor ranks, equi-join picks, no cross product") {
+    val p = plan("graph_walks")
+    // the rank window partitions by node — present, but the picks must
+    // stay equi-joins on (node, rank), never a theta/cross join
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pmi: margins join after the support filter, top-50 is a heap") {
+    val p = plan("txt_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 selection planned as a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
