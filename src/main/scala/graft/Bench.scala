@@ -112,7 +112,7 @@ object Bench {
       "ev_stream_dedup", "ev_stream_join", "ev_stream_outer",
       "ev_stream_semi", "ev_stream_replay", "ev_stream_session",
       "ev_stream_update", "ev_stream_enrich", "ev_stream_multibatch",
-      "ev_stream_late_drop"),
+      "ev_stream_late_drop", "ev_stream_file_sink"),
     "I/O write-path roundtrips (timed in SourcesSpec / ZOrderSpec / " +
       "BucketingSpec; the read-side join representative io_bucketed_join " +
       "IS timed): sweep times would measure tmp-dir write throughput" -> Seq(

@@ -697,9 +697,45 @@ object EventsTime extends QueryModule {
     }
   }
 
+  /** The watermark-closed windowed replay through Spark's
+    * TRANSACTIONAL FILE SINK instead of the memory sink — the sink
+    * surface a production pipeline actually writes: parquet data
+    * files + a `_spark_metadata` commit log + a checkpoint dir, giving
+    * exactly-once ACROSS RESTARTS (a re-run against the same completed
+    * checkpoint commits nothing, so the read-back is idempotent — the
+    * property the memory sink cannot show). The batch read-back of the
+    * output dir honors the commit log, so uncommitted/orphan files are
+    * invisible. Dirs are siblings of the replay scratch, so they
+    * inherit its source fingerprint: regenerated testdata gets fresh
+    * dirs, and a same-corpus re-run is a restart, not a duplicate.
+    * Result = the same closed-window counts as ev_stream_replay
+    * (shared oracle arithmetic).
+    */
+  def streamFileSinkReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    val stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val agg = graft.streaming.Streaming
+      .windowedTypeCounts(stream, "1 hour", "1 hour", "30 minutes")
+    val outDir = scratch + "_fsink_out"
+    val ckDir = scratch + "_fsink_ck"
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.read.parquet(outDir)
+      .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- watermark semantics, driver-checked (see streamReplay) -----------
     "ev_stream_replay" -> ((s, d) => streamReplay(s, d)),
+    "ev_stream_file_sink" -> ((s, d) => streamFileSinkReplay(s, d)),
     "ev_stream_multibatch" -> ((s, d) => streamMultiBatchReplay(s, d)),
     "ev_stream_late_drop" -> ((s, d) => streamLateDropReplay(s, d)),
 
@@ -1111,6 +1147,18 @@ object EventsTime extends QueryModule {
     // append-mode emission rule in SQL: a tumbling window materializes
     // iff the final watermark (max ts - 30 min) passed its end
     "ev_stream_replay" -> """
+      WITH m AS (SELECT max(ts) AS mx FROM events)
+      SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
+             event_type, count(1) AS n
+      FROM events, m
+      GROUP BY date_trunc('hour', ts::TIMESTAMP), event_type, mx
+      HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
+               <= mx - INTERVAL 30 MINUTE
+      ORDER BY hour, event_type""",
+
+    // file sink: same emission rule as the memory-sink replay — the
+    // sink changes durability (commit log + checkpoint), not content
+    "ev_stream_file_sink" -> """
       WITH m AS (SELECT max(ts) AS mx FROM events)
       SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
              event_type, count(1) AS n

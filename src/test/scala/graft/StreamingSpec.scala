@@ -175,6 +175,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file sink is exactly-once across restarts: a re-run commits nothing") {
+    val d = TestSpark.sf0001
+    def partFiles(): Map[String, Int] = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_stream_replay_sf0.001") &&
+          f.getName.endsWith("_fsink_out"))
+        .map(dd => dd.getName ->
+          Option(dd.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val first = graft.queries.EventsTime.streamFileSinkReplay(spark, d)
+      .collect().map(_.toString).toSeq
+    val files1 = partFiles()
+    assert(files1.nonEmpty && files1.values.sum > 0, s"no sink output: $files1")
+    // restart against the completed checkpoint: same rows, ZERO new files
+    val second = graft.queries.EventsTime.streamFileSinkReplay(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(second === first)
+    assert(partFiles() === files1, "sink grew on a no-new-data restart")
+  }
+
   test("streaming dedup drops re-delivered keys within watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
