@@ -150,8 +150,8 @@ object Bench {
       "q_window_running"),
     "SQL front-end variants of timed q_sql_cte_window: parser/analyzer " +
       "surface, same execution shapes as their DataFrame twins" -> Seq(
-      "q_sql_join_agg", "q_sql_lateral", "q_sql_recursive",
-      "q_sql_revenue", "q_sql_string_agg"),
+      "q_sql_join_agg", "q_sql_lateral", "q_sql_not_in_nulls",
+      "q_sql_recursive", "q_sql_revenue", "q_sql_string_agg"),
     "tiny-shape rows (sampling, set ops, subqueries, unpivot, null " +
       "ordering, limits): sub-second scan-bound at every SF; q_topk " +
       "doubles as the sweep's warmup query" -> Seq(
