@@ -78,7 +78,7 @@ object Bench {
       "dedup_levenshtein", "dedup_minhash_sig", "dedup_pair_degrees",
       "dedup_semantic", "dedup_simhash_pairs", "dedup_stream_probe",
       "dedup_substrings", "dedup_url_canonical", "dedup_weighted_jaccard",
-      "dedup_winnow_clusters", "dedup_winnow_pairs",
+      "dedup_winnow_clusters", "dedup_winnow_pairs", "dedup_wminhash_pairs",
       "graph_triangles", "sim_knn_graph", "sim_pq_topk", "sim_sparse_pairs"),
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +

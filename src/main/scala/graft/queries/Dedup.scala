@@ -153,6 +153,17 @@ object Dedup extends QueryModule {
     // on the scoring stage (header decode + variable-length row copy
     // per pair, measured on the x20 corpus).
     val base = DedupOps.minhashSignaturesFlat(docs, "doc_id", col("text"), 3, K)
+    candidateMatchesFromBase(base, docs, maxBucket)
+  }
+
+  /** The banding + hot-bucket-guard + pair-dedup + signature-scoring
+    * pipeline over ANY prebuilt flat signature frame
+    * (doc_id, _m0.._m{K-1}) — shared by the shingle-set pipeline above
+    * and the tf-weighted one ([[wminhashSignaturesFlat]]). `docs` is
+    * consulted only for the broadcast size gate and shuffle width.
+    */
+  private def candidateMatchesFromBase(base: DataFrame, docs: DataFrame,
+      maxBucket: Int): DataFrame = {
     // Bucket key = xxhash64(band index, band values): a single long the
     // join sorts/compares ~10x cheaper than the multi-hash strings. A
     // 2^-64 key collision can only ADD a candidate pair, and candidates
@@ -235,6 +246,62 @@ object Dedup extends QueryModule {
     // pipeline writes the pair set unsorted — and a range exchange runs
     // its child TWICE (bounds sampling + shuffle), so the bench variant
     // skips it
+    if (ordered) scored.orderBy("a_id", "b_id") else scored
+  }
+
+  /** tf cap for [[wminhashSignaturesFlat]]'s integer replication:
+    * weighted MinHash over capped term frequencies. Small caps keep
+    * the element stream near the distinct-token count (natural-text
+    * tf is ~1 for most tokens) while still separating "x x x x x y"
+    * from "x y" — the signal unweighted set MinHash is blind to.
+    * Mirrored in the oracle.
+    */
+  val WMH_CAP = 4
+
+  /** Weighted MinHash signatures via INTEGER REPLICATION — the exact
+    * consistent-weighted-sampling construction for integer weights:
+    * each (token, tf) expands to elements (token#1 .. token#min(tf,
+    * cap)), and plain set MinHash over the expanded universe estimates
+    * the WEIGHTED Jaccard sum(min tf)/sum(max tf) of the capped
+    * multisets (each copy collides across docs iff both have at least
+    * that many occurrences). The tf-aware sketch counterpart of the
+    * exact [[weightedJaccardPairsFrom]] arithmetic, at the same
+    * fixed-K-longs cost as the set signatures.
+    */
+  def wminhashSignaturesFlat(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val tf = docs.select(col("doc_id"),
+        graft.functions.TokenizeExplode.tokenize(s, lower(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val el = tf.select(col("doc_id"), col("tok"),
+        explode(sequence(lit(1L), least(col("tf"), lit(WMH_CAP.toLong))))
+          .as("cp"))
+      .select(col("doc_id"), concat_ws("#", col("tok"), col("cp")).as("e"))
+    val hashed = el.select(col("doc_id"),
+      conv(substring(md5(col("e").cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("e").cast("binary")), 13, 12), 16, 10)
+        .cast("long").as("h2"))
+    val mins = (0 until K).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"_m$i"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** tf-WEIGHTED near-dup pairs: the proven banded-LSH pipeline
+    * ([[candidateMatchesFromBase]] — same band keys, same hot-bucket
+    * guard, same size-gated re-attach) run over [[wminhashSignaturesFlat]],
+    * emitting estimated WEIGHTED Jaccard >= 0.5. Separates what set
+    * MinHash cannot: two docs over the SAME token set but wildly
+    * different repetition score 1.0 under set Jaccard and honestly
+    * below it here; exact downstream verification is
+    * [[weightedJaccardPairsFrom]]'s arithmetic.
+    */
+  def wminhashPairsFrom(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val scored = candidateMatchesFromBase(
+        wminhashSignaturesFlat(docs), docs, MINHASH_MAX_BUCKET)
+      .select(col("a_id"), col("b_id"),
+        (col("m").cast("double") / K.toDouble).as("est_wjaccard"))
+      .filter(col("est_wjaccard") >= 0.5)
     if (ordered) scored.orderBy("a_id", "b_id") else scored
   }
 
@@ -2012,6 +2079,12 @@ object Dedup extends QueryModule {
     "dedup_weighted_jaccard" -> ((s, d) =>
       weightedJaccardPairsFrom(Tables.documents(s, d))),
 
+    // -- tf-WEIGHTED MinHash pairs (see wminhashPairsFrom): the sketch
+    //    counterpart of dedup_weighted_jaccard's exact arithmetic,
+    //    through the same banded-LSH pipeline as dedup_minhash_pairs --
+    "dedup_wminhash_pairs" -> ((s, d) =>
+      wminhashPairsFrom(Tables.documents(s, d))),
+
     // -- URL canonicalization dedup: the crawl-frontier step that
     //    collapses scheme/host case, fragments, and tracking params
     //    BEFORE any content fetch — the cheapest dedup in the whole
@@ -2237,6 +2310,55 @@ object Dedup extends QueryModule {
               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
               / $K.0 >= 0.5
       ${if (ordered) "ORDER BY a_id, b_id" else ""}"""
+
+  /** The weighted-MinHash pair oracle: identical to
+    * [[minhashPairsSql]] except the signature universe is tf-capped
+    * token copies (`tok#copy`) instead of trigram shingles — the same
+    * banding, hot-bucket guard and estimate arithmetic, mirrored
+    * element-for-element.
+    */
+  private def wminhashPairsSql: String = {
+    val mins = (0 until K)
+      .map(i => s"min(h1 + $i * h2)").mkString("[", ", ", "]")
+    s"""
+      WITH tf AS (SELECT doc_id, t AS tok, count(1)::BIGINT AS tf
+                  FROM (SELECT doc_id, unnest($sqlToksL) AS t
+                        FROM documents) u
+                  GROUP BY doc_id, t),
+           el AS (SELECT doc_id, tok || '#' || cp::VARCHAR AS e
+                  FROM tf,
+                       unnest(generate_series(1, least(tf, $WMH_CAP)))
+                         AS g(cp)),
+           hh AS (SELECT doc_id,
+                         ('0x' || substr(md5(e), 1, 12))::BIGINT AS h1,
+                         ('0x' || substr(md5(e), 13, 12))::BIGINT AS h2
+                  FROM el),
+           sg AS (SELECT doc_id, $mins AS sig FROM hh GROUP BY doc_id),
+           bands AS (
+             SELECT doc_id, sig, bb.b AS band,
+                    array_to_string(list_slice(sig, bb.b * $ROWS + 1, bb.b * $ROWS + $ROWS), '|') AS bkey
+             FROM sg CROSS JOIN (SELECT unnest(range(0, $BANDS)) AS b) bb),
+           hotb AS (SELECT band, bkey FROM bands
+                    GROUP BY band, bkey HAVING count(1) > $MINHASH_MAX_BUCKET),
+           cool AS (SELECT b.* FROM bands b
+                    WHERE NOT EXISTS (SELECT 1 FROM hotb h
+                                      WHERE h.band = b.band
+                                        AND h.bkey = b.bkey)),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.sig AS a_sig, b.sig AS b_sig
+             FROM cool a JOIN cool b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+             list_aggregate(list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+               / $K.0 AS est_wjaccard
+      FROM cand
+      WHERE list_aggregate(list_transform(range(1, ${K + 1}),
+              i -> CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END), 'sum')::DOUBLE
+              / $K.0 >= 0.5
+      ORDER BY a_id, b_id"""
+  }
 
   /** SQL twin of [[hubcapPairs]]: the synthetic star+clique pair graph
     * for the cap-parity probe, derived from the documents table's
@@ -2889,6 +3011,8 @@ object Dedup extends QueryModule {
     // multiset intersection mirrored as sum(least(tf_a, tf_b)) over
     // per-doc token frequencies; pairs with no common token never get a
     // smin row but score 0 < 500 in the engine, so both sides drop them
+    "dedup_wminhash_pairs" -> wminhashPairsSql,
+
     "dedup_weighted_jaccard" -> s"""
       WITH t AS (
         SELECT doc_id, $sqlToksL AS ts,
