@@ -94,9 +94,10 @@ object Bench {
       "to exercise edgeJaccardFrom's capped path against the oracle " +
       "mirror every round; the operator's cost is timed at 20x by " +
       "scaled_ejacc_x20" -> Seq("graph_ejacc_hubcap"),
-    "observe()-accumulator metrics demo: one corpus scan + noop write, " +
-      "scan-bound twin of the timed pipe_split shape" -> Seq(
-      "pipe_observe_metrics"),
+    "observe()-accumulator metrics demo + shard manifest: one corpus " +
+      "scan + one hash agg each, scan-bound twins of the timed " +
+      "pipe_split shape" -> Seq(
+      "pipe_observe_metrics", "pipe_shard_manifest"),
     "event-time BATCH variants of timed representatives (ev_sessionize / " +
       "ev_asof_join / ev_range_join / ev_sliding / ev_gap_fill / " +
       "ev_outliers / ev_funnel / ev_asof_nearest): same scan + window / " +

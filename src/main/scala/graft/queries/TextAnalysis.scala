@@ -925,6 +925,32 @@ object TextAnalysis extends QueryModule {
         .orderBy("source")
     }),
 
+    // -- deterministic output sharding + release manifest: the step
+    //    that writes a curated corpus as N fixed shards. Shard = md5
+    //    per-doc mod 64 (the pipe_split idiom: stable under re-runs,
+    //    re-partitioning and engine choice — a re-ingested corpus
+    //    lands every doc in the same shard). Per-shard doc/char
+    //    counts plus an ORDER-FREE content digest: bit_xor of each
+    //    doc's 48-bit text md5 — XOR commutes and never overflows, so
+    //    the digest is identical no matter how the shard's rows were
+    //    partitioned, and any single-doc content change flips it. One
+    //    hash agg over the scan at any corpus size; the manifest is
+    //    what a consumer diffs to detect a silently-changed shard. ----
+    "pipe_shard_manifest" -> ((s, d) => {
+      val shard = conv(substring(md5(concat(lit("shard|"),
+        col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % 64
+      Tables.documents(s, d)
+        .select(shard.as("shard"), col("n_chars"),
+          conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("th"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          expr("bit_xor(th)").as("content_digest"))
+        .orderBy("shard")
+    }),
+
     // -- the MODERN curation pipeline, composed from this round's gates:
     //    Gopher rule gate -> bigram-LM score filter (drop the
     //    highest-perplexity tail) -> winnow-pair dedup (drop the
@@ -1818,6 +1844,23 @@ object TextAnalysis extends QueryModule {
       JOIN g USING (doc_id)
       GROUP BY source
       ORDER BY source""",
+
+    // shard assignment + xor digest mirrored hash-for-hash: DuckDB's
+    // bit_xor over the same 48-bit text-md5 longs is the same
+    // order-free fold
+    "pipe_shard_manifest" -> """
+      WITH s AS (
+        SELECT ('0x' || substr(md5('shard|' || doc_id), 1, 12))::BIGINT
+                 % 64 AS shard,
+               n_chars,
+               ('0x' || substr(md5(text), 1, 12))::BIGINT AS th
+        FROM documents)
+      SELECT shard, count(1) AS n_docs,
+             sum(n_chars)::BIGINT AS total_chars,
+             bit_xor(th)::BIGINT AS content_digest
+      FROM s
+      GROUP BY shard
+      ORDER BY shard""",
 
     "pipe_split" -> """
       WITH s AS (
