@@ -924,8 +924,51 @@ object Relational extends QueryModule {
             .as("median_qty"),
           sel("(3 * n + 3) DIV 4").as("p75_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // -- frequent-itemset pairs (market-basket / a-priori first pass) -----
+    "q_copurchase_pairs" -> ((s, d) => {
+      // Co-purchase mining over orders-as-baskets: parts that appear
+      // together in >= 2 orders, scored by support and lift. The pair
+      // fan-out of a basket of k items is O(k^2), so baskets larger than
+      // BASKET_CAP are excluded up front (the classical a-priori guard —
+      // a pathological 10k-item basket would otherwise emit 5e7 pairs);
+      // the cap is mirrored verbatim in the oracle. The self-join is
+      // co-partitioned on l_orderkey (one shuffle feeds both sides), the
+      // pair agg is map-side combined, and the corpus size attaches as a
+      // broadcast 1-row agg — no driver-side count. Lift is computed in
+      // integer per-mille (BIGINT div) so both engines agree bit-for-bit.
+      val items = li(s, d).select("l_orderkey", "l_partkey").distinct()
+      val sized = items.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("bk"))
+        .filter(col("bk") <= BASKET_CAP)
+        .select("l_orderkey")
+      val it = items.join(sized, "l_orderkey")
+      val nb = it.agg(countDistinct("l_orderkey").as("n_baskets"))
+      val marg = it.groupBy("l_partkey").agg(count(lit(1)).as("cm"))
+      it.as("x").join(it.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .join(marg.select(col("l_partkey").as("pa"), col("cm").as("ca")), "pa")
+        .join(marg.select(col("l_partkey").as("pb"), col("cm").as("cb")), "pb")
+        .crossJoin(broadcast(nb))
+        .select(col("pa"), col("pb"), col("support"),
+          expr("(1000 * n_baskets * support) div (ca * cb)").as("lift_milli"))
+        .orderBy(col("support").desc, col("lift_milli").desc,
+          col("pa"), col("pb"))
+        .limit(200)
     })
   )
+
+  /** a-priori basket-size cap for [[q_copurchase_pairs]]: pair fan-out is
+    * O(k^2) per basket, so baskets beyond this never enter the self-join.
+    * Far above the gate corpus's max (17 at sf0.1) — it exists for the
+    * 100 TB pathological basket, and the oracle mirrors it verbatim.
+    */
+  private val BASKET_CAP = 32
 
   /** DuckDB mirror of [[sampleMille]] over the lineitem row key. */
   private val sampleMilleSql =
@@ -1580,6 +1623,30 @@ object Relational extends QueryModule {
              min(CASE WHEN rn = (3 * n + 3) // 4 THEN q END) AS p75_qty
       FROM r
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""
+      ORDER BY l_returnflag""",
+
+    "q_copurchase_pairs" -> s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           sized AS (SELECT l_orderkey FROM items
+                     GROUP BY l_orderkey HAVING count(1) <= $BASKET_CAP),
+           it AS (SELECT i.l_orderkey, i.l_partkey
+                  FROM items i JOIN sized s ON s.l_orderkey = i.l_orderkey),
+           nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM it),
+           marg AS (SELECT l_partkey, count(1) AS cm FROM it GROUP BY 1),
+           pr AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+                         count(1) AS support
+                  FROM it x JOIN it y
+                    ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey
+                  GROUP BY 1, 2 HAVING count(1) >= 2)
+      SELECT pr.pa, pr.pb, pr.support,
+             (1000 * nb.n_baskets * pr.support) // (ma.cm * mb.cm)
+               AS lift_milli
+      FROM pr
+      JOIN marg ma ON ma.l_partkey = pr.pa
+      JOIN marg mb ON mb.l_partkey = pr.pb
+      CROSS JOIN nb
+      ORDER BY support DESC, lift_milli DESC, pa, pb
+      LIMIT 200"""
   )
 }

@@ -951,6 +951,50 @@ object TextAnalysis extends QueryModule {
         .orderBy("shard")
     }),
 
+    // -- per-column data-quality profile (the Deequ/whylogs-style audit
+    //    a pipeline runs before training on a new drop): one row per
+    //    column with row/null/distinct counts and min/max. ONE scan —
+    //    all 21 aggregates ride a single Aggregate (Catalyst plans the
+    //    multi-distinct via Expand: 5 distinct columns = a 5x row
+    //    multiplier over NARROW projected columns, the standard plan;
+    //    text's distinct count runs over its 128-bit md5 digest so the
+    //    wide column never shuffles — at 100 TB the digest IS the
+    //    scalable choice, exact up to 2^-128 collisions). The column
+    //    pivot is a `stack` over the one aggregated row: zero extra
+    //    jobs, no per-column rescans. min/max of text are compared on
+    //    a 40-char prefix AFTER the full-string min/max (binary
+    //    collation in both engines), keeping the result row narrow. ----
+    "pipe_profile" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      def nulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+      val prof = doc.agg(
+        count(lit(1)).as("n"),
+        nulls("doc_id"), countDistinct(col("doc_id")).as("doc_id_d"),
+        min("doc_id").cast("string").as("doc_id_min"),
+        max("doc_id").cast("string").as("doc_id_max"),
+        nulls("text"),
+        countDistinct(md5(col("text").cast("binary"))).as("text_d"),
+        substring(min("text"), 1, 40).as("text_min"),
+        substring(max("text"), 1, 40).as("text_max"),
+        nulls("lang"), countDistinct(col("lang")).as("lang_d"),
+        min("lang").as("lang_min"), max("lang").as("lang_max"),
+        nulls("source"), countDistinct(col("source")).as("source_d"),
+        min("source").as("source_min"), max("source").as("source_max"),
+        nulls("n_chars"), countDistinct(col("n_chars")).as("n_chars_d"),
+        min("n_chars").cast("string").as("n_chars_min"),
+        max("n_chars").cast("string").as("n_chars_max"))
+      prof.select(expr(
+        """stack(5,
+           'doc_id',  n, doc_id_nulls,  doc_id_d,  doc_id_min,  doc_id_max,
+           'lang',    n, lang_nulls,    lang_d,    lang_min,    lang_max,
+           'n_chars', n, n_chars_nulls, n_chars_d, n_chars_min, n_chars_max,
+           'source',  n, source_nulls,  source_d,  source_min,  source_max,
+           'text',    n, text_nulls,    text_d,    text_min,    text_max)
+           AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""))
+        .orderBy("col_name")
+    }),
+
     // -- the MODERN curation pipeline, composed from this round's gates:
     //    Gopher rule gate -> bigram-LM score filter (drop the
     //    highest-perplexity tail) -> winnow-pair dedup (drop the
@@ -1861,6 +1905,37 @@ object TextAnalysis extends QueryModule {
       FROM s
       GROUP BY shard
       ORDER BY shard""",
+
+    "pipe_profile" -> """
+      SELECT 'doc_id' AS col_name, count(1) AS n_rows,
+             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             min(doc_id)::VARCHAR AS min_val, max(doc_id)::VARCHAR AS max_val
+      FROM documents
+      UNION ALL
+      SELECT 'lang', count(1),
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT lang), min(lang), max(lang)
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(1),
+             sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT n_chars),
+             min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+      FROM documents
+      UNION ALL
+      SELECT 'source', count(1),
+             sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT source), min(source), max(source)
+      FROM documents
+      UNION ALL
+      SELECT 'text', count(1),
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT md5(text)),
+             substr(min(text), 1, 40), substr(max(text), 1, 40)
+      FROM documents
+      ORDER BY col_name""",
 
     "pipe_split" -> """
       WITH s AS (
