@@ -60,7 +60,12 @@ object Bench {
     "pipe_sample_weighted",
     // round 11: hybrid BM25 + IVF reciprocal-rank fusion (the RAG /
     // decontamination retrieval composition)
-    "txt_hybrid_retrieval")
+    "txt_hybrid_retrieval",
+    // round 14: basket-pair self-join mining (a genuinely new shuffle
+    // shape: co-partitioned fact self-join + pair agg) and the
+    // one-scan 5-way multi-distinct column profile (Expand-multiplied
+    // scan — the audit every ingest runs)
+    "q_copurchase_pairs", "pipe_profile")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at
@@ -94,18 +99,19 @@ object Bench {
       "to exercise edgeJaccardFrom's capped path against the oracle " +
       "mirror every round; the operator's cost is timed at 20x by " +
       "scaled_ejacc_x20" -> Seq("graph_ejacc_hubcap"),
-    "observe()-accumulator metrics demo + shard manifest: one corpus " +
-      "scan + one hash agg each, scan-bound twins of the timed " +
+    "observe()-accumulator metrics demo, shard manifest, PSI drift " +
+      "audit: one corpus scan + one hash agg each (drift's windows run " +
+      "over <= 17 post-agg rows), scan-bound twins of the timed " +
       "pipe_split shape" -> Seq(
-      "pipe_observe_metrics", "pipe_shard_manifest"),
+      "pipe_observe_metrics", "pipe_shard_manifest", "pipe_drift"),
     "event-time BATCH variants of timed representatives (ev_sessionize / " +
       "ev_asof_join / ev_range_join / ev_sliding / ev_gap_fill / " +
       "ev_outliers / ev_funnel / ev_asof_nearest): same scan + window / " +
       "join shapes, different parameterization" -> Seq(
       "ev_asof_forward", "ev_asof_tolerance", "ev_dwell_hist",
-      "ev_interval_join", "ev_pivot", "ev_pivot_dynamic", "ev_retention",
-      "ev_session_window", "ev_topk_users", "ev_tumbling", "ev_typed_gaps",
-      "ev_user_stats"),
+      "ev_interval_join", "ev_markov", "ev_pivot", "ev_pivot_dynamic",
+      "ev_retention", "ev_session_window", "ev_topk_users", "ev_tumbling",
+      "ev_typed_gaps", "ev_user_stats"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +
       "scaled_stream_{window,session,chain,tws}_x20; these replay 100k " +
       "events and track replay-scratch scan cost (enrich is stateless " +
@@ -141,7 +147,8 @@ object Bench {
       "q_grouping_sets: same hash-agg shuffle shape, different function " +
       "list" -> Seq(
       "q_cube", "q_date_agg", "q_distinct_agg", "q_histogram",
-      "q_json_agg", "q_minmax_by", "q_misc_aggs", "q_regr_stats"),
+      "q_json_agg", "q_minmax_by", "q_misc_aggs", "q_regr_stats",
+      "q_skyline"),
     "join variants of timed q3_topk_join / q5_multijoin / q_outer_join / " +
       "io_bucketed_join: same shuffle/broadcast shapes" -> Seq(
       "q_anti_join", "q_dpp", "q_salted_join", "q_semi_join"),
@@ -152,7 +159,8 @@ object Bench {
     "SQL front-end variants of timed q_sql_cte_window: parser/analyzer " +
       "surface, same execution shapes as their DataFrame twins" -> Seq(
       "q_sql_join_agg", "q_sql_lateral", "q_sql_not_in_nulls",
-      "q_sql_recursive", "q_sql_revenue", "q_sql_string_agg"),
+      "q_sql_pipe", "q_sql_recursive", "q_sql_revenue",
+      "q_sql_string_agg"),
     "tiny-shape rows (sampling, set ops, subqueries, unpivot, null " +
       "ordering, limits): sub-second scan-bound at every SF; q_topk " +
       "doubles as the sweep's warmup query" -> Seq(
@@ -166,7 +174,7 @@ object Bench {
       "txt_bigrams", "txt_bpe_merges", "txt_dup_ngrams", "txt_fingerprint",
       "txt_heavy_hitters", "txt_lang_id", "txt_length_hist", "txt_pack",
       "txt_pmi", "txt_redact", "txt_repetition", "txt_rolling_hash",
-      "txt_token_bpe", "txt_token_estimate"),
+      "txt_token_bpe", "txt_token_estimate", "txt_unicode_norm"),
     "sorted-limit tail of the timed wordcount plan" -> Seq("wordcount_topk"))
 
   /** Fails unless headline ∪ excluded == the registry, with no overlap

@@ -867,6 +867,33 @@ object EventsTime extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // -- first-order Markov transition matrix over per-user event
+    //    streams (the behavioral-model / anomaly-baseline primitive):
+    //    lead(event_type) in the user's (ts, event_id)-deterministic
+    //    order pairs each event with its successor, then one hash agg
+    //    counts (from, to) and a per-from window over the tiny
+    //    |types|^2 aggregate attaches the row margin — transition
+    //    probability in integer per-mille (BIGINT div, bit-equal both
+    //    engines). The only shuffle over event-scale data is the
+    //    user-partitioned window sort sessionization already pays;
+    //    everything after the agg is |types|^2 rows at any corpus
+    //    size. ----------------------------------------------------------
+    "ev_markov" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), us.as("us"),
+          col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(wOrd))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum("n").over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(1000 * n) DIV n_from").as("p_mille"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // -- interval-overlap join: sessions x incident windows ---------------
     // True interval x interval overlap (vs ev_range_join's point-in-
     // window): each user session [s_start, s_end] against each error's
@@ -1456,6 +1483,22 @@ object EventsTime extends QueryModule {
       FROM per_sess
       GROUP BY user_id
       ORDER BY user_id""",
+
+    "ev_markov" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                 FROM events),
+           t AS (SELECT event_type AS from_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS to_type
+                 FROM e),
+           c AS (SELECT from_type, to_type, count(1) AS n
+                 FROM t WHERE to_type IS NOT NULL
+                 GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+             ((1000 * n) // (sum(n) OVER (PARTITION BY from_type)))::BIGINT
+               AS p_mille
+      FROM c
+      ORDER BY from_type, to_type""",
 
     "ev_typed_gaps" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

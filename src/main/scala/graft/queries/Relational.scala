@@ -960,6 +960,38 @@ object Relational extends QueryModule {
         .orderBy(col("support").desc, col("lift_milli").desc,
           col("pa"), col("pb"))
         .limit(200)
+    }),
+
+    // -- pareto frontier (skyline): parts not dominated on (cheapest
+    //    observed price ASC, total shipped quantity DESC). Dominance:
+    //    a beats b iff price_a <= price_b AND qty_a >= qty_b with one
+    //    strict. Shape: the heavy fact scan collapses to a per-part
+    //    aggregate FIRST (distributed hash agg over |parts| — the
+    //    dimension-bounded set), then the frontier falls out of two
+    //    windows over that reduced set: max(qty) over strictly-cheaper
+    //    rows (RANGE .. 1 PRECEDING on integer cents = price < mine)
+    //    and max(qty) per price tie-group — no self-join, no O(n²)
+    //    dominance test. The global window sorts |parts| rows, never
+    //    fact rows; at a scale where even the part dimension outgrows
+    //    one partition, the same two-window frontier runs per grid
+    //    cell with per-cell maxima pruning cells first (classical
+    //    distributed skyline), but that is dimension-explosion
+    //    territory, not 100 TB of facts. ------------------------------
+    "q_skyline" -> ((s, d) => {
+      val per = li(s, d).groupBy("l_partkey")
+        .agg(min(cents(col("l_extendedprice"))).as("price_c"),
+          sum("l_quantity").cast("long").as("qty"))
+      val wCheaper = Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy("price_c")
+      per
+        .withColumn("best_cheaper", max("qty").over(wCheaper))
+        .withColumn("best_same", max("qty").over(wSame))
+        .filter((col("best_cheaper").isNull ||
+            col("best_cheaper") < col("qty")) &&
+          col("qty") === col("best_same"))
+        .select(col("l_partkey"), col("price_c"), col("qty"))
+        .orderBy("price_c", "l_partkey")
     })
   )
 
@@ -1647,6 +1679,25 @@ object Relational extends QueryModule {
       JOIN marg mb ON mb.l_partkey = pr.pb
       CROSS JOIN nb
       ORDER BY support DESC, lift_milli DESC, pa, pb
-      LIMIT 200"""
+      LIMIT 200""",
+
+    "q_skyline" -> """
+      WITH per AS (
+        SELECT l_partkey,
+               min(round(l_extendedprice * 100)::BIGINT) AS price_c,
+               sum(l_quantity)::BIGINT AS qty
+        FROM lineitem
+        GROUP BY l_partkey),
+      w AS (
+        SELECT l_partkey, price_c, qty,
+               max(qty) OVER (ORDER BY price_c RANGE BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+               max(qty) OVER (PARTITION BY price_c) AS best_same
+        FROM per)
+      SELECT l_partkey, price_c, qty
+      FROM w
+      WHERE (best_cheaper IS NULL OR best_cheaper < qty)
+        AND qty = best_same
+      ORDER BY price_c, l_partkey"""
   )
 }

@@ -995,6 +995,78 @@ object TextAnalysis extends QueryModule {
         .orderBy("col_name")
     }),
 
+    // -- unicode NFC normalization (own codegen'd Catalyst expression,
+    //    functions/UnicodeNorm.scala): the ingest step that makes the
+    //    rest of the pipeline's byte-keyed arithmetic (dedup digests,
+    //    shingles, group-by keys) see composed and decomposed forms of
+    //    the SAME text as equal. The corpus is ASCII (structurally
+    //    NFC), so the semantic surface is exercised by attaching BOTH
+    //    canonical-equivalent suffix forms — decomposed e+U+0301 and
+    //    precomposed U+00E9 — to every doc: byte-equal raw 0 times,
+    //    NFC-equal every time, with the composed form strictly shorter
+    //    in codepoints. One scan, one row out; the normalize itself is
+    //    a projection expression inside WholeStageCodegen (the
+    //    isNormalized fast path makes already-clean rows free). Oracle:
+    //    DuckDB nfc_normalize (utf8proc) — same Unicode canonical
+    //    composition, byte-identical outputs. --------------------------
+    "txt_unicode_norm" -> ((s, d) => {
+      val frag = substring(col("text"), 1, 24)
+      val dec = concat(frag, lit(SUFFIX_DECOMPOSED))
+      val pre = concat(frag, lit(SUFFIX_PRECOMPOSED))
+      val ndec = graft.functions.UnicodeNorm.nfc(s, dec)
+      val npre = graft.functions.UnicodeNorm.nfc(s, pre)
+      Tables.documents(s, d)
+        .select(dec.as("md"), pre.as("mp"), ndec.as("nd"), npre.as("np"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("md") === col("mp"), 1L).otherwise(0L))
+            .as("n_raw_eq"),
+          sum(when(col("nd") === col("np"), 1L).otherwise(0L))
+            .as("n_norm_eq"),
+          sum(length(col("md"))).as("chars_dec"),
+          sum(length(col("nd"))).as("chars_norm"),
+          countDistinct(md5(col("nd").cast("binary"))).as("d_norm"))
+    }),
+
+    // -- distribution drift between two corpus halves (PSI, the
+    //    population-stability-index audit a pipeline runs between two
+    //    data drops before retraining): n_chars bucketed by pure
+    //    integer arithmetic (16 fixed-width buckets, identical formula
+    //    both engines), per-bucket counts for the doc_id-parity halves
+    //    in ONE agg (conditional sums — no self-join, no second scan),
+    //    +1 Laplace smoothing so empty buckets stay finite, fractions
+    //    in integer ppm, and the per-bucket PSI contribution
+    //    (fa−fb)·(ln fa − ln fb) ≥ 0 floored to integer micronats via
+    //    the bit-exact DetMath ln — order-free, so the oracle matches
+    //    bit-for-bit. Totals attach as a window over the ≤17 bucket
+    //    rows (post-agg: trivially small at any corpus size). ----------
+    "pipe_drift" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val ln = graft.functions.DetMath.lnColumn _
+      Tables.documents(s, d)
+        .select(expr("(least(n_chars, 4095) * 16) DIV 4096").as("bucket"),
+          (col("doc_id") % 2).as("half"))
+        .groupBy("bucket")
+        .agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        .withColumn("na", sum(col("ca") + 1).over(w))
+        .withColumn("nb", sum(col("cb") + 1).over(w))
+        .select(col("bucket"), col("ca"), col("cb"),
+          greatest(expr("(1000000 * (ca + 1)) DIV na"), lit(1L))
+            .as("fa_ppm"),
+          greatest(expr("(1000000 * (cb + 1)) DIV nb"), lit(1L))
+            .as("fb_ppm"))
+        .select(col("bucket"), col("ca"), col("cb"),
+          col("fa_ppm"), col("fb_ppm"),
+          floor((col("fa_ppm") - col("fb_ppm")).cast("double") *
+              (ln(col("fa_ppm").cast("double")) -
+               ln(col("fb_ppm").cast("double"))))
+            .cast("long").as("psi_micro"))
+        .orderBy("bucket")
+    }),
+
     // -- the MODERN curation pipeline, composed from this round's gates:
     //    Gopher rule gate -> bigram-LM score filter (drop the
     //    highest-perplexity tail) -> winnow-pair dedup (drop the
@@ -1207,6 +1279,17 @@ object TextAnalysis extends QueryModule {
     * in the oracle.
     */
   val PMI_MIN_SUPPORT = 5
+
+  /** Canonically-equivalent suffix pair for [[txt_unicode_norm]]: the
+    * same text "Café über" spelled with combining marks (e + U+0301,
+    * u + U+0308 — 11 codepoints) and precomposed (U+00E9, U+00FC — 9
+    * codepoints). NFC maps the first onto the second, so the two are
+    * byte-DIFFERENT raw and byte-IDENTICAL normalized — the exact
+    * hazard unnormalized ingest feeds into hash-keyed dedup. Embedded
+    * verbatim in the oracle SQL (the JSON dump carries the UTF-8).
+    */
+  val SUFFIX_DECOMPOSED = " Café über"
+  val SUFFIX_PRECOMPOSED = " Café über"
 
   /** Collocation mining via pointwise mutual information (Church &
     * Hanks, "Word association norms, mutual information, and
@@ -1936,6 +2019,59 @@ object TextAnalysis extends QueryModule {
              substr(min(text), 1, 40), substr(max(text), 1, 40)
       FROM documents
       ORDER BY col_name""",
+
+    // the canonically-equivalent suffix pair is embedded verbatim (the
+    // JSON dump carries the raw UTF-8; DuckDB's nfc_normalize is the
+    // same Unicode canonical composition java.text.Normalizer applies)
+    "txt_unicode_norm" -> s"""
+      WITH b AS (SELECT substr(text, 1, 24) || '$SUFFIX_DECOMPOSED' AS md,
+                        substr(text, 1, 24) || '$SUFFIX_PRECOMPOSED' AS mp
+                 FROM documents),
+           n AS (SELECT md, mp, nfc_normalize(md) AS nd,
+                        nfc_normalize(mp) AS np
+                 FROM b)
+      SELECT count(1) AS n_docs,
+             sum(CASE WHEN md = mp THEN 1 ELSE 0 END)::BIGINT AS n_raw_eq,
+             sum(CASE WHEN nd = np THEN 1 ELSE 0 END)::BIGINT AS n_norm_eq,
+             sum(length(md))::BIGINT AS chars_dec,
+             sum(length(nd))::BIGINT AS chars_norm,
+             count(DISTINCT md5(nd)) AS d_norm
+      FROM n""",
+
+    "pipe_drift" -> s"""
+      WITH b AS (SELECT (least(n_chars, 4095) * 16) // 4096 AS bucket,
+                        doc_id % 2 AS half
+                 FROM documents),
+           c AS (SELECT bucket,
+                        sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+                 FROM b GROUP BY bucket),
+           t AS (SELECT bucket, ca, cb,
+                        sum(ca + 1) OVER () AS na,
+                        sum(cb + 1) OVER () AS nb
+                 FROM c),
+           f AS (SELECT bucket, ca, cb,
+                        greatest((1000000 * (ca + 1)) // na, 1)::BIGINT AS fa_ppm,
+                        greatest((1000000 * (cb + 1)) // nb, 1)::BIGINT AS fb_ppm
+                 FROM t),
+           p1 AS (SELECT *, ${graft.functions.DetMath.eSql("fa_ppm")} AS ea,
+                         ${graft.functions.DetMath.eSql("fb_ppm")} AS eb
+                  FROM f),
+           p2 AS (SELECT *,
+                    ${graft.functions.DetMath.ySql("fa_ppm::DOUBLE", "ea")} AS ya,
+                    ${graft.functions.DetMath.ySql("fb_ppm::DOUBLE", "eb")} AS yb
+                  FROM p1),
+           p3 AS (SELECT *, ${graft.functions.DetMath.zSql("ya")} AS za,
+                         ${graft.functions.DetMath.zSql("yb")} AS zb
+                  FROM p2),
+           p4 AS (SELECT *, (za * za) AS za2, (zb * zb) AS zb2 FROM p3)
+      SELECT bucket, ca, cb, fa_ppm, fb_ppm,
+             floor((fa_ppm - fb_ppm)::DOUBLE *
+               (${graft.functions.DetMath.lnSqlFromParts("ea", "za", "za2")}
+                - ${graft.functions.DetMath.lnSqlFromParts("eb", "zb", "zb2")}))::BIGINT
+               AS psi_micro
+      FROM p4
+      ORDER BY bucket""",
 
     "pipe_split" -> """
       WITH s AS (
