@@ -377,4 +377,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "top-50 selection planned as a global sort:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("copurchase: basket count attaches by broadcast, top-200 is a heap") {
+    val p = plan("q_copurchase_pairs")
+    // the 1-row n_baskets agg must attach as a broadcast nested-loop
+    // (constant right side), never shuffle the pair stream against it
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-200 selection planned as a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("profile: one scan, multi-distinct via Expand, no re-scan per column") {
+    val p = plan("pipe_profile")
+    // Catalyst plans the 5-way multi-distinct as ONE scan + Expand;
+    // a per-column UNION rewrite would show 5 scans of documents.
+    // Count the numbered detail headers, not bare substrings (each
+    // operator appears twice in formatted explain: tree + detail).
+    val nScans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(nScans == 1, s"expected exactly 1 documents scan, got $nScans:\n$p")
+    assert(p.contains("Expand"), p)
+    // the wide text column's distinct rides its md5 digest: the
+    // generate/stack pivot happens AFTER the aggregate, on one row
+    assert(p.contains("Generate") || p.contains("stack"), p)
+  }
+
+  test("skyline: fact scan collapses to the per-part agg before any window") {
+    val p = plan("q_skyline")
+    // window input must be the aggregated per-part set, so the agg
+    // appears below the window in the tree; the scan reads only the
+    // three needed columns
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("l_orderkey"),
+      "unused lineitem columns not pruned from the skyline scan:\n" + p)
+  }
 }
