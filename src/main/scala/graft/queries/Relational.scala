@@ -933,17 +933,26 @@ object Relational extends QueryModule {
       // fan-out of a basket of k items is O(k^2), so baskets larger than
       // BASKET_CAP are excluded up front (the classical a-priori guard —
       // a pathological 10k-item basket would otherwise emit 5e7 pairs);
-      // the cap is mirrored verbatim in the oracle. The self-join is
-      // co-partitioned on l_orderkey (one shuffle feeds both sides), the
-      // pair agg is map-side combined, and the corpus size attaches as a
-      // broadcast 1-row agg — no driver-side count. Lift is computed in
-      // integer per-mille (BIGINT div) so both engines agree bit-for-bit.
+      // the cap is mirrored verbatim in the oracle. The filtered item
+      // frame feeds FIVE consumers (both self-join sides, both margin
+      // attaches, the basket count), so it is materialized ONCE via the
+      // repo's contract-then-solve checkpoint pattern (serialized,
+      // spills to disk) — without it Catalyst re-derives the scan +
+      // distinct + size filter per consumer: 8 fact scans where one
+      // suffices, the difference between a plan that survives 100 TB
+      // and one that re-reads the corpus per reference. The self-join
+      // is co-partitioned on l_orderkey, the pair agg is map-side
+      // combined, and the corpus size attaches as a broadcast 1-row
+      // agg — no driver-side count. Lift is computed in integer
+      // per-mille (BIGINT div) so both engines agree bit-for-bit.
       val items = li(s, d).select("l_orderkey", "l_partkey").distinct()
       val sized = items.groupBy("l_orderkey")
         .agg(count(lit(1)).as("bk"))
         .filter(col("bk") <= BASKET_CAP)
         .select("l_orderkey")
       val it = items.join(sized, "l_orderkey")
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val nb = it.agg(countDistinct("l_orderkey").as("n_baskets"))
       val marg = it.groupBy("l_partkey").agg(count(lit(1)).as("cm"))
       it.as("x").join(it.as("y"),
