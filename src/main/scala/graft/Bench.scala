@@ -110,6 +110,7 @@ object Bench {
       "join shapes, different parameterization" -> Seq(
       "ev_asof_forward", "ev_asof_tolerance", "ev_dwell_hist",
       "ev_interval_join", "ev_markov", "ev_pivot", "ev_pivot_dynamic",
+      "ev_seqmatch",
       "ev_retention", "ev_session_window", "ev_topk_users", "ev_tumbling",
       "ev_typed_gaps", "ev_user_stats"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +

@@ -188,31 +188,33 @@ object Dedup extends QueryModule {
     // construction (signature agreement at >= 0.5 Jaccard), and mass
     // exact-duplicate families belong to the exact pass UPSTREAM
     // (pipe_dedup_cascade collapses them before LSH ever runs).
-    // FREE formulation (r13 verdict #6 — the pre-agg + anti-join form
-    // cost a second pass over the whole signature pipeline, ~0.5 s at
-    // x20): a window count over bh on the ALREADY bh-partitioned a
-    // side. The window's hash partitioning and sort are exactly the
-    // join's own requirements, so the count rides the exchange the SMJ
-    // needs anyway — zero extra jobs, zero extra shuffles. Filtering
-    // ONE side suffices: a hot bucket with no a-side rows emits no
-    // pairs, and the blow-up is in the join OUTPUT, not its input.
-    // Mirrored in every band-join oracle (HAVING count > cap on exact
-    // (band, bkey) groups), so a degenerate regenerated corpus cannot
-    // flip the gate. Collision asymmetry note: the engine counts
-    // 64-bit bh buckets while the oracle counts exact (band, bkey)
-    // groups — an xxhash64 collision merging two buckets could fire
-    // the guard where the oracle's separate buckets stay under the
-    // cap (or add candidates the oracle lacks). Both sit on the same
-    // accepted 2^-64-per-pair collision surface as candidate
-    // generation itself; keying the guard pre-hash would re-widen the
-    // join rows the single-long bh exists to narrow.
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("bh")
-    val a = banded.select(col("bh"), col("doc_id").as("a_id"))
+    // Formulation: pre-agg + tiny broadcast anti-join. At most
+    // (corpus x BANDS) / cap buckets can be hot — broadcastable by
+    // construction, the same argument as edgeJaccardFrom's hub set.
+    // A "free" window-count formulation (count over bh riding the
+    // co-partition exchange, r13 verdict #6) was TRIED in round 14 and
+    // MEASURED SLOWER BY 5x: 13.0-13.5 s steady at x20 under idle load
+    // vs 2.2-3.3 s for this form under load ~15 (BenchProbe scaledmh
+    // A/B, same corpus, same session config). The window's required
+    // within-partition sort of the banded stream plus the plan-shape
+    // damage it does downstream dwarf the pre-agg's ~0.5 s — measured,
+    // not assumed; the pre-agg stays. Mirrored in every band-join
+    // oracle (HAVING count > cap on exact (band, bkey) groups), so a
+    // degenerate regenerated corpus cannot flip the gate. Collision
+    // asymmetry note: the engine counts 64-bit bh buckets while the
+    // oracle counts exact (band, bkey) groups — an xxhash64 collision
+    // merging two buckets could fire the guard where the oracle's
+    // separate buckets stay under the cap (or add candidates the
+    // oracle lacks). Both sit on the same accepted 2^-64-per-pair
+    // collision surface as candidate generation itself; keying the
+    // guard pre-hash would re-widen the join rows the single-long bh
+    // exists to narrow.
+    val hot = banded.groupBy("bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("bh")
+    val cool = banded.join(broadcast(hot), Seq("bh"), "left_anti")
+    val a = cool.select(col("bh"), col("doc_id").as("a_id"))
       .repartition(nPart, col("bh"))
-      .withColumn("bn", count(lit(1)).over(bucketW))
-      .filter(col("bn") <= maxBucket)
-      .drop("bn")
-    val b = banded.select(col("bh"), col("doc_id").as("b_id"))
+    val b = cool.select(col("bh"), col("doc_id").as("b_id"))
       .repartition(nPart, col("bh"))
     val pairs = a.join(b, Seq("bh"))
       .filter(col("a_id") < col("b_id"))

