@@ -403,6 +403,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate") || p.contains("stack"), p)
   }
 
+  test("sql pipe syntax plans identically to its ANSI form") {
+    // the pipe chain is parser surface only: FROM |> WHERE |> EXTEND |>
+    // AGGREGATE |> WHERE |> SELECT |> ORDER BY must reach Catalyst as
+    // the same logical plan the ANSI text produces — compared here as
+    // the physical operator-name sequence of the formatted tree,
+    // MODULO Project nodes: the pipe's |> SELECT rename stage leaves
+    // one extra attribute-only Project (fused into the surrounding
+    // WholeStageCodegen — zero runtime cost); every shuffle, agg,
+    // filter and sort must match exactly
+    def opNames(p: String): Seq[String] =
+      p.linesIterator.takeWhile(_.trim.nonEmpty)
+        .flatMap("""[A-Za-z]+[A-Za-z ]*\(\d+\)""".r.findFirstIn(_))
+        .map(_.replaceAll("""\s*\(\d+\)""", "").trim)
+        .filterNot(_ == "Project").toSeq
+    val pipe = plan("q_sql_pipe")
+    Tables.orders(spark, sf).createOrReplaceTempView("sql_orders")
+    val ansi = spark.sql("""
+        SELECT o_orderpriority AS prio, count(1) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_total
+        FROM sql_orders
+        WHERE year(o_orderdate) = 1995
+        GROUP BY o_orderpriority
+        HAVING count(1) > 5
+        ORDER BY prio""")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(opNames(pipe) == opNames(ansi),
+      s"pipe plan diverged from ANSI plan:\n$pipe\n--- vs ---\n$ansi")
+  }
+
   test("skyline: fact scan collapses to the per-part agg before any window") {
     val p = plan("q_skyline")
     // window input must be the aggregated per-part set, so the agg
