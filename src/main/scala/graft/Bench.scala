@@ -65,7 +65,13 @@ object Bench {
     // shape: co-partitioned fact self-join + pair agg) and the
     // one-scan 5-way multi-distinct column profile (Expand-multiplied
     // scan — the audit every ingest runs)
-    "q_copurchase_pairs", "pipe_profile")
+    "q_copurchase_pairs", "pipe_profile",
+    // round 14 (cont.): sorted-neighborhood blocking (two rank-window
+    // passes + offset equi-join — a pair-generation shape LSH/prefix
+    // blocking don't exercise) and the DECIMAL(38) aggregation hot
+    // path (Decimal128 sums cost multiples of a long sum; worth its
+    // own per-round number)
+    "dedup_sorted_neighborhood", "q_decimal_exact")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at
@@ -84,6 +90,7 @@ object Bench {
       "dedup_semantic", "dedup_simhash_pairs", "dedup_stream_probe",
       "dedup_substrings", "dedup_url_canonical", "dedup_weighted_jaccard",
       "dedup_winnow_clusters", "dedup_winnow_pairs", "dedup_wminhash_pairs",
+      "dedup_lsh_recall",
       "graph_triangles", "sim_knn_graph", "sim_pq_topk", "sim_sparse_pairs"),
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +
@@ -91,10 +98,12 @@ object Bench {
       "is tiny; LPA's round cost is timed at 20x by scaled_lpa_x20" ->
       Seq("graph_pagerank", "graph_kcore", "graph_coreness", "graph_lpa",
       "graph_bfs", "graph_walks", "graph_cluster_quality",
-      "graph_cluster_xquality"),
+      "graph_cluster_xquality", "graph_modularity"),
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
-      "rows); cost is one corpus scan, tracked by sim_brute_topk" -> Seq(
-      "sim_range_search"),
+      "rows); cost is one corpus scan, tracked by sim_brute_topk " +
+      "(filtered_topk is the same scan with a label equi-key that only " +
+      "SHRINKS the pair work)" -> Seq(
+      "sim_range_search", "sim_filtered_topk"),
     "cap-parity probe on a 40-edge synthetic star+clique graph: exists " +
       "to exercise edgeJaccardFrom's capped path against the oracle " +
       "mirror every round; the operator's cost is timed at 20x by " +
@@ -110,7 +119,7 @@ object Bench {
       "join shapes, different parameterization" -> Seq(
       "ev_asof_forward", "ev_asof_tolerance", "ev_dwell_hist",
       "ev_interval_join", "ev_markov", "ev_pivot", "ev_pivot_dynamic",
-      "ev_seqmatch",
+      "ev_seqmatch", "ev_attribution", "ev_rfm", "ev_anomaly_mad",
       "ev_retention", "ev_session_window", "ev_topk_users", "ev_tumbling",
       "ev_typed_gaps", "ev_user_stats"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +
@@ -118,7 +127,8 @@ object Bench {
       "events and track replay-scratch scan cost (enrich is stateless " +
       "broadcast, scan-bound by construction)" -> Seq(
       "ev_stream_dedup", "ev_stream_join", "ev_stream_outer",
-      "ev_stream_semi", "ev_stream_replay", "ev_stream_session",
+      "ev_stream_semi", "ev_stream_full", "ev_stream_union",
+      "ev_stream_replay", "ev_stream_session",
       "ev_stream_update", "ev_stream_enrich", "ev_stream_multibatch",
       "ev_stream_late_drop", "ev_stream_file_sink"),
     "I/O write-path roundtrips (timed in SourcesSpec / ZOrderSpec / " +
@@ -126,7 +136,7 @@ object Bench {
       "IS timed): sweep times would measure tmp-dir write throughput" -> Seq(
       "io_codec_roundtrip", "io_csv_roundtrip", "io_json_roundtrip",
       "io_orc_roundtrip", "io_partitioned_prune", "io_schema_merge",
-      "io_zorder_box"),
+      "io_zorder_box", "io_file_stats"),
     "multimodal plumbing rows: decode is stubbed per container limits " +
       "(SURVEY mandate), so beyond the timed mm_meta / mm_dedup / " +
       "mm_phash_pairs the rows measure the same digest-shuffle shape" -> Seq(
@@ -156,12 +166,13 @@ object Bench {
     "window-function variants of timed q_window_rank / q_topk_per_key: " +
       "same partitioned-sort shape, different frame/function" -> Seq(
       "q_window_dist", "q_window_lag", "q_window_nav", "q_window_range",
-      "q_window_running"),
+      "q_window_running", "q_window_ignore_nulls"),
     "SQL front-end variants of timed q_sql_cte_window: parser/analyzer " +
       "surface, same execution shapes as their DataFrame twins" -> Seq(
       "q_sql_join_agg", "q_sql_lateral", "q_sql_not_in_nulls",
       "q_sql_pipe", "q_sql_recursive", "q_sql_revenue",
-      "q_sql_string_agg"),
+      "q_sql_string_agg", "q_sql_group_by_all", "q_sql_named_window",
+      "q_sql_pivot"),
     "tiny-shape rows (sampling, set ops, subqueries, unpivot, null " +
       "ordering, limits): sub-second scan-bound at every SF; q_topk " +
       "doubles as the sweep's warmup query" -> Seq(
@@ -174,8 +185,9 @@ object Bench {
       "scaled_bpe rows" -> Seq(
       "txt_bigrams", "txt_bpe_merges", "txt_dup_ngrams", "txt_fingerprint",
       "txt_heavy_hitters", "txt_lang_id", "txt_length_hist", "txt_pack",
-      "txt_pmi", "txt_redact", "txt_repetition", "txt_rolling_hash",
-      "txt_token_bpe", "txt_token_estimate", "txt_unicode_norm"),
+      "txt_pmi", "txt_rake", "txt_redact", "txt_repetition",
+      "txt_rolling_hash", "txt_token_bpe", "txt_token_estimate",
+      "txt_unicode_norm"),
     "sorted-limit tail of the timed wordcount plan" -> Seq("wordcount_topk"))
 
   /** Fails unless headline ∪ excluded == the registry, with no overlap

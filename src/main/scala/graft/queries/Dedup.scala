@@ -1130,6 +1130,69 @@ object Dedup extends QueryModule {
       .orderBy("a_id", "b_id")
   }
 
+  /** Sorted-neighborhood entity-resolution blocking (Hernández &
+    * Stolfo, SIGMOD'95, the multi-pass variant): docs sort by a
+    * normalized key, and every pair within a sliding rank window of
+    * [[SNM_W]] becomes a candidate — the blocking that catches
+    * near-keys exact-prefix blocking splits apart (a one-char edit
+    * inside the block key moves a doc to a different exact block but
+    * only a few positions in the sort). Distributed shape: the sort is
+    * PARTITION-PARALLEL — rows hash to a coarse 2-char key prefix
+    * block, rank is a per-block window, and neighbors pair via an
+    * offset explode + equi-join on (block, rank), so no global
+    * single-partition window exists at any corpus size. Pairs
+    * straddling a block boundary are invisible to one pass; the
+    * published fix is run MULTIPLE PASSES with independent keys and
+    * union candidates (Hernández-Stolfo's multi-pass method) — pass 2
+    * sorts by the reversed text, whose boundaries are uncorrelated
+    * with pass 1's. Candidates verify with exact distinct-token
+    * Jaccard (codegen'd two-pointer intersect, integer per-mille).
+    */
+  val SNM_W = 5
+
+  def sortedNeighborhoodPairsFrom(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]+", "")
+    // one materialization serves both passes and the verify re-attach
+    val base = docs.select(col("doc_id"),
+        substring(norm, 1, 12).as("k1"),
+        substring(reverse(norm), 1, 12).as("k2"),
+        array_sort(array_distinct(Text.tokensLower(col("text")))).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    import org.apache.spark.sql.expressions.Window
+    def passPairs(key: String): DataFrame = {
+      val r = base.select(col("doc_id"), col(key).as("key"))
+        .withColumn("blk", substring(col("key"), 1, 2))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("blk").orderBy(col("key"), col("doc_id"))))
+      val probes = r.select(col("blk"), col("rn"), col("doc_id").as("x_id"))
+        .withColumn("off", explode(sequence(lit(1), lit(SNM_W - 1))))
+        .withColumn("rn", col("rn") + col("off"))
+      probes.join(r.select(col("blk"), col("rn"), col("doc_id").as("y_id")),
+          Seq("blk", "rn"))
+        .select(least(col("x_id"), col("y_id")).as("a_id"),
+          greatest(col("x_id"), col("y_id")).as("b_id"))
+    }
+    val cand = passPairs("k1").union(passPairs("k2"))
+      .dropDuplicates("a_id", "b_id")
+    val hint = DedupOps.sizeHint(docs)
+    cand
+      .join(hint(base.select(col("doc_id").as("a_id"), col("ts").as("a_ts"))),
+        Seq("a_id"))
+      .join(hint(base.select(col("doc_id").as("b_id"), col("ts").as("b_ts"))),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(col("a_ts")).cast("long").as("na"),
+        size(col("b_ts")).cast("long").as("nb"),
+        graft.functions.ArraySets.sortedIntersectCount(docs.sparkSession,
+          col("a_ts"), col("b_ts")).as("inter"))
+      .withColumn("jac_mille", expr("(1000 * inter) DIV (na + nb - inter)"))
+      .filter(col("jac_mille") >= 300)
+      .select("a_id", "b_id", "jac_mille")
+      .orderBy("a_id", "b_id")
+  }
+
   /** EXACT weighted (multiset) Jaccard over prefix-blocked candidates:
     * `sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b))` over the token
     * vocabulary — the tf-aware similarity the distinct-set score
@@ -1673,6 +1736,24 @@ object Dedup extends QueryModule {
     * pinned (localCheckpoint) by the caller — it is consumed once here.
     */
   def clusterQualityLabeled(docs: DataFrame, pairs: DataFrame,
+      labels: DataFrame): DataFrame =
+    clusterEdgeStats(docs, pairs, labels)
+      .withColumn("density_mille",
+        when(col("n_nodes") >= 2,
+          expr("e_in * 2000 DIV (n_nodes * (n_nodes - 1))"))
+          .otherwise(lit(0L)))
+      .withColumn("conductance_mille",
+        when(col("e_in") * 2 + col("cut") > 0,
+          expr("cut * 1000 DIV (2 * e_in + cut)")).otherwise(lit(0L)))
+      .orderBy(col("n_nodes").desc, col("cluster"))
+      .limit(25)
+
+  /** Shared per-cluster edge statistics: (cluster, n_nodes, e_in, cut)
+    * of a label partition against a pair graph — the common core of
+    * [[clusterQualityLabeled]] and [[modularityLabeled]]. One tagged
+    * materialization serves the intra count and both cut sides.
+    */
+  private def clusterEdgeStats(docs: DataFrame, pairs: DataFrame,
       labels: DataFrame): DataFrame = {
     val labs = labels
     val hint = graft.operators.DedupOps.sizeHint(docs)
@@ -1694,13 +1775,42 @@ object Dedup extends QueryModule {
       .select(col("cluster"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"),
         coalesce(col("cut"), lit(0L)).as("cut"))
-      .withColumn("density_mille",
-        when(col("n_nodes") >= 2,
-          expr("e_in * 2000 DIV (n_nodes * (n_nodes - 1))"))
-          .otherwise(lit(0L)))
-      .withColumn("conductance_mille",
-        when(col("e_in") * 2 + col("cut") > 0,
-          expr("cut * 1000 DIV (2 * e_in + cut)")).otherwise(lit(0L)))
+  }
+
+  /** Newman modularity of a label partition against a pair graph, in
+    * overflow-safe quantized integer arithmetic. Per cluster c with
+    * intra-edge count e_c and degree sum d_c = 2·e_c + cut_c, the
+    * contribution is e_c/m − (d_c/2m)²; quantized as
+    * `e_c·1e6 DIV m − (t_c·t_c) DIV 1e6` with `t_c = d_c·1e6 DIV 2m`
+    * — every intermediate is ≤ ~1e14 at ANY graph size (t ≤ 1e6 by
+    * construction, e ≤ m), so the arithmetic never needs 128-bit and
+    * both engines reproduce it bit-for-bit. q_ppm (the partition's
+    * total, what you compare across clusterings) rides every row via
+    * a window over the |clusters| post-agg frame. Labels from one
+    * near-dup definition scored against another's pair graph (winnow
+    * vs MinHash, as graph_cluster_xquality) give genuine cross edges,
+    * so the d² penalty term is value-exercised.
+    */
+  def modularityLabeled(docs: DataFrame, pairs0: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true) // m count + tagged stats
+    val m = pairs.agg(count(lit(1)).as("m"))
+    clusterEdgeStats(docs, pairs, labels)
+      .crossJoin(broadcast(m)) // 1-row edge-count attach
+      .withColumn("d_sum", expr("2 * e_in + cut"))
+      // empty pair graph -> m = 0 -> define the contribution as 0 on
+      // both engines instead of a divide-by-zero
+      .withColumn("t",
+        expr("CASE WHEN m > 0 THEN (d_sum * 1000000) DIV (2 * m) " +
+          "ELSE 0 END"))
+      .withColumn("contrib_ppm",
+        expr("CASE WHEN m > 0 THEN " +
+          "(e_in * 1000000) DIV m - (t * t) DIV 1000000 ELSE 0 END"))
+      .withColumn("q_ppm", sum("contrib_ppm").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)))) // |clusters| post-agg rows
+      .select(col("cluster"), col("n_nodes"), col("e_in"), col("d_sum"),
+        col("contrib_ppm"), col("q_ppm"))
       .orderBy(col("n_nodes").desc, col("cluster"))
       .limit(25)
   }
@@ -2042,6 +2152,19 @@ object Dedup extends QueryModule {
           ordered = false))
     }),
 
+    // -- Newman modularity of the winnow-CC partition against the
+    //    MinHash pair graph (see modularityLabeled): the single score
+    //    that ranks alternative clusterings of the same near-dup
+    //    graph; same cross-labelset framing as graph_cluster_xquality
+    //    so the degree-penalty term sees genuine cross edges ----------
+    "graph_modularity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      modularityLabeled(docs,
+        minhashPairsFrom(docs, ordered = false).select("a_id", "b_id"),
+        ccFromPairs(docs, winnowPairsFrom(docs).select("a_id", "b_id"),
+          ordered = false))
+    }),
+
     // -- benchmark decontamination (see contaminationFrom) ----------------
     "dedup_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2151,6 +2274,42 @@ object Dedup extends QueryModule {
     //    ppjoinPairsFrom) -------------------------------------------------
     "dedup_ppjoin_pairs" -> ((s, d) =>
       ppjoinPairsFrom(Tables.documents(s, d))),
+
+    // -- sorted-neighborhood blocking (multi-pass SNM): rank-window
+    //    candidates over two independent sort keys, exact-Jaccard
+    //    verified (see sortedNeighborhoodPairsFrom) ---------------------
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      sortedNeighborhoodPairsFrom(Tables.documents(s, d))),
+
+    // -- the LSH pipeline's RECALL/PRECISION as a first-class gated
+    //    query: exact PPJoin pairs at the matching J >= 0.5 threshold
+    //    are ground truth, the banded-MinHash estimate pipeline is the
+    //    system under audit, and the metric row itself (not just the
+    //    pair sets) is what the DuckDB oracle value-checks every round.
+    //    Both pipelines are deterministic, so a drop in recall — from a
+    //    banding change, a guard firing, a hash tweak — breaks the
+    //    driver compare instead of drifting silently. (The x20-scale
+    //    twin lives in BenchProbe lshrecall; LshRecallSpec pins a 0.8
+    //    floor on a seeded-twins corpus.) Cost: both pair pipelines +
+    //    three 1-row aggs ----------------------------------------------
+    "dedup_lsh_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = ppjoinPairsFrom(docs).select("a_id", "b_id")
+        .localCheckpoint(true) // n_true agg + hit join
+      val est = minhashPairsFrom(docs, ordered = false)
+        .select("a_id", "b_id")
+        .localCheckpoint(true) // n_est agg + hit join
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nEst = est.agg(count(lit(1)).as("n_est"))
+      val nHit = truth.join(est, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      nTrue.crossJoin(broadcast(nEst)).crossJoin(broadcast(nHit))
+        .select(col("n_true"), col("n_est"), col("n_hit"),
+          expr("CASE WHEN n_true > 0 THEN (1000 * n_hit) DIV n_true " +
+            "ELSE 1000 END").as("recall_mille"),
+          expr("CASE WHEN n_est > 0 THEN (1000 * n_hit) DIV n_est " +
+            "ELSE 1000 END").as("precision_mille"))
+    }),
 
     // -- the production dedup CASCADE: collapse byte-identical texts to
     //    one canonical doc (min doc_id) FIRST, run the MinHash near-dup
@@ -2286,6 +2445,32 @@ object Dedup extends QueryModule {
   /** The MinHash+LSH pair oracle, optionally without its final total
     * order so it can embed as a derived table (dedup_clusters).
     */
+  /** PPJoin oracle body without the trailing ORDER BY — reused verbatim
+    * by dedup_ppjoin_pairs (which appends the sort) and as the exact
+    * ground-truth leg of dedup_lsh_recall.
+    */
+  private lazy val ppjoinPairsSqlNoOrder: String = s"""
+      WITH t AS (SELECT doc_id, ${sqlShingles(sqlToksL)} AS ss FROM documents),
+           sets AS (SELECT doc_id, ss, CAST(len(ss) AS BIGINT) AS n
+                    FROM t WHERE len(ss) > 0),
+           sh AS (SELECT doc_id, n, unnest(ss) AS s FROM sets),
+           dfr AS (SELECT s, count(1) AS df FROM sh GROUP BY s),
+           rk AS (SELECT sh.doc_id, sh.n, sh.s,
+                         row_number() OVER (PARTITION BY sh.doc_id
+                                            ORDER BY dfr.df, sh.s) AS rk
+                  FROM sh JOIN dfr ON sh.s = dfr.s),
+           pf AS (SELECT doc_id, s FROM rk WHERE rk <= n // 2 + 1),
+           cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM pf a JOIN pf b
+                      ON a.s = b.s AND a.doc_id < b.doc_id)
+      SELECT c.a_id, c.b_id, sa.n AS na, sb.n AS nb,
+             CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS inter,
+             (1000 * CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT))
+               // (sa.n + sb.n - len(list_intersect(sa.ss, sb.ss))) AS jac_mille
+      FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
+                  JOIN sets sb ON c.b_id = sb.doc_id
+      WHERE 3 * len(list_intersect(sa.ss, sb.ss)) >= sa.n + sb.n"""
+
   private def minhashPairsSql(ordered: Boolean): String = s"""
       WITH $sqlSigCtes,
            bands AS (
@@ -2640,6 +2825,59 @@ object Dedup extends QueryModule {
       ORDER BY n_nodes DESC, cluster
       LIMIT 25""",
 
+    // same cross-labelset CTE chain as graph_cluster_xquality, with the
+    // quantized modularity arithmetic (t <= 1e6 by construction — no
+    // 128-bit anywhere, identical on both engines)
+    "graph_modularity" -> s"""
+      WITH RECURSIVE
+        p AS (SELECT a_id, b_id FROM (${minhashPairsSql(ordered = false)}) mp),
+        wp AS (SELECT a_id, b_id FROM $sqlWinnowPairs w),
+        e AS (SELECT a_id AS src, b_id AS dst FROM wp
+              UNION ALL
+              SELECT b_id AS src, a_id AS dst FROM wp),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src),
+        cc AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        mm AS (SELECT count(1)::BIGINT AS m FROM p),
+        t AS (SELECT ca.cluster AS ca, cb.cluster AS cb
+              FROM p
+              JOIN cc ca ON ca.doc_id = p.a_id
+              JOIN cc cb ON cb.doc_id = p.b_id),
+        ein AS (SELECT ca AS cluster, count(1)::BIGINT AS e_in
+                FROM t WHERE ca = cb GROUP BY ca),
+        cut AS (SELECT cluster, count(1)::BIGINT AS cut
+                FROM (SELECT ca AS cluster FROM t WHERE ca <> cb
+                      UNION ALL
+                      SELECT cb AS cluster FROM t WHERE ca <> cb) x
+                GROUP BY cluster),
+        nn AS (SELECT cluster, count(1)::BIGINT AS n_nodes
+               FROM cc GROUP BY cluster),
+        j AS (SELECT nn.cluster, nn.n_nodes,
+                     COALESCE(ein.e_in, 0)::BIGINT AS e_in,
+                     COALESCE(cut.cut, 0)::BIGINT AS cut,
+                     mm.m
+              FROM nn
+              LEFT JOIN ein ON ein.cluster = nn.cluster
+              LEFT JOIN cut ON cut.cluster = nn.cluster
+              CROSS JOIN mm),
+        k AS (SELECT *, (2 * e_in + cut) AS d_sum,
+                     (CASE WHEN m > 0
+                           THEN ((2 * e_in + cut) * 1000000) // (2 * m)
+                           ELSE 0 END)::BIGINT AS t
+              FROM j),
+        c AS (SELECT *,
+                     (CASE WHEN m > 0
+                           THEN (e_in * 1000000) // m - (t * t) // 1000000
+                           ELSE 0 END)::BIGINT AS contrib_ppm
+              FROM k)
+      SELECT cluster, n_nodes, e_in, d_sum, contrib_ppm,
+             (sum(contrib_ppm) OVER ())::BIGINT AS q_ppm
+      FROM c
+      ORDER BY n_nodes DESC, cluster
+      LIMIT 25""",
+
     // cluster-keyed split: same recursive-CTE labels as dedup_clusters,
     // split arithmetic mirrored from pipe_split but over the label
     "pipe_cluster_split" -> s"""
@@ -2989,6 +3227,44 @@ object Dedup extends QueryModule {
               / len(list_distinct(a.ts || b.ts))::DOUBLE >= 0.5
       ORDER BY a_id, b_id""",
 
+    // both SNM passes mirrored: per-block rank windows, W-1 neighbor
+    // offsets, exact distinct-token Jaccard in integer per-mille
+    "dedup_sorted_neighborhood" -> s"""
+      WITH base AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                      1, 12) AS k1,
+               substr(reverse(regexp_replace(lower(text), '[^a-z0-9]+', '',
+                      'g')), 1, 12) AS k2,
+               list_sort(list_distinct($sqlToksL)) AS ts
+        FROM documents WHERE len($sqlToksL) > 0),
+      r1 AS (SELECT doc_id, k1 AS key, substr(k1, 1, 2) AS blk,
+                    row_number() OVER (PARTITION BY substr(k1, 1, 2)
+                      ORDER BY k1, doc_id) AS rn FROM base),
+      r2 AS (SELECT doc_id, k2 AS key, substr(k2, 1, 2) AS blk,
+                    row_number() OVER (PARTITION BY substr(k2, 1, 2)
+                      ORDER BY k2, doc_id) AS rn FROM base),
+      cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS a_id,
+               greatest(a.doc_id, b.doc_id) AS b_id
+        FROM r1 a JOIN r1 b ON a.blk = b.blk
+          AND b.rn BETWEEN a.rn + 1 AND a.rn + ${SNM_W - 1}
+        UNION
+        SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        FROM r2 a JOIN r2 b ON a.blk = b.blk
+          AND b.rn BETWEEN a.rn + 1 AND a.rn + ${SNM_W - 1}),
+      scored AS (
+        SELECT c.a_id, c.b_id,
+               ((1000 * len(list_intersect(ta.ts, tb.ts)))
+                 // (len(ta.ts) + len(tb.ts)
+                     - len(list_intersect(ta.ts, tb.ts))))::BIGINT
+                 AS jac_mille
+        FROM cand c JOIN base ta ON ta.doc_id = c.a_id
+                    JOIN base tb ON tb.doc_id = c.b_id)
+      SELECT a_id, b_id, jac_mille
+      FROM scored WHERE jac_mille >= 300
+      ORDER BY a_id, b_id""",
+
     // normalization chain mirrored regex-for-regex ('g' matches Spark's
     // replace-all default)
     "dedup_url_canonical" -> """
@@ -3152,28 +3428,27 @@ object Dedup extends QueryModule {
     // the streaming twin produces the identical row set by construction
     "dedup_stream_probe" -> incrementalSql,
 
-    "dedup_ppjoin_pairs" -> s"""
-      WITH t AS (SELECT doc_id, ${sqlShingles(sqlToksL)} AS ss FROM documents),
-           sets AS (SELECT doc_id, ss, CAST(len(ss) AS BIGINT) AS n
-                    FROM t WHERE len(ss) > 0),
-           sh AS (SELECT doc_id, n, unnest(ss) AS s FROM sets),
-           dfr AS (SELECT s, count(1) AS df FROM sh GROUP BY s),
-           rk AS (SELECT sh.doc_id, sh.n, sh.s,
-                         row_number() OVER (PARTITION BY sh.doc_id
-                                            ORDER BY dfr.df, sh.s) AS rk
-                  FROM sh JOIN dfr ON sh.s = dfr.s),
-           pf AS (SELECT doc_id, s FROM rk WHERE rk <= n // 2 + 1),
-           cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                    FROM pf a JOIN pf b
-                      ON a.s = b.s AND a.doc_id < b.doc_id)
-      SELECT c.a_id, c.b_id, sa.n AS na, sb.n AS nb,
-             CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS inter,
-             (1000 * CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT))
-               // (sa.n + sb.n - len(list_intersect(sa.ss, sb.ss))) AS jac_mille
-      FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
-                  JOIN sets sb ON c.b_id = sb.doc_id
-      WHERE 3 * len(list_intersect(sa.ss, sb.ss)) >= sa.n + sb.n
-      ORDER BY a_id, b_id""",
+    "dedup_ppjoin_pairs" -> (ppjoinPairsSqlNoOrder + """
+      ORDER BY a_id, b_id"""),
+
+    // quality metric AS a gated query: exact PPJoin truth vs the LSH
+    // estimate pipeline, joined on the id pair — both pipelines are
+    // deterministic, so recall/precision themselves hash-compare
+    "dedup_lsh_recall" -> s"""
+      WITH tr AS (SELECT a_id, b_id FROM ($ppjoinPairsSqlNoOrder) t0),
+           es AS (SELECT a_id, b_id
+                  FROM (${minhashPairsSql(ordered = false)}) mp),
+           h AS (SELECT tr.a_id FROM tr JOIN es
+                 ON tr.a_id = es.a_id AND tr.b_id = es.b_id),
+           c AS (SELECT (SELECT count(1) FROM tr)::BIGINT AS n_true,
+                        (SELECT count(1) FROM es)::BIGINT AS n_est,
+                        (SELECT count(1) FROM h)::BIGINT AS n_hit)
+      SELECT n_true, n_est, n_hit,
+             (CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true
+                   ELSE 1000 END)::BIGINT AS recall_mille,
+             (CASE WHEN n_est > 0 THEN (1000 * n_hit) // n_est
+                   ELSE 1000 END)::BIGINT AS precision_mille
+      FROM c""",
 
     "pipe_dedup_cascade" -> s"""
       WITH all_docs AS (

@@ -676,6 +676,91 @@ object EventsTime extends QueryModule {
     }
   }
 
+  /** Stream-stream FULL OUTER join under the oracle gate (see
+    * Streaming.streamStreamFullOuter): clicks AND purchases each emit
+    * null-padded when the final watermark proves no counterpart. Left
+    * rows evict at wm > l_ts (same rule as the left-outer replay);
+    * right rows evict at wm > r_ts + 10 min — a future click can match
+    * a purchase up to 10 minutes back, so purchases stay in state a
+    * full window longer than clicks. The oracle reproduces both
+    * eviction boundaries (ms-truncated watermark, strict compare).
+    */
+  def streamFullOuterReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    def stream = s.readStream.schema(batch.schema).parquet(scratch)
+    val joined = graft.streaming.Streaming.streamStreamFullOuter(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val sink = "ev_stream_full_" + System.nanoTime()
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("l_ts").isNotNull && col("r_ts").isNotNull,
+            lit(1))).as("n_pairs"),
+          count(when(col("l_ts").isNotNull && col("r_ts").isNull,
+            lit(1))).as("n_left_outer"),
+          count(when(col("l_ts").isNull && col("r_ts").isNotNull,
+            lit(1))).as("n_right_outer"),
+          min(unix_micros(col("l_ts"))).as("first_us"),
+          max(unix_micros(col("r_ts"))).as("last_us"))
+        .orderBy("user_id")
+    }
+  }
+
+  /** Multi-SOURCE streaming union under the oracle gate: the events
+    * corpus split by event_id parity into two independent file-stream
+    * sources (separate scratch dirs, separate readStream plans), each
+    * branch tagged with its source id, unioned into ONE streaming
+    * query with the watermark applied to the union — so the watermark
+    * tracks the max event time across BOTH sources, exactly the
+    * multi-topic/multi-region ingestion shape. Emission rule is the
+    * plain append rule over the combined stream; per-(hour, source)
+    * counts keep each branch's lineage visible in the compare.
+    */
+  def streamUnionReplay(s: SparkSession, d: String): DataFrame = {
+    val (batch, scratch) = replayScratch(s, d)
+    // parity-split scratch copies, fingerprint-keyed like replayScratch
+    // (the driver regenerates testdata between rounds)
+    val base = new java.io.File(scratch).getName
+    def half(tag: Int): String = {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        s"${base}_half$tag").getPath
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        batch.filter(col("event_id") % 2 === tag)
+          .write.mode("overwrite").parquet(p)
+      p
+    }
+    val (pa, pb) = (half(0), half(1))
+    def src(p: String, tag: Int) =
+      s.readStream.schema(batch.schema).parquet(p)
+        .withColumn("src", lit(tag.toLong))
+    val unioned = src(pa, 0).unionByName(src(pb, 1))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("src"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("src"), col("n"))
+    val sink = "ev_stream_union_" + System.nanoTime()
+    val q = unioned.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    dropSinkAfter(s, sink) {
+      s.table(sink)
+        .select(date_format(col("ws"), "yyyy-MM-dd HH").as("hour"),
+          col("src"), col("n"))
+        .orderBy("hour", "src")
+    }
+  }
+
   /** Stream-stream LEFT SEMI join under the oracle gate (see
     * Streaming.streamStreamLeftSemi): clicks with at least one
     * purchase in their 10-minute lookback, each click emitted at most
@@ -752,6 +837,14 @@ object EventsTime extends QueryModule {
 
     // -- stream-stream left outer, driver-checked (see above) -------------
     "ev_stream_outer" -> ((s, d) => streamLeftOuterReplay(s, d)),
+
+    // -- stream-stream FULL OUTER join: both sides' watermark-proven
+    //    non-matches emit null-padded (see streamFullOuterReplay) ------
+    "ev_stream_full" -> ((s, d) => streamFullOuterReplay(s, d)),
+
+    // -- multi-source streaming union: two file-stream sources, one
+    //    query, shared post-union watermark (see streamUnionReplay) ----
+    "ev_stream_union" -> ((s, d) => streamUnionReplay(s, d)),
 
     // -- streaming session windows, driver-checked ------------------------
     "ev_stream_session" -> ((s, d) => streamSessionReplay(s, d)),
@@ -1208,7 +1301,136 @@ object EventsTime extends QueryModule {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("user_id"))
-        .limit(5))
+        .limit(5)),
+
+    // -- RFM segmentation (recency / frequency / monetary quintiles) ------
+    //    The classic CRM/user-quality partition, built WITHOUT a
+    //    user-scale global sort: each metric's quintile comes from a
+    //    distinct-value HISTOGRAM (hash agg) whose cumulative counts
+    //    ride a window over the tiny distinct-value frame, then join
+    //    back by value (broadcast-sized maps). score = 1 + (5 *
+    //    n_strictly_better) DIV n_users — ties share a score, every
+    //    step integer, both engines bit-identical. ntile() would need
+    //    one global sort of all users per metric; this shape's only
+    //    user-scale op is the per-user hash agg it must pay anyway.
+    "ev_rfm" -> ((s, d) => {
+      val u = ev(s, d)
+        .groupBy("user_id")
+        .agg(max(us).as("last_us"), count(lit(1)).as("freq"),
+          coalesce(sum(when(col("event_type") === "purchase", valE2)),
+            lit(0L)).as("mon_cents"))
+      val tot = u.agg(max("last_us").as("g_us"),
+        count(lit(1)).as("n_users"))
+      val ur = u.crossJoin(broadcast(tot))
+        .withColumn("rec_day",
+          expr("(g_us - last_us) DIV 86400000000"))
+      // quintile map per metric: value -> 1 + 5*n_strictly_better DIV n
+      def qmap(metric: String, betterIsHigher: Boolean): DataFrame = {
+        val h = ur.groupBy(col(metric).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val ord = if (betterIsHigher) col("v").asc else col("v").desc
+        h.withColumn("n_worse",
+            sum("c").over(Window.orderBy(ord)) - col("c"))
+          .crossJoin(broadcast(tot.select(col("n_users"))))
+          .select(col("v").as(metric),
+            expr("1 + (5 * n_worse) DIV n_users").as(metric + "_q"))
+      }
+      ur.join(broadcast(qmap("rec_day", betterIsHigher = false)), "rec_day")
+        .join(broadcast(qmap("freq", betterIsHigher = true)), "freq")
+        .join(broadcast(qmap("mon_cents", betterIsHigher = true)),
+          "mon_cents")
+        .groupBy(col("rec_day_q").as("r_q"), col("freq_q").as("f_q"),
+          col("mon_cents_q").as("m_q"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("mon_cents").as("seg_cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
+    // -- robust outlier detection: per-type median + MAD ------------------
+    //    Median and MAD computed from the per-(type, cents) HISTOGRAM,
+    //    not an event-scale sort: value domain is bounded (2-decimal
+    //    values), so the cumulative window runs over |types| x
+    //    |distinct cents| rows. Lower-median convention (smallest value
+    //    whose cumulative count reaches ceil(n/2)) is pinned explicitly
+    //    so both engines agree on even counts; the outlier rule
+    //    |x - med| > 3 * MAD is the classical robust z-score. The only
+    //    event-scale ops are two hash aggs.
+    "ev_anomaly_mad" -> ((s, d) => {
+      val h = ev(s, d)
+        .groupBy(col("event_type"), valE2.as("cents"))
+        .agg(count(lit(1)).as("c"))
+      val wT = Window.partitionBy("event_type").orderBy("cents")
+      val n = h.groupBy("event_type").agg(sum("c").as("n"))
+      val med = h.withColumn("cum", sum("c").over(wT))
+        .join(n, "event_type")
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(min("cents").as("med_cents"))
+      val dev = h.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"),
+          abs(col("cents") - col("med_cents")).as("adev"))
+        .agg(sum("c").as("c"))
+      val wD = Window.partitionBy("event_type").orderBy("adev")
+      val mad = dev.withColumn("cum", sum("c").over(wD))
+        .join(n, "event_type")
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(min("adev").as("mad_cents"))
+      h.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .join(n, "event_type")
+        .groupBy(col("event_type"), col("med_cents"), col("mad_cents"),
+          col("n"))
+        .agg(coalesce(sum(when(
+            abs(col("cents") - col("med_cents")) >
+              col("mad_cents") * 3, col("c"))), lit(0L))
+          .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med_cents"),
+          col("mad_cents"), col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // -- multi-touch attribution (last-touch + linear credit) -------------
+    //    Each click/view attributes to the user's NEXT purchase within
+    //    a 7-day lookback: the purchase timestamp arrives as a
+    //    min-over-following window (no interval self-join, no fan-out),
+    //    then touches group by (user, purchase-time) so credit splits
+    //    over the touch set. Linear credit is integer-exact: cents DIV
+    //    n_touch per touch, remainder to the last touch, so per-type
+    //    sums reconcile to the purchase total to the cent. Purchases
+    //    sharing (user, us) merge into one credit pool (deterministic
+    //    on any corpus). Event-scale cost: the user window sort
+    //    sessionization already pays + one (user, time) shuffle join.
+    "ev_attribution" -> ((s, d) => {
+      val L = 604800000000L // 7-day lookback
+      val wNext = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        us.as("us"), col("event_type"), valE2.as("cents"))
+      val touches = e
+        .withColumn("np_us",
+          min(when(col("event_type") === "purchase", col("us")))
+            .over(wNext))
+        .filter(col("event_type").isin("click", "view") &&
+          col("np_us").isNotNull && col("np_us") - col("us") <= L)
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us").as("np_us"))
+        .agg(sum("cents").as("p_cents"))
+      val wG = Window.partitionBy("user_id", "np_us")
+      val t = touches
+        .withColumn("rk", row_number().over(
+          wG.orderBy(col("us").desc, col("event_id").desc)))
+        .withColumn("n_touch", count(lit(1)).over(wG))
+        .join(p, Seq("user_id", "np_us"))
+      t.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("rk") === 1, col("p_cents")).otherwise(lit(0L)))
+            .as("last_cents"),
+          sum(expr("p_cents DIV n_touch") +
+            when(col("rk") === 1, expr("p_cents % n_touch"))
+              .otherwise(lit(0L))).as("linear_cents"))
+        .orderBy("event_type")
+    })
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1342,6 +1564,62 @@ object EventsTime extends QueryModule {
       FROM a
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // full outer: the left-outer rule (click outer iff wm > l_us) plus
+    // the right eviction boundary (purchase outer iff wm > r_us + 10min
+    // — a future click can reach 10 minutes back)
+    "ev_stream_full" -> """
+      WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'click'),
+           p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'purchase'),
+           wm AS (SELECT least(
+                    ((SELECT max(us) FROM c) // 1000 - 1800000) * 1000,
+                    ((SELECT max(us) FROM p) // 1000 - 1800000) * 1000)
+                    AS wm_us),
+           m AS (SELECT c.user_id, c.us AS l_us, p.us AS r_us
+                 FROM c JOIN p ON c.user_id = p.user_id
+                  AND p.us >= c.us - 600000000 AND p.us <= c.us),
+           lo AS (SELECT c.user_id, c.us AS l_us, NULL::BIGINT AS r_us
+                  FROM c, wm
+                  WHERE c.us < wm.wm_us
+                    AND NOT EXISTS (
+                      SELECT 1 FROM p WHERE p.user_id = c.user_id
+                       AND p.us >= c.us - 600000000 AND p.us <= c.us)),
+           ro AS (SELECT p.user_id, NULL::BIGINT AS l_us, p.us AS r_us
+                  FROM p, wm
+                  WHERE p.us + 600000000 < wm.wm_us
+                    AND NOT EXISTS (
+                      SELECT 1 FROM c WHERE c.user_id = p.user_id
+                       AND p.us >= c.us - 600000000 AND p.us <= c.us)),
+           a AS (SELECT * FROM m UNION ALL SELECT * FROM lo
+                 UNION ALL SELECT * FROM ro)
+      SELECT user_id,
+             sum(CASE WHEN l_us IS NOT NULL AND r_us IS NOT NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_pairs,
+             sum(CASE WHEN l_us IS NOT NULL AND r_us IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_left_outer,
+             sum(CASE WHEN l_us IS NULL AND r_us IS NOT NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_right_outer,
+             min(l_us) AS first_us,
+             max(r_us) AS last_us
+      FROM a
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    // multi-source union: append rule over the COMBINED stream (the
+    // final watermark is the max event time across both halves), with
+    // source identity = event_id parity
+    "ev_stream_union" -> """
+      WITH m AS (SELECT max(ts) AS mx FROM events)
+      SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H')
+               AS hour,
+             (event_id % 2) AS src, count(1) AS n
+      FROM events, m
+      GROUP BY date_trunc('hour', ts::TIMESTAMP), event_id % 2, mx
+      HAVING date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR
+               <= mx - INTERVAL 30 MINUTE
+      ORDER BY hour, src""",
 
     // gap sessionization + the append-mode emission rule: only sessions
     // whose end cleared the final watermark, which Spark tracks at
@@ -1773,6 +2051,94 @@ object EventsTime extends QueryModule {
       FROM events
       GROUP BY user_id
       ORDER BY n DESC, user_id
-      LIMIT 5"""
+      LIMIT 5""",
+
+    // quintiles from distinct-value histograms (no user-scale sort);
+    // ties share a score: 1 + 5*n_strictly_better // n_users
+    "ev_rfm" -> """
+      WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+                        count(1) AS freq,
+                        coalesce(sum(CASE WHEN event_type = 'purchase'
+                          THEN round(value * 100)::BIGINT END), 0)::BIGINT
+                          AS mon_cents
+                 FROM events GROUP BY user_id),
+           tot AS (SELECT max(last_us) AS g_us, count(1) AS n_users FROM u),
+           ur AS (SELECT u.*, (tot.g_us - u.last_us) // 86400000000
+                    AS rec_day FROM u, tot),
+           hr AS (SELECT rec_day, count(1) AS c FROM ur GROUP BY rec_day),
+           qr AS (SELECT rec_day, (1 + (5 * (sum(c) OVER (ORDER BY rec_day DESC) - c))
+                    // (SELECT n_users FROM tot))::BIGINT AS r_q FROM hr),
+           hf AS (SELECT freq, count(1) AS c FROM ur GROUP BY freq),
+           qf AS (SELECT freq, (1 + (5 * (sum(c) OVER (ORDER BY freq ASC) - c))
+                    // (SELECT n_users FROM tot))::BIGINT AS f_q FROM hf),
+           hm AS (SELECT mon_cents, count(1) AS c FROM ur GROUP BY mon_cents),
+           qm AS (SELECT mon_cents, (1 + (5 * (sum(c) OVER (ORDER BY mon_cents ASC) - c))
+                    // (SELECT n_users FROM tot))::BIGINT AS m_q FROM hm)
+      SELECT r_q, f_q, m_q, count(1) AS n_users,
+             sum(mon_cents)::BIGINT AS seg_cents
+      FROM ur JOIN qr USING (rec_day) JOIN qf USING (freq)
+              JOIN qm USING (mon_cents)
+      GROUP BY r_q, f_q, m_q
+      ORDER BY r_q, f_q, m_q""",
+
+    // lower-median convention: smallest value whose cumulative count
+    // reaches ceil(n/2) = (n+1)//2, over the (type, cents) histogram
+    "ev_anomaly_mad" -> """
+      WITH h AS (SELECT event_type, round(value * 100)::BIGINT AS cents,
+                        count(1) AS c
+                 FROM events GROUP BY 1, 2),
+           n AS (SELECT event_type, sum(c)::BIGINT AS n FROM h GROUP BY 1),
+           cum AS (SELECT h.*, sum(c) OVER (PARTITION BY event_type
+                     ORDER BY cents)::BIGINT AS cum FROM h),
+           med AS (SELECT c2.event_type, min(cents) AS med_cents
+                   FROM cum c2 JOIN n USING (event_type)
+                   WHERE cum >= (n + 1) // 2 GROUP BY 1),
+           dev AS (SELECT h.event_type, abs(cents - med_cents) AS adev,
+                          sum(c)::BIGINT AS c
+                   FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+           dcum AS (SELECT dev.*, sum(c) OVER (PARTITION BY event_type
+                      ORDER BY adev)::BIGINT AS cum FROM dev),
+           mad AS (SELECT d2.event_type, min(adev) AS mad_cents
+                   FROM dcum d2 JOIN n USING (event_type)
+                   WHERE cum >= (n + 1) // 2 GROUP BY 1)
+      SELECT h.event_type, any_value(n.n) AS n,
+             any_value(med_cents) AS med_cents,
+             any_value(mad_cents) AS mad_cents,
+             coalesce(sum(CASE WHEN abs(cents - med_cents) >
+               3 * mad_cents THEN c END), 0)::BIGINT AS n_outliers
+      FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
+             JOIN n USING (event_type)
+      GROUP BY h.event_type
+      ORDER BY event_type""",
+
+    // next-purchase via min-over-following; linear credit integer-exact
+    // (cents // n_touch each, remainder to the last touch)
+    "ev_attribution" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+                        round(value * 100)::BIGINT AS cents FROM events),
+           t0 AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS np_us
+                  FROM e),
+           touches AS (SELECT * FROM t0
+                       WHERE event_type IN ('click', 'view')
+                         AND np_us IS NOT NULL
+                         AND np_us - us <= 604800000000),
+           p AS (SELECT user_id, us AS np_us, sum(cents)::BIGINT AS p_cents
+                 FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+           t AS (SELECT touches.*,
+                        row_number() OVER (PARTITION BY user_id, np_us
+                          ORDER BY us DESC, event_id DESC) AS rk,
+                        count(1) OVER (PARTITION BY user_id, np_us)
+                          AS n_touch
+                 FROM touches),
+           j AS (SELECT t.*, p.p_cents FROM t JOIN p USING (user_id, np_us))
+      SELECT event_type, count(1) AS n_touches,
+             sum(CASE WHEN rk = 1 THEN p_cents ELSE 0 END)::BIGINT
+               AS last_cents,
+             sum(p_cents // n_touch + CASE WHEN rk = 1
+               THEN p_cents % n_touch ELSE 0 END)::BIGINT AS linear_cents
+      FROM j GROUP BY event_type ORDER BY event_type"""
   )
 }

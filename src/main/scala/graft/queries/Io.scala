@@ -103,6 +103,46 @@ object Io extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Per-FILE min/max statistics manifest — the data-skipping index
+    // (Delta/Iceberg stats, parquet row-group pruning's file-level
+    // twin): which files a predicate like `l_orderkey BETWEEN a AND b`
+    // can skip without opening them. lineitem is written as a
+    // deterministically sharded layout (repartition on the shard
+    // column -> exactly ONE file per shard directory), then the
+    // manifest groups rows by the file they PHYSICALLY came from
+    // (input_file_name(), shard identity parsed from the path) — so
+    // the per-file stats plumbing is what's under test, while the
+    // deterministic sharding lets the oracle reproduce every row from
+    // the logical table. n_files = 1 per shard is itself oracle-pinned
+    // (a 2-file shard would mean the manifest silently went per-dir).
+    // One scan + one hash agg at any scale; the manifest is what a
+    // 100 TB reader consults INSTEAD of listing data files.
+    "io_file_stats" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .withColumn("l_shard", (col("l_orderkey") % 8).cast("int"))
+      val path = scratch(s, "filestats_lineitem")
+      writeOnce(path, d) {
+        src.repartition(col("l_shard")).write.mode("overwrite")
+          .partitionBy("l_shard").parquet(path)
+      }
+      // input_file_name() is nondeterministic to Catalyst, so it must
+      // materialize in a projection before any aggregate touches it
+      s.read.parquet(path)
+        .withColumn("fname", input_file_name())
+        .withColumn("shard",
+          regexp_extract(col("fname"), "l_shard=(\\d+)", 1)
+            .cast("long"))
+        .groupBy("shard")
+        .agg(
+          countDistinct(col("fname")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"),
+          max("l_orderkey").as("max_key"),
+          min(unix_micros(col("l_shipdate"))).as("min_ship_us"),
+          max(unix_micros(col("l_shipdate"))).as("max_ship_us"))
+        .orderBy("shard")
+    }),
+
     // Hive-style partitioned parquet: write orders bucketed into
     // o_orderpriority=... directories, read back filtering on the
     // partition column -> directory pruning (PartitionFilters in the
@@ -250,6 +290,19 @@ object Io extends QueryModule {
       WHERE l_quantity >= 30
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // shard identity is deterministic (l_orderkey % 8), so the oracle
+    // rebuilds every per-file stat from the logical table; n_files = 1
+    // pins the one-file-per-shard physical layout
+    "io_file_stats" -> """
+      SELECT (l_orderkey % 8) AS shard, 1::BIGINT AS n_files,
+             count(1) AS n_rows,
+             min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+             min(epoch_us(l_shipdate)) AS min_ship_us,
+             max(epoch_us(l_shipdate)) AS max_ship_us
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY shard""",
 
     "io_partitioned_prune" -> """
       SELECT o_orderstatus, count(1) AS n,

@@ -75,6 +75,71 @@ object Relational extends QueryModule {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // -- exact 128-bit DECIMAL money pipeline ------------------------------
+    //    The fixed-point type surface itself, not the integer-cents
+    //    encoding: revenue and tax-inclusive charge as Spark
+    //    DecimalType arithmetic, engine-exact against DuckDB's DECIMAL.
+    //    Discipline for bit-exactness: (1) decimals are BUILT from the
+    //    integer cents/percent casts (never a double->decimal cast,
+    //    whose rounding mode is engine-specific); (2) per-row products
+    //    keep precision <= 28 so the +10 sum headroom stays under the
+    //    38 cap — Spark silently REDUCES SCALE (rounds!) past 38, so
+    //    multiply by the small scale literal per-row, THEN sum; (3) the
+    //    final scale is pinned by an explicit CAST on both engines (the
+    //    driver compares str(Decimal), so scale is part of the value).
+    "q_decimal_exact" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("""CAST(sum(
+                    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(16, 0))
+                    * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                           AS DECIMAL(3, 0))
+                    * CAST(0.0001 AS DECIMAL(5, 4)))
+                  AS DECIMAL(38, 4))""").as("rev_usd"),
+          expr("""CAST(sum(
+                    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(14, 0))
+                    * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                           AS DECIMAL(3, 0))
+                    * CAST(100 + CAST(round(l_tax * 100) AS BIGINT)
+                           AS DECIMAL(3, 0))
+                    * CAST(0.000001 AS DECIMAL(7, 6)))
+                  AS DECIMAL(38, 6))""").as("charge_usd"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // -- IGNORE NULLS window navigation -----------------------------------
+    //    The gap-carrying surface (last-observation-carried-forward +
+    //    next-non-null lookahead) that plain lead/last can't express:
+    //    sparse observations (here: R-flag line prices) propagate
+    //    across null gaps within their order. Spark's `IGNORE NULLS`
+    //    maps to DuckDB's argument-position form; values must agree
+    //    row-for-row including the all-null leading prefix.
+    "q_window_ignore_nulls" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in this data, and a
+      // ROWS frame over a non-total order is engine-nondeterministic —
+      // so the order gets a content-digest tiebreak (md5 over the
+      // fields that decide v; byte-identical ties are interchangeable)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("rk_key"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          md5(concat_ws("|", col("l_partkey"), col("l_suppkey"),
+            cents(col("l_extendedprice")), col("l_returnflag")))
+            .as("rk_key"),
+          when(col("l_returnflag") === "R",
+            cents(col("l_extendedprice"))).as("v"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("rk_key"),
+          col("v"),
+          last(col("v"), ignoreNulls = true).over(wRun).as("carry"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(w)
+            .as("next_v"))
+        .orderBy("l_orderkey", "l_linenumber", "rk_key")
+    }),
+
     // -- filter + projection with computed column (pushdown check) --------
     "q2_filter" -> ((s, d) =>
       li(s, d)
@@ -1016,6 +1081,45 @@ object Relational extends QueryModule {
     "('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 12))::BIGINT % 1000"
 
   override def oracles: Map[String, String] = Map(
+    // decimals built from integer casts; per-row scale literal applied
+    // BEFORE the sum (see the query's scaladoc); final scale pinned
+    "q_decimal_exact" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_extendedprice * 100)::BIGINT
+                           AS DECIMAL(16, 0))
+                      * CAST(100 - round(l_discount * 100)::BIGINT
+                             AS DECIMAL(3, 0))
+                      * CAST(0.0001 AS DECIMAL(5, 4)))
+               AS DECIMAL(38, 4)) AS rev_usd,
+             CAST(sum(CAST(round(l_extendedprice * 100)::BIGINT
+                           AS DECIMAL(14, 0))
+                      * CAST(100 - round(l_discount * 100)::BIGINT
+                             AS DECIMAL(3, 0))
+                      * CAST(100 + round(l_tax * 100)::BIGINT
+                             AS DECIMAL(3, 0))
+                      * CAST(0.000001 AS DECIMAL(7, 6)))
+               AS DECIMAL(38, 6)) AS charge_usd,
+             count(1) AS n
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_window_ignore_nulls" -> """
+      SELECT l_orderkey, l_linenumber, rk_key, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, rk_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry,
+             lead(v IGNORE NULLS) OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, rk_key) AS next_v
+      FROM (SELECT l_orderkey, l_linenumber,
+                   md5(concat_ws('|', l_partkey, l_suppkey,
+                     round(l_extendedprice * 100)::BIGINT,
+                     l_returnflag)) AS rk_key,
+                   CASE WHEN l_returnflag = 'R'
+                        THEN round(l_extendedprice * 100)::BIGINT END AS v
+            FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, rk_key""",
+
     "q_regr_stats" -> """
       SELECT l_returnflag,
              floor(corr(l_quantity, l_extendedprice) * 1000 + 0.5) / 1000

@@ -513,6 +513,37 @@ object Similarity extends QueryModule {
     // -- brute-force exact top-k ------------------------------------------
     "sim_brute_topk" -> ((s, d) => bruteTopkFrom(s, Tables.embeddings(s, d))),
 
+    // -- FILTERED vector search: metadata predicate applied BELOW the
+    //    distance computation (pre-filter), not over its results ---------
+    //    The production retrieval contract "nearest neighbors WITH the
+    //    same label" (same-language / same-tenant / same-shard search).
+    //    Post-filtering a plain top-k under-fills k whenever fewer than
+    //    k of the global nearest share the label — pre-filtering makes
+    //    the predicate part of the candidate join condition, so the
+    //    result is the EXACT top-k of the restricted corpus. Plan: the
+    //    probe frame broadcasts with (label = q_label) as an equi-key,
+    //    so each corpus row only scores against probes of its own
+    //    label — the scan does 1/|labels| of the unfiltered pair work;
+    //    at 100 TB with label-partitioned storage the filter prunes
+    //    whole partitions before a single dot product runs.
+    "sim_filtered_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"),
+          col("label").as("q_label"))
+      val scored = e.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Vectors.cosineScaled(s, col("q_v"), col("embedding"))
+            .as("icos_e6"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("icos_e6").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("icos_e6"))
+        .orderBy("q_id", "rk")
+    }),
+
     // -- exact RANGE search: every neighbor above a similarity floor ------
     //    The other retrieval contract besides top-k ("all vectors at
     //    cosine >= tau of each probe"). Purely map-shaped: probes
@@ -836,6 +867,28 @@ object Similarity extends QueryModule {
              SELECT q.q_id, e.vec_id,
                     ${sqlCos.format("q.q_v", "e.v")} AS icos_e6
              FROM e CROSS JOIN q
+             WHERE e.vec_id <> q.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, icos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY icos_e6 DESC, vec_id) AS rk
+             FROM scored)
+      SELECT q_id, rk, vec_id, icos_e6
+      FROM ranked WHERE rk <= $TOPK
+      ORDER BY q_id, rk""",
+
+    // pre-filter semantics: the label predicate restricts the corpus
+    // BEFORE ranking, so each probe's top-k is exact over its label
+    "sim_filtered_topk" -> s"""
+      WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+           q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_v
+                 FROM e WHERE vec_id < $NQUERIES),
+           scored AS (
+             SELECT q.q_id, e.vec_id,
+                    ${sqlCos.format("q.q_v", "e.v")} AS icos_e6
+             FROM e JOIN q ON e.label = q.q_label
              WHERE e.vec_id <> q.q_id),
            ranked AS (
              SELECT q_id, vec_id, icos_e6,

@@ -492,6 +492,9 @@ object TextAnalysis extends QueryModule {
     // -- collocation mining: top adjacent pairs by PMI (see pmiFrom) ----
     "txt_pmi" -> ((s, d) => pmiFrom(Tables.documents(s, d))),
 
+    // -- RAKE keyphrase extraction (see rakeFrom) ------------------------
+    "txt_rake" -> ((s, d) => rakeFrom(Tables.documents(s, d))),
+
     // -- exact heavy hitters via the two-phase sketch pattern ------------
     //    Phase 1: one scan through the Misra-Gries aggregate (constant
     //    O(k) state) yields <= 100 candidate tokens — guaranteed to
@@ -1334,6 +1337,54 @@ object TextAnalysis extends QueryModule {
       .limit(50)
   }
 
+  /** RAKE keyphrase cap: candidate phrases longer than this many tokens
+    * are discarded before any scoring (the classical guard — stopword-
+    * free documents would otherwise fold into one doc-length phrase
+    * whose string concat is an unbounded agg buffer). Mirrored in the
+    * oracle's HAVING.
+    */
+  val RAKE_MAX_PHRASE = 4
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
+    * maximal stopword-free token runs (gaps-and-islands over token
+    * positions: island id = pos − row_number among non-stop rows, one
+    * doc-partitioned window), capped at [[RAKE_MAX_PHRASE]] tokens.
+    * Word score = deg/freq where freq counts the word's occurrences
+    * across all phrase instances and deg adds each hosting phrase's
+    * length; phrase score = sum of member word scores (with
+    * multiplicity). All-integer: word scores floor to per-mille
+    * (1000·deg DIV freq) BEFORE the phrase sum, so the aggregate is
+    * order-free and the oracle reproduces every score bit-for-bit.
+    * Event-scale cost: the doc-partitioned position window + two hash
+    * aggs; scoring runs on |distinct phrases| rows.
+    */
+  def rakeFrom(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.tokensLower(col("text"))).as(Seq("pos", "w")))
+    val ns = toks.filter(!col("w").isin(stopwords: _*))
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val phr = ns.groupBy("doc_id", "island")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= RAKE_MAX_PHRASE)
+    val pw = phr.select(col("len"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val ws = pw.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("w"), expr("(1000 * deg) DIV freq").as("wscore_mille"))
+    val pt = phr.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    pt.select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(ws, "w")
+      .groupBy("phrase", "n_occ")
+      .agg(sum("wscore_mille").as("score_mille"))
+      .orderBy(col("score_mille").desc, col("phrase"))
+      .limit(25)
+  }
+
   /** Winnowing fingerprint selection (see the txt_winnow entry) over any
     * (doc_id, text) frame — k=3 token grams, window w=4, polynomial gram
     * hash mod 1e9+7. Docs shorter than k+w-1 = 6 tokens emit nothing.
@@ -1702,6 +1753,38 @@ object TextAnalysis extends QueryModule {
     // the same integer products cast to exact doubles, the DetMath ln
     // staging for BOTH arguments, floor (sign-uniform — PMI goes
     // negative) to micronats
+    // islands differ by a constant per doc (1-based vs 0-based
+    // positions) — grouping keys, not values, so the phrases agree
+    "txt_rake" -> s"""
+      WITH d AS (SELECT doc_id, $sqlToksLower AS ts FROM documents),
+           pos AS (SELECT doc_id, ts,
+                          unnest(range(1, len(ts) + 1)) AS i FROM d),
+           tok AS (SELECT doc_id, i, ts[i] AS w FROM pos),
+           ns AS (SELECT doc_id, i, w,
+                         i - row_number() OVER (PARTITION BY doc_id
+                           ORDER BY i) AS island
+                  FROM tok WHERE w NOT IN ($stopwordsSql)),
+           phr AS (SELECT doc_id, island,
+                          string_agg(w, ' ' ORDER BY i) AS phrase,
+                          count(1)::BIGINT AS len
+                   FROM ns GROUP BY doc_id, island
+                   HAVING count(1) <= $RAKE_MAX_PHRASE),
+           pw AS (SELECT len, unnest(string_split(phrase, ' ')) AS w
+                  FROM phr),
+           ws AS (SELECT w, ((1000 * sum(len)) // count(1))::BIGINT
+                    AS wscore_mille
+                  FROM pw GROUP BY w),
+           pt AS (SELECT phrase, count(1) AS n_occ FROM phr
+                  GROUP BY phrase),
+           ptw AS (SELECT phrase, n_occ,
+                          unnest(string_split(phrase, ' ')) AS w FROM pt)
+      SELECT ptw.phrase, any_value(ptw.n_occ) AS n_occ,
+             sum(ws.wscore_mille)::BIGINT AS score_mille
+      FROM ptw JOIN ws ON ptw.w = ws.w
+      GROUP BY ptw.phrase
+      ORDER BY score_mille DESC, phrase
+      LIMIT 25""",
+
     "txt_pmi" -> s"""
       WITH t AS (SELECT $sqlToks AS toks FROM documents),
            b AS (SELECT unnest(list_transform(range(1, len(toks)),

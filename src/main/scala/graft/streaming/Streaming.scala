@@ -116,6 +116,31 @@ object Streaming {
       .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
   }
 
+  /** Stream-stream FULL OUTER join with event-time bounds: both sides'
+    * unmatched rows emit null-padded once the watermark proves no
+    * future counterpart can exist. For a left row that is wm > l_ts
+    * (any future right has r_ts >= wm > l_ts, violating r_ts <= l_ts);
+    * for a right row it is wm > r_ts + window (a future left with
+    * l_ts >= wm can still match while l_ts <= r_ts + window). The
+    * emitted user key must therefore be coalesce(left, right) — each
+    * outer row carries exactly one side.
+    */
+  def streamStreamFullOuter(left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("r_ts") <= col("l_ts"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("r_user")).as("user_id"),
+        col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
+  }
+
   /** Stream-stream LEFT SEMI join: the streaming EXISTS — each left
     * row emits at most ONCE when a qualifying right row exists, with
     * no right columns attached (so no pair multiplication: a click

@@ -444,4 +444,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"),
       "unused lineitem columns not pruned from the skyline scan:\n" + p)
   }
+
+  test("filtered ANN: label predicate is an equi-key of a broadcast join, not a post-filter") {
+    val p = plan("sim_filtered_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe frame not broadcast:\n" + p)
+    // pre-filter contract: the label equality participates in the join
+    // (a BroadcastNestedLoopJoin would mean it degenerated to a
+    // filtered cross product scoring every pair first)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "label filter fell out of the join keys:\n" + p)
+    // formatted mode prints keys in the detail block ("Left keys [..]:
+    // [label#..]"), not on the tree line
+    assert(p.linesIterator.exists(l => l.contains("keys") && l.contains("label")),
+      "label not among the broadcast join keys:\n" + p)
+  }
+
+  test("sorted-neighborhood: offset pairing is an equi-join, never a range nested loop") {
+    val p = plan("dedup_sorted_neighborhood")
+    // the W-window neighbor condition must reach the join as (blk, rn)
+    // equi-keys via the offset explode — a BETWEEN formulation plans a
+    // nested-loop that touches every same-block pair
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "neighbor pairing degenerated to a non-equi join:\n" + p)
+    assert(p.contains("Generate"), "offset explode missing:\n" + p)
+  }
+
+  test("lsh recall: metric aggregates attach as broadcast 1-row frames") {
+    val p = plan("dedup_lsh_recall")
+    // n_est / n_hit are 1-row aggregates crossJoin-attached under
+    // broadcast — a shuffled cross join here would be a plan bug
+    assert(!p.contains("CartesianProduct"),
+      "1-row attach planned as a cartesian product:\n" + p)
+  }
+
+  test("decimal aggregation stays one hash aggregate over the scan") {
+    val p = plan("q_decimal_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"),
+      "decimal sum fell off the hash-agg path:\n" + p)
+    assert(!p.contains("l_partkey"),
+      "unused columns not pruned from the decimal scan:\n" + p)
+  }
 }
