@@ -71,7 +71,12 @@ object Bench {
     // blocking don't exercise) and the DECIMAL(38) aggregation hot
     // path (Decimal128 sums cost multiples of a long sum; worth its
     // own per-round number)
-    "dedup_sorted_neighborhood", "q_decimal_exact")
+    "dedup_sorted_neighborhood", "q_decimal_exact",
+    // release diff: digest-only full-outer join over the corpus — the
+    // one full-outer fact-scale shuffle in the registry; PII scan: the
+    // 4-regex + Luhn-HOF codegen scan (per-row regex cost is the real
+    // dimension worth tracking at 10x)
+    "pipe_dataset_diff", "pipe_pii_scan")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at
@@ -102,8 +107,9 @@ object Bench {
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk " +
       "(filtered_topk is the same scan with a label equi-key that only " +
-      "SHRINKS the pair work)" -> Seq(
-      "sim_range_search", "sim_filtered_topk"),
+      "SHRINKS the pair work; mmr_rerank adds only constant-size " +
+      "shortlist rounds on top of the identical scan)" -> Seq(
+      "sim_range_search", "sim_filtered_topk", "sim_mmr_rerank"),
     "cap-parity probe on a 40-edge synthetic star+clique graph: exists " +
       "to exercise edgeJaccardFrom's capped path against the oracle " +
       "mirror every round; the operator's cost is timed at 20x by " +
@@ -136,7 +142,7 @@ object Bench {
       "IS timed): sweep times would measure tmp-dir write throughput" -> Seq(
       "io_codec_roundtrip", "io_csv_roundtrip", "io_json_roundtrip",
       "io_orc_roundtrip", "io_partitioned_prune", "io_schema_merge",
-      "io_zorder_box", "io_file_stats"),
+      "io_zorder_box", "io_file_stats", "io_compaction"),
     "multimodal plumbing rows: decode is stubbed per container limits " +
       "(SURVEY mandate), so beyond the timed mm_meta / mm_dedup / " +
       "mm_phash_pairs the rows measure the same digest-shuffle shape" -> Seq(
@@ -159,7 +165,7 @@ object Bench {
       "list" -> Seq(
       "q_cube", "q_date_agg", "q_distinct_agg", "q_histogram",
       "q_json_agg", "q_minmax_by", "q_misc_aggs", "q_regr_stats",
-      "q_skyline"),
+      "q_skyline", "q_bitwise_agg"),
     "join variants of timed q3_topk_join / q5_multijoin / q_outer_join / " +
       "io_bucketed_join: same shuffle/broadcast shapes" -> Seq(
       "q_anti_join", "q_dpp", "q_salted_join", "q_semi_join"),

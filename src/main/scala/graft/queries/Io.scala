@@ -143,6 +143,48 @@ object Io extends QueryModule {
         .orderBy("shard")
     }),
 
+    // Small-file COMPACTION — the 100 TB table-maintenance operation
+    // (a streaming ingest or over-parallel write leaves thousands of
+    // KB-scale files; every later scan pays per-file open/footer cost
+    // and the listing pays the metadata). The op: read an
+    // over-fragmented layout (64 deliberately tiny files), rewrite it
+    // as ceil(rows / 20k) right-sized files, and emit the before/after
+    // manifest the maintenance job logs. The target file count derives
+    // from the row count (deterministic — the oracle recomputes it
+    // from the logical table); round-robin repartition(n) fills all n
+    // partitions whenever rows >> n, so n_files_after = target is
+    // pinned, and the content digest (order-free bit_xor over row
+    // md5s) proves the rewrite lost nothing. The count() that sizes
+    // the rewrite is metadata-scale driver work (one long), the same
+    // planning job any real compaction runs.
+    "io_compaction" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val frag = scratch(s, "frag_lineitem")
+      writeOnce(frag, d) {
+        src.repartition(64).write.mode("overwrite").parquet(frag)
+      }
+      val fragDf = s.read.parquet(frag)
+      val rows = fragDf.count()
+      val target = ((rows + 19999L) / 20000L).max(1L).toInt
+      val comp = scratch(s, "compact_lineitem")
+      writeOnce(comp, d) {
+        fragDf.repartition(target).write.mode("overwrite").parquet(comp)
+      }
+      s.read.parquet(comp)
+        .select(col("*"),
+          conv(substring(md5(concat_ws("|", col("l_orderkey"),
+            col("l_linenumber"), round(col("l_quantity")).cast("long"))
+            .cast("binary")), 1, 12), 16, 10).cast("long").as("h"),
+          input_file_name().as("fname"))
+        .agg(
+          countDistinct(col("fname")).as("n_files_after"),
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("content_sig"))
+        .select(lit(64L).as("n_files_before"), col("n_files_after"),
+          col("n_rows"), col("content_sig"))
+    }),
+
     // Hive-style partitioned parquet: write orders bucketed into
     // o_orderpriority=... directories, read back filtering on the
     // partition column -> directory pruning (PartitionFilters in the
@@ -303,6 +345,21 @@ object Io extends QueryModule {
       FROM lineitem
       GROUP BY 1
       ORDER BY shard""",
+
+    // the oracle recomputes the target count and the order-free digest
+    // from the logical table; n_files_after = ceil(rows/20000) pins the
+    // physical rewrite
+    "io_compaction" -> """
+      WITH h AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+                   l_linenumber::VARCHAR || '|' ||
+                   round(l_quantity)::BIGINT::VARCHAR), 1, 12))::BIGINT
+                   AS hv
+                 FROM lineitem)
+      SELECT 64::BIGINT AS n_files_before,
+             ((count(1) + 19999) // 20000)::BIGINT AS n_files_after,
+             count(1) AS n_rows,
+             bit_xor(hv)::BIGINT AS content_sig
+      FROM h""",
 
     "io_partitioned_prune" -> """
       SELECT o_orderstatus, count(1) AS n,

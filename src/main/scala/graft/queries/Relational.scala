@@ -110,6 +110,26 @@ object Relational extends QueryModule {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // -- bitwise aggregate + scalar surface -------------------------------
+    //    bit_and / bit_or / bit_xor aggregates over a derived bitmask
+    //    (feature-flag summaries, permission-mask folds, xor checksums)
+    //    plus the scalar &, ^, shiftleft and popcount path feeding
+    //    them. Dialect note pinned by the oracle: Spark's ^ is XOR
+    //    while DuckDB's ^ is POWER — the oracle uses xor() — so the
+    //    value compare is what guarantees the semantics match.
+    "q_bitwise_agg" -> ((s, d) =>
+      li(s, d)
+        .select(col("l_returnflag"),
+          expr("(l_partkey & 255) ^ shiftleft(l_suppkey & 15, 2)")
+            .as("mx"))
+        .groupBy("l_returnflag")
+        .agg(expr("bit_and(mx)").as("all_and"),
+          expr("bit_or(mx)").as("any_or"),
+          expr("bit_xor(mx)").as("parity_xor"),
+          expr("CAST(bit_count(bit_or(mx)) AS BIGINT)").as("or_popcount"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // -- IGNORE NULLS window navigation -----------------------------------
     //    The gap-carrying surface (last-observation-carried-forward +
     //    next-non-null lookahead) that plain lead/last can't express:
@@ -1103,6 +1123,22 @@ object Relational extends QueryModule {
       FROM lineitem
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    // DuckDB's ^ is power, so XOR spells xor() here
+    "q_bitwise_agg" -> """
+      WITH b AS (SELECT l_returnflag,
+                        xor(l_partkey & 255,
+                            ((l_suppkey & 15) << 2))::BIGINT AS mx
+                 FROM lineitem)
+      SELECT l_returnflag,
+             bit_and(mx)::BIGINT AS all_and,
+             bit_or(mx)::BIGINT AS any_or,
+             bit_xor(mx)::BIGINT AS parity_xor,
+             bit_count(bit_or(mx))::BIGINT AS or_popcount,
+             count(1) AS n
+      FROM b
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q_window_ignore_nulls" -> """
       SELECT l_orderkey, l_linenumber, rk_key, v,

@@ -32,6 +32,15 @@ object Similarity extends QueryModule {
   private val NQUERIES = 5
   private val TOPK = 10
 
+  /** MMR re-rank parameters: per-probe shortlist size, picks returned,
+    * and the relevance/diversity mix λ = 0.7 applied as integer
+    * arithmetic (score = (7·rel − 3·maxsim) DIV 10 on e6-scaled
+    * cosines — DuckDB's // and Spark's DIV both truncate toward zero,
+    * so the negative-score corner agrees too).
+    */
+  private val MMR_SHORTLIST = 20
+  private val MMR_PICKS = 5
+
   /** Similarity floor for sim_range_search (cosine * 1e6): ~the top
     * 1-2% of probe-corpus cosines for this embedding distribution (its
     * max pairwise cosine sits just under 0.40 at every test SF).
@@ -544,6 +553,12 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // -- MMR diversity re-ranking over the ANN shortlist (see
+    //    mmrRerankFrom): the greedy λ-mix pass that keeps near-dup
+    //    hits from crowding a RAG context window ------------------------
+    "sim_mmr_rerank" -> ((s, d) =>
+      mmrRerankFrom(s, Tables.embeddings(s, d))),
+
     // -- exact RANGE search: every neighbor above a similarity floor ------
     //    The other retrieval contract besides top-k ("all vectors at
     //    cosine >= tau of each probe"). Purely map-shaped: probes
@@ -634,6 +649,71 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rk")
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware retrieval pass RAG pipelines run
+    * over an ANN shortlist: greedily pick the candidate maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s), so near-duplicate hits
+    * don't crowd the context window. Distributed shape: the expensive
+    * part (corpus scan + top-[[MMR_SHORTLIST]]) is the same broadcast
+    * probe scan as brute top-k; the greedy loop then runs as
+    * [[MMR_PICKS]]−1 unrolled join+agg rounds over the
+    * |queries|·shortlist frame — NEVER over the corpus — with pairwise
+    * candidate sims computed once (shortlist² per query, constant).
+    * Every pick is an argmax via the min-struct hash agg (ties to the
+    * smallest vec_id); all arithmetic integer, oracle = the identical
+    * unrolled CTE chain.
+    */
+  def mmrRerankFrom(s: SparkSession, e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"),
+        Vectors.cosineScaled(s, col("q_v"), col("embedding")).as("rel"))
+    val wQ = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("vec_id"))
+    // one materialization serves the pairwise sims and every greedy round
+    val sl = scored.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= MMR_SHORTLIST)
+      .select("q_id", "vec_id", "embedding", "rel")
+      .localCheckpoint(true)
+    val pair = sl.select(col("q_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_v"))
+      .join(sl.select(col("q_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_v")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        Vectors.cosineScaled(s, col("a_v"), col("b_v")).as("sim"))
+      .localCheckpoint(true)
+    def argmax(df: DataFrame, scoreCol: String): DataFrame =
+      df.groupBy("q_id")
+        .agg(min(struct((-col(scoreCol)).as("ns"), col("vec_id").as("v")))
+          .as("m"))
+        .select(col("q_id"), col("m.v").as("vec_id"),
+          (-col("m.ns")).as("score"))
+    // pick 1 = pure relevance (the λ-mixed score with an empty S)
+    var picks = argmax(sl.select(col("q_id"), col("vec_id"),
+        expr("(7 * rel) DIV 10").as("mmr")), "mmr")
+      .withColumn("pick", lit(1L))
+    for (r <- 2 to MMR_PICKS) {
+      val selIds = picks.select(col("q_id"), col("vec_id"))
+      val cand = sl.join(selIds, Seq("q_id", "vec_id"), "left_anti")
+      val msim = pair
+        .join(selIds.withColumnRenamed("vec_id", "b_id"),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("vec_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val roundPick = argmax(
+        cand.join(msim, Seq("q_id", "vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            expr("(7 * rel - 3 * maxsim) DIV 10").as("mmr")), "mmr")
+        .withColumn("pick", lit(r.toLong))
+      picks = picks.unionByName(roundPick)
+    }
+    picks.select(col("q_id"), col("pick"), col("vec_id"),
+        col("score").as("mmr_score"))
+      .orderBy("q_id", "pick")
+  }
+
   /** Seeded-IVF approximate top-k. Index build: deterministic centroid
     * = embedding of min vec_id per label (nlist = #labels); one
     * broadcast assignment pass over the corpus. Query: each probe scans
@@ -692,6 +772,31 @@ object Similarity extends QueryModule {
   }
 
   private val sqlCos = "round(list_cosine_similarity(%s, %s) * 1e6)::BIGINT"
+
+  /** One unrolled MMR greedy round r (r >= 2): attach each remaining
+    * candidate's max-sim-to-selected from the pairwise frame, exclude
+    * already-picked ids, argmax the λ-mixed score (ties to the
+    * smallest vec_id), and fold the pick into p{r}.
+    */
+  private def mmrRoundSql(r: Int): String = s"""
+       ms$r AS (SELECT pr.q_id, pr.a_id AS vec_id, max(pr.sim) AS maxsim
+                FROM pair pr JOIN p${r - 1} se
+                  ON pr.q_id = se.q_id AND pr.b_id = se.vec_id
+                GROUP BY pr.q_id, pr.a_id),
+       s$r AS (SELECT q_id, vec_id, score, $r::BIGINT AS pick FROM (
+                SELECT c.q_id, c.vec_id,
+                       (7 * c.rel - 3 * m.maxsim) // 10 AS score,
+                       row_number() OVER (PARTITION BY c.q_id
+                         ORDER BY (7 * c.rel - 3 * m.maxsim) // 10 DESC,
+                                  c.vec_id) AS rn
+                FROM sl c JOIN ms$r m
+                  ON c.q_id = m.q_id AND c.vec_id = m.vec_id
+                WHERE NOT EXISTS (SELECT 1 FROM p${r - 1} x
+                                  WHERE x.q_id = c.q_id
+                                    AND x.vec_id = c.vec_id))
+               WHERE rn = 1),
+       p$r AS (SELECT * FROM p${r - 1}
+               UNION ALL SELECT q_id, vec_id, score, pick FROM s$r)"""
 
   /** The IVF top-k oracle as a prefixable CTE chain — shared by
     * sim_ivf_topk (prefix "") and txt_hybrid_retrieval's dense arm
@@ -898,6 +1003,33 @@ object Similarity extends QueryModule {
       SELECT q_id, rk, vec_id, icos_e6
       FROM ranked WHERE rk <= $TOPK
       ORDER BY q_id, rk""",
+
+    "sim_mmr_rerank" -> s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+           q AS (SELECT vec_id AS q_id, v AS q_v FROM e
+                 WHERE vec_id < $NQUERIES),
+           scored AS (
+             SELECT q.q_id, e.vec_id, e.v,
+                    ${sqlCos.format("q.q_v", "e.v")} AS rel
+             FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+           sl AS (SELECT q_id, vec_id, v, rel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY rel DESC, vec_id) AS rk
+                    FROM scored) WHERE rk <= $MMR_SHORTLIST),
+           pair AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                           ${sqlCos.format("a.v", "b.v")} AS sim
+                    FROM sl a JOIN sl b
+                      ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+           p1 AS (SELECT q_id, vec_id, score, 1::BIGINT AS pick FROM (
+                    SELECT q_id, vec_id, (7 * rel) // 10 AS score,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY (7 * rel) // 10 DESC, vec_id) AS rn
+                    FROM sl) WHERE rn = 1),
+           ${(2 to MMR_PICKS).map(mmrRoundSql).mkString(",\n")}
+      SELECT q_id, pick, vec_id, score AS mmr_score
+      FROM p$MMR_PICKS
+      ORDER BY q_id, pick""",
 
     "sim_range_search" -> s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -939,6 +939,104 @@ object TextAnalysis extends QueryModule {
     //    partitioned, and any single-doc content change flips it. One
     //    hash agg over the scan at any corpus size; the manifest is
     //    what a consumer diffs to detect a silently-changed shard. ----
+    // -- PII audit scan: detect + classify personal data before a
+    //    release (the privacy pass every training-data pipeline runs).
+    //    Deterministic PII fragments are injected per doc_id (the
+    //    url_canonical pattern — the corpus itself carries none), then
+    //    the scan counts docs per class: email, phone, IPv4, and
+    //    16-digit card numbers VALIDATED with the real Luhn checksum —
+    //    computed in pure codegen'd HOF arithmetic (transform +
+    //    aggregate over the 16 digit positions, double-every-second-
+    //    from-the-right, fold >9 to digit sum), mirrored list_transform
+    //    -for-list_transform in the oracle. Whether a given injected
+    //    number passes Luhn is emergent arithmetic, not a planted flag
+    //    — both engines must compute the same checksum to agree. One
+    //    scan, one aggregate; regexes run per row inside codegen. -----
+    "pipe_pii_scan" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), (col("doc_id") % 1000).cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" card 4"),
+            lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"),
+              15, "0"))).otherwise(lit("")))
+      val cc = regexp_extract(aug, "\\b(\\d{16})\\b", 1)
+      val luhn = aggregate(
+        transform(sequence(lit(1), lit(16)), i => {
+          val dig = cc.substr(i, lit(1)).cast("int")
+          val dd = when((lit(17) - i) % 2 === 0, dig * 2).otherwise(dig)
+          when(dd > 9, dd - 9).otherwise(dd)
+        }),
+        lit(0), (acc, x) => acc + x)
+      val hasEmail = aug.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+      val hasPhone = aug.rlike("\\+1-555-\\d{4}")
+      val hasIp = aug.rlike("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+      val hasCard = cc =!= ""
+      Tables.documents(s, d)
+        .select(hasEmail.as("e"), hasPhone.as("p"), hasIp.as("ip"),
+          hasCard.as("c"),
+          // CaseWhen evaluates lazily, so the digit casts inside the
+          // fold never see the empty no-card string (ANSI-safe)
+          when(hasCard, luhn % 10 === 0).otherwise(lit(false)).as("cv"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("e"), 1L)), lit(0L)).as("n_email"),
+          coalesce(sum(when(col("p"), 1L)), lit(0L)).as("n_phone"),
+          coalesce(sum(when(col("ip"), 1L)), lit(0L)).as("n_ipv4"),
+          coalesce(sum(when(col("c"), 1L)), lit(0L)).as("n_card"),
+          coalesce(sum(when(col("cv"), 1L)), lit(0L))
+            .as("n_card_luhn_valid"),
+          coalesce(sum(when(!col("e") && !col("p") && !col("ip") &&
+            !col("c"), 1L)), lit(0L)).as("n_clean"))
+    }),
+
+    // -- dataset release DIFF: what changed between two corpus drops --
+    //    The audit a consumer runs before retraining: added / removed /
+    //    changed / unchanged doc counts plus changed-char volume, by
+    //    full-outer-joining the two releases' (doc_id, text-digest)
+    //    frames — digests only, the text never shuffles (at 100 TB the
+    //    digest IS the diffable unit; pipe_shard_manifest's bit_xor
+    //    digest detects THAT a shard changed, this op says WHICH docs
+    //    and HOW MANY). Releases derive deterministically from the
+    //    corpus: the previous drop misses doc_id % 7 == 0 (since
+    //    added), the current drop dropped % 5 == 0 (removed), and
+    //    % 3 == 0 docs were re-crawled (changed text). -----------------
+    "pipe_dataset_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h_prev"))
+      val cur = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" [recrawl v2]")))
+            .otherwise(col("text"))).as("h_cur"),
+          col("n_chars"))
+      prev.join(cur, Seq("doc_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("h_prev").isNull, 1L)), lit(0L))
+            .as("n_added"),
+          coalesce(sum(when(col("h_cur").isNull, 1L)), lit(0L))
+            .as("n_removed"),
+          coalesce(sum(when(col("h_prev").isNotNull &&
+            col("h_cur").isNotNull &&
+            col("h_prev") =!= col("h_cur"), 1L)), lit(0L))
+            .as("n_changed"),
+          coalesce(sum(when(col("h_prev") === col("h_cur"), 1L)),
+            lit(0L)).as("n_unchanged"),
+          coalesce(sum(when(col("h_prev").isNotNull &&
+            col("h_cur").isNotNull &&
+            col("h_prev") =!= col("h_cur"), col("n_chars"))), lit(0L))
+            .as("changed_chars"))
+    }),
+
     "pipe_shard_manifest" -> ((s, d) => {
       val shard = conv(substring(md5(concat(lit("shard|"),
         col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
@@ -2058,6 +2156,75 @@ object TextAnalysis extends QueryModule {
     // shard assignment + xor digest mirrored hash-for-hash: DuckDB's
     // bit_xor over the same 48-bit text-md5 longs is the same
     // order-free fold
+    // fragment construction + Luhn fold mirrored step-for-step
+    "pipe_pii_scan" -> """
+      WITH a AS (
+        SELECT text ||
+               (CASE WHEN doc_id % 4 = 0 THEN ' contact user' ||
+                 (doc_id % 1000)::VARCHAR || '@example.com' ELSE '' END) ||
+               (CASE WHEN doc_id % 6 = 0 THEN ' call +1-555-' ||
+                 lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) ||
+               (CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||
+                 (doc_id % 256)::VARCHAR || '.0.' ||
+                 (doc_id % 100)::VARCHAR ELSE '' END) ||
+               (CASE WHEN doc_id % 3 = 0 THEN ' card 4' ||
+                 lpad(((doc_id * 7919) % 1000000000000000)::VARCHAR,
+                   15, '0') ELSE '' END) AS aug
+        FROM documents),
+      f AS (
+        SELECT regexp_matches(aug,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS e,
+               regexp_matches(aug, '\+1-555-\d{4}') AS p,
+               regexp_matches(aug,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') AS ip,
+               regexp_extract(aug, '\b(\d{16})\b', 1) AS cc
+        FROM a),
+      l AS (
+        SELECT e, p, ip, cc <> '' AS c,
+               CASE WHEN cc <> '' THEN
+                 (list_aggregate(list_transform(range(1, 17), i ->
+                    CASE WHEN (17 - i) % 2 = 0 THEN
+                      CASE WHEN cc[i]::INT * 2 > 9 THEN cc[i]::INT * 2 - 9
+                           ELSE cc[i]::INT * 2 END
+                    ELSE cc[i]::INT END), 'sum') % 10 = 0)
+               ELSE false END AS cv
+        FROM f)
+      SELECT count(1) AS n_docs,
+             coalesce(sum(CASE WHEN e THEN 1 END), 0)::BIGINT AS n_email,
+             coalesce(sum(CASE WHEN p THEN 1 END), 0)::BIGINT AS n_phone,
+             coalesce(sum(CASE WHEN ip THEN 1 END), 0)::BIGINT AS n_ipv4,
+             coalesce(sum(CASE WHEN c THEN 1 END), 0)::BIGINT AS n_card,
+             coalesce(sum(CASE WHEN cv THEN 1 END), 0)::BIGINT
+               AS n_card_luhn_valid,
+             coalesce(sum(CASE WHEN NOT e AND NOT p AND NOT ip AND NOT c
+               THEN 1 END), 0)::BIGINT AS n_clean
+      FROM l""",
+
+    "pipe_dataset_diff" -> """
+      WITH prev AS (SELECT doc_id, md5(text) AS h_prev FROM documents
+                    WHERE doc_id % 7 <> 0),
+           cur AS (SELECT doc_id,
+                          md5(CASE WHEN doc_id % 3 = 0
+                              THEN text || ' [recrawl v2]'
+                              ELSE text END) AS h_cur,
+                          n_chars
+                   FROM documents WHERE doc_id % 5 <> 0),
+           j AS (SELECT prev.h_prev, cur.h_cur, cur.n_chars
+                 FROM prev FULL OUTER JOIN cur USING (doc_id))
+      SELECT coalesce(sum(CASE WHEN h_prev IS NULL THEN 1 END), 0)::BIGINT
+               AS n_added,
+             coalesce(sum(CASE WHEN h_cur IS NULL THEN 1 END), 0)::BIGINT
+               AS n_removed,
+             coalesce(sum(CASE WHEN h_prev IS NOT NULL
+               AND h_cur IS NOT NULL AND h_prev <> h_cur THEN 1 END),
+               0)::BIGINT AS n_changed,
+             coalesce(sum(CASE WHEN h_prev = h_cur THEN 1 END), 0)::BIGINT
+               AS n_unchanged,
+             coalesce(sum(CASE WHEN h_prev IS NOT NULL
+               AND h_cur IS NOT NULL AND h_prev <> h_cur
+               THEN n_chars END), 0)::BIGINT AS changed_chars
+      FROM j""",
+
     "pipe_shard_manifest" -> """
       WITH s AS (
         SELECT ('0x' || substr(md5('shard|' || doc_id), 1, 12))::BIGINT

@@ -34,6 +34,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-source union: one query drains two sources under a shared watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val a = MemoryStream[(Timestamp, String)]
+    val b = MemoryStream[(Timestamp, String)]
+    def branch(m: MemoryStream[(Timestamp, String)], tag: String) =
+      m.toDF().toDF("ts", "w").withColumn("src", lit(tag))
+    val unioned = branch(a, "a").unionByName(branch(b, "b"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("src"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("src"),
+        col("n"))
+    val q = unioned.writeStream.outputMode("append").format("memory")
+      .queryName("union_out").start()
+    try {
+      a.addData((ts("2024-01-01 00:10:00"), "x"))
+      b.addData((ts("2024-01-01 00:20:00"), "y"))
+      q.processAllAvailable()
+      // only source B advances — the post-union watermark must still
+      // close hour 0 for BOTH branches (it tracks the max event time
+      // across the union, not per source)
+      b.addData((ts("2024-01-01 03:00:00"), "z"))
+      q.processAllAvailable()
+      assert(q.lastProgress.sources.length == 2,
+        s"expected 2 sources, got ${q.lastProgress.sources.length}")
+      val rows = spark.table("union_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("2024-01-01 00:00:00", "a", 1L),
+        ("2024-01-01 00:00:00", "b", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("chained stateful operators: dedup then windowed agg in one query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
