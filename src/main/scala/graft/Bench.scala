@@ -103,7 +103,7 @@ object Bench {
       "is tiny; LPA's round cost is timed at 20x by scaled_lpa_x20" ->
       Seq("graph_pagerank", "graph_kcore", "graph_coreness", "graph_lpa",
       "graph_bfs", "graph_walks", "graph_cluster_quality",
-      "graph_cluster_xquality", "graph_modularity"),
+      "graph_cluster_xquality", "graph_modularity", "graph_harmonic"),
     "map-shaped broadcast-probe scan (documented exact twin of the ANN " +
       "rows); cost is one corpus scan, tracked by sim_brute_topk " +
       "(filtered_topk is the same scan with a label equi-key that only " +
@@ -126,6 +126,7 @@ object Bench {
       "ev_asof_forward", "ev_asof_tolerance", "ev_dwell_hist",
       "ev_interval_join", "ev_markov", "ev_pivot", "ev_pivot_dynamic",
       "ev_seqmatch", "ev_attribution", "ev_rfm", "ev_anomaly_mad",
+      "ev_forecast_eval",
       "ev_retention", "ev_session_window", "ev_topk_users", "ev_tumbling",
       "ev_typed_gaps", "ev_user_stats"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +

@@ -1609,6 +1609,42 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Harmonic centrality from the BFS seed set, bounded depth:
+    * harm(v) = Σ over seeds s ≠ v within [[BFS_ROUNDS]] hops of
+    * 1e6 DIV d(s, v) — the centrality that handles disconnected
+    * graphs gracefully (unreachable seeds contribute 0 instead of
+    * breaking a closeness denominator; Boldi & Vigna, "Axioms for
+    * centrality", 2014). Unlike [[bfsFromPairs]]' multi-source MIN
+    * (which collapses seeds), the relaxation here carries the seed in
+    * the state key, so the table is (seed, node, dist) — seeds× the
+    * BFS state, same one-join-one-agg round shape, still no windows.
+    * Per-term integer floor BEFORE the sum keeps the aggregate
+    * order-free and the unrolled oracle engine-identical.
+    */
+  def harmonicFromPairs(pairs0: DataFrame, seeds: Int = BFS_SEEDS,
+      rounds: Int = BFS_ROUNDS): DataFrame = {
+    val edges = symmetrized(pairs0)
+    val seedIds = edges.select(col("src").as("id")).distinct()
+      .orderBy("id").limit(seeds)
+    var dist = seedIds.select(col("id").as("seed"), col("id"),
+      lit(0L).as("dist"))
+    (1 to rounds).foreach { _ =>
+      dist = edges
+        .join(dist.select(col("seed"), col("id").as("dst"), col("dist")),
+          "dst")
+        .select(col("seed"), col("src").as("id"),
+          (col("dist") + 1L).as("dist"))
+        .union(dist)
+        .groupBy("seed", "id").agg(min("dist").as("dist"))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(expr("1000000 DIV dist")).as("harmonic_e6"))
+      .orderBy(col("harmonic_e6").desc, col("doc_id"))
+      .limit(25)
+  }
+
   /** Walk length for [[walksFromPairs]] and its oracle. */
   val WALK_STEPS = 3
 
@@ -2116,6 +2152,14 @@ object Dedup extends QueryModule {
     //    sits from a seed set over the near-dup graph ------------------
     "graph_bfs" -> ((s, d) =>
       bfsFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
+
+    // -- harmonic centrality from the same seed set, per-seed distance
+    //    state (see harmonicFromPairs): which docs sit closest to the
+    //    whole trusted/flagged set, robust to disconnection ------------
+    "graph_harmonic" -> ((s, d) =>
+      harmonicFromPairs(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
 
@@ -3118,6 +3162,38 @@ object Dedup extends QueryModule {
       FROM d$BFS_ROUNDS
       ORDER BY doc_id"""
     },
+
+    // the BFS relaxation chain with the seed carried in the state key,
+    // then the per-term-floored harmonic sum
+    "graph_harmonic" -> {
+      def round(r: Int): String = s"""
+           p$r AS (SELECT d.seed, e.src AS id, min(d.dist) + 1 AS dist
+                   FROM e0 e JOIN d${r - 1} d ON e.dst = d.id
+                   GROUP BY d.seed, e.src),
+           d$r AS MATERIALIZED (SELECT seed, id, min(dist)::BIGINT AS dist
+                   FROM (
+                     SELECT seed, id, dist FROM d${r - 1}
+                     UNION ALL
+                     SELECT seed, id, dist FROM p$r) u
+                   GROUP BY seed, id)"""
+      s"""
+      WITH p AS MATERIALIZED (SELECT a_id, b_id
+                 FROM (${minhashPairsSql(ordered = false)}) mp),
+           e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+                  UNION ALL
+                  SELECT b_id AS src, a_id AS dst FROM p),
+           d0 AS MATERIALIZED (SELECT id AS seed, id, 0::BIGINT AS dist
+                  FROM (
+                  SELECT DISTINCT src AS id FROM e0
+                  ORDER BY id LIMIT $BFS_SEEDS) s),
+           ${(1 to BFS_ROUNDS).map(round).mkString(",")}
+      SELECT id AS doc_id, count(1) AS n_seeds_reached,
+             sum(1000000 // dist)::BIGINT AS harmonic_e6
+      FROM d$BFS_ROUNDS
+      WHERE dist > 0
+      GROUP BY id
+      ORDER BY harmonic_e6 DESC, doc_id
+      LIMIT 25""" },
 
     // the same fixed synchronous label-propagation rounds unrolled
     // CTE-for-CTE: per (node, neighbor-label) counts, then max count

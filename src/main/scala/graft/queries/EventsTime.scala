@@ -1390,6 +1390,53 @@ object EventsTime extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // -- forecast baseline backtest (seasonal-naive vs persistence) -------
+    //    The capacity-planning primitive: on the gap-filled hourly
+    //    series per event type, forecast each of the last 168 hours
+    //    with (a) the value 24 hours earlier (seasonal-naive) and (b)
+    //    the previous hour (persistence), score both by MAE in integer
+    //    per-mille, and report which baseline wins — the sanity floor
+    //    any real forecasting model must beat. Series is densified
+    //    over the full hour spine first (ev_gap_fill's shape: a
+    //    missing hour is y = 0, and lag(24) must mean 24 HOURS, not 24
+    //    existing rows); windows run per-type over the post-agg hourly
+    //    frame, never event rows.
+    "ev_forecast_eval" -> ((s, d) => {
+      val e = ev(s, d)
+      val hours = e
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(
+          sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val grid = hours.crossJoin(e.select("event_type").distinct())
+      val counts = e
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val series = grid.join(counts, Seq("h", "event_type"), "left")
+        .select(col("event_type"),
+          expr("unix_micros(h) DIV 3600000000").as("hidx"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.partitionBy("event_type").orderBy("hidx")
+      val wT = Window.partitionBy("event_type")
+      series
+        .withColumn("f24", lag("y", 24).over(w))
+        .withColumn("f1", lag("y", 1).over(w))
+        .withColumn("hmax", max("hidx").over(wT))
+        .filter(col("hidx") > col("hmax") - 168 &&
+          col("f24").isNotNull && col("f1").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          expr("(1000 * sum(abs(y - f24))) DIV count(1)")
+            .as("mae24_milli"),
+          expr("(1000 * sum(abs(y - f1))) DIV count(1)")
+            .as("mae1_milli"),
+          expr("""CASE WHEN sum(abs(y - f24)) < sum(abs(y - f1))
+                  THEN 'seasonal'
+                  WHEN sum(abs(y - f24)) > sum(abs(y - f1))
+                  THEN 'persistence' ELSE 'tie' END""").as("better"))
+        .orderBy("event_type")
+    }),
+
     // -- multi-touch attribution (last-touch + linear credit) -------------
     //    Each click/view attributes to the user's NEXT purchase within
     //    a 7-day lookback: the purchase timestamp arrives as a
@@ -2052,6 +2099,44 @@ object EventsTime extends QueryModule {
       GROUP BY user_id
       ORDER BY n DESC, user_id
       LIMIT 5""",
+
+    // gap-filled hourly spine, then the two lag baselines and integer
+    // per-mille MAE — mirrored clause-for-clause
+    "ev_forecast_eval" -> """
+      WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                        date_trunc('hour', max(ts)) AS hi FROM events),
+           hours AS (SELECT unnest(generate_series(lo, hi,
+                       INTERVAL 1 HOUR)) AS h FROM b),
+           grid AS (SELECT h, event_type FROM hours
+                    CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+           c AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                        count(1) AS y
+                 FROM events GROUP BY 1, 2),
+           s AS (SELECT g.event_type,
+                        epoch_us(g.h) // 3600000000 AS hidx,
+                        coalesce(c.y, 0)::BIGINT AS y
+                 FROM grid g LEFT JOIN c
+                   ON g.h = c.h AND g.event_type = c.event_type),
+           l AS (SELECT *,
+                        lag(y, 24) OVER (PARTITION BY event_type
+                          ORDER BY hidx) AS f24,
+                        lag(y, 1) OVER (PARTITION BY event_type
+                          ORDER BY hidx) AS f1,
+                        max(hidx) OVER (PARTITION BY event_type) AS hmax
+                 FROM s),
+           t AS (SELECT * FROM l
+                 WHERE hidx > hmax - 168
+                   AND f24 IS NOT NULL AND f1 IS NOT NULL)
+      SELECT event_type, count(1) AS n_hours,
+             ((1000 * sum(abs(y - f24))) // count(1))::BIGINT
+               AS mae24_milli,
+             ((1000 * sum(abs(y - f1))) // count(1))::BIGINT
+               AS mae1_milli,
+             CASE WHEN sum(abs(y - f24)) < sum(abs(y - f1))
+                  THEN 'seasonal'
+                  WHEN sum(abs(y - f24)) > sum(abs(y - f1))
+                  THEN 'persistence' ELSE 'tie' END AS better
+      FROM t GROUP BY event_type ORDER BY event_type""",
 
     // quintiles from distinct-value histograms (no user-scale sort);
     // ties share a score: 1 + 5*n_strictly_better // n_users
