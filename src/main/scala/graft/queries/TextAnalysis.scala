@@ -952,51 +952,7 @@ object TextAnalysis extends QueryModule {
     //    number passes Luhn is emergent arithmetic, not a planted flag
     //    — both engines must compute the same checksum to agree. One
     //    scan, one aggregate; regexes run per row inside codegen. -----
-    "pipe_pii_scan" -> ((s, d) => {
-      val aug = concat(col("text"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit(" contact user"), (col("doc_id") % 1000).cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 6 === 0,
-          concat(lit(" call +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
-            lit(".0."), (col("doc_id") % 100).cast("string")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" card 4"),
-            lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"),
-              15, "0"))).otherwise(lit("")))
-      val cc = regexp_extract(aug, "\\b(\\d{16})\\b", 1)
-      val luhn = aggregate(
-        transform(sequence(lit(1), lit(16)), i => {
-          val dig = cc.substr(i, lit(1)).cast("int")
-          val dd = when((lit(17) - i) % 2 === 0, dig * 2).otherwise(dig)
-          when(dd > 9, dd - 9).otherwise(dd)
-        }),
-        lit(0), (acc, x) => acc + x)
-      val hasEmail = aug.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
-      val hasPhone = aug.rlike("\\+1-555-\\d{4}")
-      val hasIp = aug.rlike("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
-      val hasCard = cc =!= ""
-      Tables.documents(s, d)
-        .select(hasEmail.as("e"), hasPhone.as("p"), hasIp.as("ip"),
-          hasCard.as("c"),
-          // CaseWhen evaluates lazily, so the digit casts inside the
-          // fold never see the empty no-card string (ANSI-safe)
-          when(hasCard, luhn % 10 === 0).otherwise(lit(false)).as("cv"))
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(when(col("e"), 1L)), lit(0L)).as("n_email"),
-          coalesce(sum(when(col("p"), 1L)), lit(0L)).as("n_phone"),
-          coalesce(sum(when(col("ip"), 1L)), lit(0L)).as("n_ipv4"),
-          coalesce(sum(when(col("c"), 1L)), lit(0L)).as("n_card"),
-          coalesce(sum(when(col("cv"), 1L)), lit(0L))
-            .as("n_card_luhn_valid"),
-          coalesce(sum(when(!col("e") && !col("p") && !col("ip") &&
-            !col("c"), 1L)), lit(0L)).as("n_clean"))
-    }),
+    "pipe_pii_scan" -> ((s, d) => piiScanFrom(Tables.documents(s, d))),
 
     // -- dataset release DIFF: what changed between two corpus drops --
     //    The audit a consumer runs before retraining: added / removed /
@@ -1433,6 +1389,57 @@ object TextAnalysis extends QueryModule {
           .cast("long").as("pmi_micronat"))
       .orderBy(col("pmi_micronat").desc, col("bigram"))
       .limit(50)
+  }
+
+  /** PII audit scan over any (doc_id, text) frame — see the
+    * pipe_pii_scan registry comment. Deterministic fragments are
+    * injected per doc_id; 16-digit candidates validate with the real
+    * Luhn checksum in codegen'd HOF arithmetic (CaseWhen evaluates
+    * lazily, so the digit casts never see the empty no-card string —
+    * ANSI-safe).
+    */
+  def piiScanFrom(docs: DataFrame): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact user"), (col("doc_id") % 1000).cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" card 4"),
+          lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"),
+            15, "0"))).otherwise(lit("")))
+    val cc = regexp_extract(aug, "\\b(\\d{16})\\b", 1)
+    val luhn = aggregate(
+      transform(sequence(lit(1), lit(16)), i => {
+        val dig = cc.substr(i, lit(1)).cast("int")
+        val dd = when((lit(17) - i) % 2 === 0, dig * 2).otherwise(dig)
+        when(dd > 9, dd - 9).otherwise(dd)
+      }),
+      lit(0), (acc, x) => acc + x)
+    val hasEmail = aug.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val hasPhone = aug.rlike("\\+1-555-\\d{4}")
+    val hasIp = aug.rlike("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    val hasCard = cc =!= ""
+    docs
+      .select(hasEmail.as("e"), hasPhone.as("p"), hasIp.as("ip"),
+        hasCard.as("c"),
+        when(hasCard, luhn % 10 === 0).otherwise(lit(false)).as("cv"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("e"), 1L)), lit(0L)).as("n_email"),
+        coalesce(sum(when(col("p"), 1L)), lit(0L)).as("n_phone"),
+        coalesce(sum(when(col("ip"), 1L)), lit(0L)).as("n_ipv4"),
+        coalesce(sum(when(col("c"), 1L)), lit(0L)).as("n_card"),
+        coalesce(sum(when(col("cv"), 1L)), lit(0L))
+          .as("n_card_luhn_valid"),
+        coalesce(sum(when(!col("e") && !col("p") && !col("ip") &&
+          !col("c"), 1L)), lit(0L)).as("n_clean"))
   }
 
   /** RAKE keyphrase cap: candidate phrases longer than this many tokens
