@@ -664,6 +664,12 @@ object Bench {
     val ppjoin = (1 to 3).map(_ => timeOne("scaled_ppjoin_x20", () =>
       graft.queries.Dedup.ppjoinPairsFrom(spark.read.parquet(scaledPath),
         tNum = 9, tDen = 10, shingleN = 5)))
+    // sorted-neighborhood blocking at x20: two partition-parallel rank
+    // windows + the offset equi-join + exact verification over 100k
+    // docs — the pair-generation shape the LSH/prefix probes don't time
+    val snm = (1 to 3).map(_ => timeOne("scaled_snm_x20", () =>
+      graft.queries.Dedup.sortedNeighborhoodPairsFrom(
+        spark.read.parquet(scaledPath))))
     // inverted-index sparse cosine at x20: df cap bounds every posting
     // bucket even when replication inflates every term's frequency
     val sparse = (1 to 3).map(_ => timeOne("scaled_sparse_x20", () =>
@@ -920,6 +926,7 @@ object Bench {
       "scaled_chunk_x20" -> chunk.min,
       "scaled_winnow_x20" -> winnow.min,
       "scaled_ppjoin_x20" -> ppjoin.min,
+      "scaled_snm_x20" -> snm.min,
       "scaled_sparse_x20" -> sparse.min,
       "scaled_inc_x20" -> inc.min,
       "scaled_substr_x20" -> substr.min,

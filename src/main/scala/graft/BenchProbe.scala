@@ -56,6 +56,13 @@ object BenchProbe {
         val p = Bench.prepareScaledDocs(spark, sfDir, factor = 100)
         graft.queries.Dedup.duplicatedSpansFrom(
           spark.read.parquet(p), graft.queries.Dedup.SUBSTR_L)
+      } else if (name == "scaledsnm") {
+        // sorted-neighborhood blocking at x20 (the scaled_snm_x20 row
+        // in isolation): two per-block rank windows + offset equi-join
+        // + exact verification over the 100k-doc synthetic corpus
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.sortedNeighborhoodPairsFrom(
+          spark.read.parquet(p))
       } else if (name == "scaledmh") {
         val p = Bench.prepareScaledDocs(spark, sfDir)
         Bench.scaledMinhash(spark, p)
