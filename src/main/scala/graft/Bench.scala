@@ -127,7 +127,8 @@ object Bench {
       "ev_interval_join", "ev_markov", "ev_pivot", "ev_pivot_dynamic",
       "ev_seqmatch", "ev_attribution", "ev_rfm", "ev_anomaly_mad",
       "ev_forecast_eval",
-      "ev_retention", "ev_session_window", "ev_topk_users", "ev_tumbling",
+      "ev_retention", "ev_session_window", "ev_session_dynamic",
+      "ev_topk_users", "ev_tumbling",
       "ev_typed_gaps", "ev_user_stats"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +
       "scaled_stream_{window,session,chain,tws}_x20; these replay 100k " +

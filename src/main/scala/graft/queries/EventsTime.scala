@@ -1278,6 +1278,28 @@ object EventsTime extends QueryModule {
           col("user_id"), col("n_events"))
         .orderBy("user_id", "start_us")),
 
+    // -- DYNAMIC-gap session windows: the gap is a per-event expression
+    //    (purchases close a session in 10 minutes, everything else 30)
+    //    — Spark's session_window(col, gapExpr) surface, the API for
+    //    "checkout ends the visit" sessionization. Engine semantics
+    //    under test: each event spans [ts, ts+gap(event)) and windows
+    //    merge while they OVERLAP, so the batch oracle reproduces the
+    //    rule with a running max of event ends (new session iff
+    //    us >= max over previous ends) — a boundary event at exactly
+    //    the session end starts a NEW session ([start, end) is
+    //    half-open on both engines). ------------------------------------
+    "ev_session_dynamic" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", "10 minutes")
+            .otherwise("30 minutes")), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "start_us")),
+
     // -- MapType surface: build per-user type->count maps, extract back --
     // (map construction + map_keys/element_at; scalar outputs so the
     // oracle compares values, not engine-specific map encodings)
@@ -2099,6 +2121,29 @@ object EventsTime extends QueryModule {
       GROUP BY user_id
       ORDER BY n DESC, user_id
       LIMIT 5""",
+
+    // dynamic gap as a per-event CASE; merge rule = running max of
+    // event ends, new session iff us >= that max (half-open windows)
+    "ev_session_dynamic" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                        CASE WHEN event_type = 'purchase' THEN 600000000
+                             ELSE 1800000000 END AS gap
+                 FROM events),
+           w AS (SELECT *, max(us + gap) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+                 FROM e),
+           f AS (SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+                   THEN 1 ELSE 0 END AS new_s FROM w),
+           s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid FROM f)
+      SELECT min(us) AS start_us, max(us + gap) AS end_us, user_id,
+             count(1) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, start_us""",
 
     // gap-filled hourly spine, then the two lag baselines and integer
     // per-mille MAE — mirrored clause-for-clause
