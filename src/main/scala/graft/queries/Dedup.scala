@@ -1821,8 +1821,11 @@ object Dedup extends QueryModule {
     * — every intermediate is ≤ ~1e14 at ANY graph size (t ≤ 1e6 by
     * construction, e ≤ m), so the arithmetic never needs 128-bit and
     * both engines reproduce it bit-for-bit. q_ppm (the partition's
-    * total, what you compare across clusterings) rides every row via
-    * a window over the |clusters| post-agg frame. Labels from one
+    * total, what you compare across clusterings) is aggregated to a
+    * 1-row frame and broadcast-attached — NOT an unpartitioned window:
+    * ccFromPairs labels every document (singletons included), so the
+    * per-cluster frame is ~|docs| rows and a lit(1)-partitioned window
+    * would funnel all of them through one task. Labels from one
     * near-dup definition scored against another's pair graph (winnow
     * vs MinHash, as graph_cluster_xquality) give genuine cross edges,
     * so the d² penalty term is value-exercised.
@@ -1831,7 +1834,7 @@ object Dedup extends QueryModule {
       labels: DataFrame): DataFrame = {
     val pairs = pairs0.localCheckpoint(true) // m count + tagged stats
     val m = pairs.agg(count(lit(1)).as("m"))
-    clusterEdgeStats(docs, pairs, labels)
+    val contrib = clusterEdgeStats(docs, pairs, labels)
       .crossJoin(broadcast(m)) // 1-row edge-count attach
       .withColumn("d_sum", expr("2 * e_in + cut"))
       // empty pair graph -> m = 0 -> define the contribution as 0 on
@@ -1842,9 +1845,10 @@ object Dedup extends QueryModule {
       .withColumn("contrib_ppm",
         expr("CASE WHEN m > 0 THEN " +
           "(e_in * 1000000) DIV m - (t * t) DIV 1000000 ELSE 0 END"))
-      .withColumn("q_ppm", sum("contrib_ppm").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1)))) // |clusters| post-agg rows
+      .localCheckpoint(true) // feeds both the row side and the total
+    val qTot = contrib.agg(sum("contrib_ppm").as("q_ppm"))
+    contrib
+      .crossJoin(broadcast(qTot)) // 1-row partition-total attach
       .select(col("cluster"), col("n_nodes"), col("e_in"), col("d_sum"),
         col("contrib_ppm"), col("q_ppm"))
       .orderBy(col("n_nodes").desc, col("cluster"))

@@ -1331,10 +1331,16 @@ object EventsTime extends QueryModule {
     //    distinct-value HISTOGRAM (hash agg) whose cumulative counts
     //    ride a window over the tiny distinct-value frame, then join
     //    back by value (broadcast-sized maps). score = 1 + (5 *
-    //    n_strictly_better) DIV n_users — ties share a score, every
-    //    step integer, both engines bit-identical. ntile() would need
-    //    one global sort of all users per metric; this shape's only
-    //    user-scale op is the per-user hash agg it must pay anyway.
+    //    n_strictly_worse) DIV n_users — worse values first in the
+    //    cumulative order, so score 5 = best (standard RFM); ties share
+    //    a score, every step integer, both engines bit-identical.
+    //    ntile() would need one global sort of all users per metric;
+    //    this shape's only user-scale op is the per-user hash agg it
+    //    must pay anyway. The histogram's own running sum is a
+    //    DISTRIBUTED two-pass prefix sum (shardedCum, the txt_pack
+    //    pattern) over deterministic min/max range shards — mon_cents'
+    //    distinct-value count can approach |users|, so an unpartitioned
+    //    window here would be a single-task sort at scale.
     "ev_rfm" -> ((s, d) => {
       val u = ev(s, d)
         .groupBy("user_id")
@@ -1346,13 +1352,22 @@ object EventsTime extends QueryModule {
       val ur = u.crossJoin(broadcast(tot))
         .withColumn("rec_day",
           expr("(g_us - last_us) DIV 86400000000"))
-      // quintile map per metric: value -> 1 + 5*n_strictly_better DIV n
+      // quintile map per metric: value -> 1 + 5*n_strictly_worse DIV n.
+      // Running total in worse-first order via the two-pass distributed
+      // prefix sum: order key k puts worse values first ascending (all
+      // three metrics are non-negative, so negation is overflow-safe),
+      // shards are deterministic min/max range buckets (monotone in k),
+      // so no unpartitioned window ever touches the histogram.
       def qmap(metric: String, betterIsHigher: Boolean): DataFrame = {
         val h = ur.groupBy(col(metric).as("v"))
           .agg(count(lit(1)).as("c"))
-        val ord = if (betterIsHigher) col("v").asc else col("v").desc
-        h.withColumn("n_worse",
-            sum("c").over(Window.orderBy(ord)) - col("c"))
+        val hk = h.withColumn("k",
+          if (betterIsHigher) col("v") else -col("v"))
+        val mm = hk.agg(min("k").as("k_lo"), max("k").as("k_hi"))
+        val shard = expr("((k - k_lo) * 32) DIV (k_hi - k_lo + 1)")
+        TextAnalysis.shardedCum(hk.crossJoin(broadcast(mm)),
+            shard, Seq("k"), "c")
+          .withColumn("n_worse", col("cum") - col("c"))
           .crossJoin(broadcast(tot.select(col("n_users"))))
           .select(col("v").as(metric),
             expr("1 + (5 * n_worse) DIV n_users").as(metric + "_q"))
@@ -2184,7 +2199,8 @@ object EventsTime extends QueryModule {
       FROM t GROUP BY event_type ORDER BY event_type""",
 
     // quintiles from distinct-value histograms (no user-scale sort);
-    // ties share a score: 1 + 5*n_strictly_better // n_users
+    // ties share a score: 1 + 5*n_strictly_worse // n_users (worse
+    // values first in the cumulative order, so score 5 = best)
     "ev_rfm" -> """
       WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
                         count(1) AS freq,

@@ -81,10 +81,13 @@ object Relational extends QueryModule {
     //    DecimalType arithmetic, engine-exact against DuckDB's DECIMAL.
     //    Discipline for bit-exactness: (1) decimals are BUILT from the
     //    integer cents/percent casts (never a double->decimal cast,
-    //    whose rounding mode is engine-specific); (2) per-row products
-    //    keep precision <= 28 so the +10 sum headroom stays under the
-    //    38 cap — Spark silently REDUCES SCALE (rounds!) past 38, so
-    //    multiply by the small scale literal per-row, THEN sum; (3) the
+    //    whose rounding mode is engine-specific); (2) the charge
+    //    product chain is DECIMAL(14,0)x(3,0)x(3,0)x(7,6) =
+    //    DECIMAL(30,6), so the sum's +10 headroom clamps at the 38-
+    //    precision cap WITH SCALE 6 PRESERVED — safe because the total
+    //    stays far below 1e32; had the cap forced a scale REDUCTION,
+    //    Spark would silently round, so multiply by the small scale
+    //    literal per-row, THEN sum, and keep product scale <= 6; (3) the
     //    final scale is pinned by an explicit CAST on both engines (the
     //    driver compares str(Decimal), so scale is part of the value).
     "q_decimal_exact" -> ((s, d) =>

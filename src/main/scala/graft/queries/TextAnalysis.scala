@@ -58,7 +58,7 @@ object TextAnalysis extends QueryModule {
     * Output column `cum` is the inclusive running total; values are
     * identical to the single-window formulation for any shard width.
     */
-  private def shardedCum(df: DataFrame, shardOf: Column,
+  private[queries] def shardedCum(df: DataFrame, shardOf: Column,
       orderCols: Seq[String], valCol: String): DataFrame = {
     val s = df.sparkSession
     val t = df.withColumn("_shard", shardOf.cast("long"))
