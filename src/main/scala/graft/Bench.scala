@@ -76,7 +76,14 @@ object Bench {
     // one full-outer fact-scale shuffle in the registry; PII scan: the
     // 4-regex + Luhn-HOF codegen scan (per-row regex cost is the real
     // dimension worth tracking at 10x)
-    "pipe_dataset_diff", "pipe_pii_scan")
+    "pipe_dataset_diff", "pipe_pii_scan",
+    // round 15: the loaded-index ANN serve path (first rep pays the
+    // one-time artifact write, later reps time pure probe cost — the
+    // build-once/probe-many split the row exists to expose), and the
+    // closed-form Naive-Bayes quality filter (token-class training agg
+    // + |vocab| llr join + per-doc re-agg — the model-based filter pass
+    // real curation pipelines add on top of the rule gates)
+    "sim_index_persist", "txt_nb_quality")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at
@@ -196,7 +203,11 @@ object Bench {
       "txt_pmi", "txt_rake", "txt_redact", "txt_repetition",
       "txt_rolling_hash", "txt_token_bpe", "txt_token_estimate",
       "txt_unicode_norm"),
-    "sorted-limit tail of the timed wordcount plan" -> Seq("wordcount_topk"))
+    "sorted-limit tail of the timed wordcount plan" -> Seq("wordcount_topk"),
+    "persisted-PQ twin: the serve path is the identical ADC scan timed " +
+      "at 20x by scaled_pq_x20, and the one-time build write is scratch " +
+      "I/O (the io_* roundtrip argument); the loaded-IVF serve path IS " +
+      "timed via sim_index_persist" -> Seq("sim_pq_persist"))
 
   /** Fails unless headline ∪ excluded == the registry, with no overlap
     * and no duplicates. Returns (timed, excluded) counts for the sweep
@@ -775,41 +786,45 @@ object Bench {
     // oriented wedges), the worst case the degree-ordered orientation
     // exists for; BenchProbe `scaledtribound` asserts the oriented
     // wedge count stays at the clique-math 3x under the naive
-    // sum-of-deg^2 stream. One rep (~29 s is real wedge-join work —
-    // cross-round JSONs provide the repetition).
-    val tri = Seq(timeOne("scaled_tri_x20", () =>
+    // sum-of-deg^2 stream.
+    //
+    // ALL the heavy graph rows below are min-of-2 (r14 verdict #3,
+    // extending the ejacc precedent): these are exactly the rows box
+    // load swings ~2x (README A/B: tri 16.5<->30.1 s, lpa
+    // 11.1<->21.6 s tracking tel loads 15-26; ejacc's r13 triage
+    // 6.8/7.4/23.1 s across same-code sweeps), so a single attempt can
+    // fake a round-over-round regression. Two attempts bound the
+    // weather; the min is the comparable number.
+    def triOnce() = timeOne("scaled_tri_x20", () =>
       graft.queries.Dedup.trianglesFromPairs(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
-          .select("a_id", "b_id"))))
-    // the round-10 graph ops at the same x20 regime, each timed as the
-    // full pipeline (pair build + operator) like scaled_tri_x20; one
-    // rep each — adjacency-array shapes, cross-round JSONs repeat them
-    // min-of-2: this row's first attempt is uniquely JIT/page-cache
-    // sensitive (r13 triage: 6.8 / 7.4 / 23.1 s across same-code
-    // sweeps, isolated probe 20.8 s cold -> 7.6 s steady) — a single
-    // attempt can misread 3x in the one-shot per-round run
+          .select("a_id", "b_id")))
+    val tri = Seq(triOnce(), triOnce())
     def ejaccOnce() = timeOne("scaled_ejacc_x20", () =>
       graft.queries.Dedup.edgeJaccardFrom(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id")))
     val ejacc = Seq(ejaccOnce(), ejaccOnce())
-    val kcore = Seq(timeOne("scaled_kcore_x20", () =>
+    def kcoreOnce() = timeOne("scaled_kcore_x20", () =>
       graft.queries.Dedup.kcoreFromPairs(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
-          .select("a_id", "b_id"), k = 3, rounds = 8)))
-    val coreness = Seq(timeOne("scaled_coreness_x20", () =>
+          .select("a_id", "b_id"), k = 3, rounds = 8))
+    val kcore = Seq(kcoreOnce(), kcoreOnce())
+    def corenessOnce() = timeOne("scaled_coreness_x20", () =>
       graft.queries.Dedup.corenessFromPairs(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
-          .select("a_id", "b_id"))))
-    val lpa = Seq(timeOne("scaled_lpa_x20", () =>
+          .select("a_id", "b_id")))
+    val coreness = Seq(corenessOnce(), corenessOnce())
+    def lpaOnce() = timeOne("scaled_lpa_x20", () =>
       graft.queries.Dedup.lpaFromPairs(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
-          .select("a_id", "b_id"))))
+          .select("a_id", "b_id")))
+    val lpa = Seq(lpaOnce(), lpaOnce())
     // DEEP-merge BPE regime, tracked per-round (previously the manual
     // bpewide probe only): 200 merges on the 100k-vocabulary workload-A
     // corpus — the wide-vocabulary regime a real tokenizer trains on,

@@ -288,6 +288,31 @@ object BenchProbe {
           .select("a_id", "b_id")
       } else SparkEntry.queries(name)(spark, sfDir)
 
+    if (name == "relax8") {
+      // deep-rounds relaxation probe (r14 verdict #6 closure): bfs /
+      // harmonic / lpa at rounds=8 with checkpointEvery=4 over the x20
+      // pair graph — the rounds dial grown past the gate's 4 with the
+      // lineage cut every 4 rounds (without it, round r's lazy plan
+      // nests all r-1 predecessors and re-analysis cost compounds).
+      // BfsSpec/LpaSpec pin that the checkpointed path is
+      // value-identical; this probe is the wall-clock/lineage evidence.
+      val p = Bench.prepareScaledDocs(spark, sfDir)
+      val pairs = graft.queries.Dedup.minhashPairsFrom(
+          spark.read.parquet(p), ordered = false)
+        .select("a_id", "b_id").localCheckpoint(true)
+      def time1(label: String)(mkDf: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        mkDf.write.mode("overwrite").format("noop").save()
+        println(f"[probe] relax8 $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      time1("bfs rounds=8 cp=4")(graft.queries.Dedup.bfsFromPairs(
+        pairs, graft.queries.Dedup.BFS_SEEDS, 8, 4))
+      time1("harmonic rounds=8 cp=4")(graft.queries.Dedup.harmonicFromPairs(
+        pairs, graft.queries.Dedup.BFS_SEEDS, 8, 4))
+      time1("lpa rounds=8 cp=4")(graft.queries.Dedup.lpaFromPairs(
+        pairs, 8, 4))
+      spark.stop(); return
+    }
     if (name == "scaledknng") {
       // x20 k-NN graph: times knnGraphFrom at 40k vectors AND asserts
       // the O(n^1.5) pair bound from the REALIZED cluster sizes — the

@@ -1593,17 +1593,38 @@ object Dedup extends QueryModule {
     *         seed; seeds themselves at dist 0
     */
   def bfsFromPairs(pairs0: DataFrame, seeds: Int = BFS_SEEDS,
-      rounds: Int = BFS_ROUNDS): DataFrame = {
+      rounds: Int = BFS_ROUNDS): DataFrame =
+    bfsFromPairs(pairs0, seeds, rounds, 0)
+
+  /** `checkpointEvery > 0` inserts an eager localCheckpoint of the
+    * state table every N rounds (releasing the previous one — the CC
+    * loop's block-manager discipline), so the rounds dial can grow
+    * past the default 4 without accumulating union/agg lineage that
+    * re-plans quadratically. The gate query keeps 0 (4 bounded rounds
+    * need no checkpoint and MUST stay job-free at plan time); the
+    * deep-rounds path is exercised by `BenchProbe relax8` and pinned
+    * value-identical in BfsSpec.
+    */
+  def bfsFromPairs(pairs0: DataFrame, seeds: Int,
+      rounds: Int, checkpointEvery: Int): DataFrame = {
     val edges = symmetrized(pairs0)
     var dist = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
       .select(col("id"), lit(0L).as("dist"))
-    (1 to rounds).foreach { _ =>
+    var distCp: DataFrame = null
+    (1 to rounds).foreach { r =>
       dist = edges
         .join(dist.select(col("id").as("dst"), col("dist")), "dst")
         .select(col("src").as("id"), (col("dist") + 1L).as("dist"))
         .union(dist)
         .groupBy("id").agg(min("dist").as("dist"))
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
+        val next = dist.localCheckpoint() // eager: safe to drop the old
+        if (distCp != null)
+          org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(distCp)
+        distCp = next
+        dist = next
+      }
     }
     dist.select(col("id").as("doc_id"), col("dist"))
       .orderBy("doc_id")
@@ -1622,13 +1643,22 @@ object Dedup extends QueryModule {
     * order-free and the unrolled oracle engine-identical.
     */
   def harmonicFromPairs(pairs0: DataFrame, seeds: Int = BFS_SEEDS,
-      rounds: Int = BFS_ROUNDS): DataFrame = {
+      rounds: Int = BFS_ROUNDS): DataFrame =
+    harmonicFromPairs(pairs0, seeds, rounds, 0)
+
+  /** `checkpointEvery` as in [[bfsFromPairs]] — the (seed, node, dist)
+    * state is seeds× larger, so deep rounds need the lineage cut even
+    * sooner here.
+    */
+  def harmonicFromPairs(pairs0: DataFrame, seeds: Int,
+      rounds: Int, checkpointEvery: Int): DataFrame = {
     val edges = symmetrized(pairs0)
     val seedIds = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
     var dist = seedIds.select(col("id").as("seed"), col("id"),
       lit(0L).as("dist"))
-    (1 to rounds).foreach { _ =>
+    var distCp: DataFrame = null
+    (1 to rounds).foreach { r =>
       dist = edges
         .join(dist.select(col("seed"), col("id").as("dst"), col("dist")),
           "dst")
@@ -1636,6 +1666,13 @@ object Dedup extends QueryModule {
           (col("dist") + 1L).as("dist"))
         .union(dist)
         .groupBy("seed", "id").agg(min("dist").as("dist"))
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
+        val next = dist.localCheckpoint()
+        if (distCp != null)
+          org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(distCp)
+        distCp = next
+        dist = next
+      }
     }
     dist.filter(col("dist") > 0)
       .groupBy(col("id").as("doc_id"))
@@ -1717,11 +1754,17 @@ object Dedup extends QueryModule {
     *
     * @return (doc_id, community) for every non-isolated node
     */
-  def lpaFromPairs(pairs0: DataFrame, rounds: Int = LPA_ROUNDS): DataFrame = {
+  def lpaFromPairs(pairs0: DataFrame, rounds: Int = LPA_ROUNDS): DataFrame =
+    lpaFromPairs(pairs0, rounds, 0)
+
+  /** `checkpointEvery` as in [[bfsFromPairs]]. */
+  def lpaFromPairs(pairs0: DataFrame, rounds: Int,
+      checkpointEvery: Int): DataFrame = {
     val edges = symmetrized(pairs0)
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
-    (1 to rounds).foreach { _ =>
+    var labCp: DataFrame = null
+    (1 to rounds).foreach { r =>
       lab = edges
         .join(lab.select(col("id").as("dst"), col("lab")), "dst")
         .groupBy(col("src"), col("lab"))
@@ -1729,6 +1772,13 @@ object Dedup extends QueryModule {
         .groupBy("src")
         .agg(max(struct(col("n"), (-col("lab")).as("neg"))).as("m"))
         .select(col("src").as("id"), (-col("m.neg")).as("lab"))
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
+        val next = lab.localCheckpoint()
+        if (labCp != null)
+          org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(labCp)
+        labCp = next
+        lab = next
+      }
     }
     // edges stays checkpointed until the caller consumes the (lazy)
     // result — the one frame this call retains, like PageRank's

@@ -26,7 +26,7 @@ object Io extends QueryModule {
   /** Exact integer cents of a 2-decimal money double (Relational's idiom). */
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
-  private def scratch(s: SparkSession, name: String): String = {
+  private[queries] def scratch(s: SparkSession, name: String): String = {
     // per-JVM scratch; safe under concurrent Verify/Bench processes
     s"target/io_scratch/${name}_${java.lang.ProcessHandle.current().pid()}"
   }
@@ -37,7 +37,7 @@ object Io extends QueryModule {
   // too, so switching sf dirs within one JVM cannot reuse stale data.
   private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def writeOnce(path: String, d: String)(write: => Unit): Unit = {
+  private[queries] def writeOnce(path: String, d: String)(write: => Unit): Unit = {
     val key = s"$path|$d"
     if (!written.contains(key)) synchronized {
       if (!written.contains(key)) { write; written.add(key) }

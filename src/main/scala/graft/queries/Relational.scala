@@ -1064,33 +1064,71 @@ object Relational extends QueryModule {
     //    a beats b iff price_a <= price_b AND qty_a >= qty_b with one
     //    strict. Shape: the heavy fact scan collapses to a per-part
     //    aggregate FIRST (distributed hash agg over |parts| — the
-    //    dimension-bounded set), then the frontier falls out of two
-    //    windows over that reduced set: max(qty) over strictly-cheaper
-    //    rows (RANGE .. 1 PRECEDING on integer cents = price < mine)
-    //    and max(qty) per price tie-group — no self-join, no O(n²)
-    //    dominance test. The global window sorts |parts| rows, never
-    //    fact rows; at a scale where even the part dimension outgrows
-    //    one partition, the same two-window frontier runs per grid
-    //    cell with per-cell maxima pruning cells first (classical
-    //    distributed skyline), but that is dimension-explosion
-    //    territory, not 100 TB of facts. ------------------------------
-    "q_skyline" -> ((s, d) => {
-      val per = li(s, d).groupBy("l_partkey")
+    //    dimension-bounded set), then the CLASSICAL DISTRIBUTED
+    //    SKYLINE (grid-cell decomposition) finds the frontier with no
+    //    global sort of the per-part frame (r14 verdict #5: the part
+    //    dimension itself is 100x at 100x):
+    //      1. cell = deterministic min/max range bucket of price_c
+    //         (monotone: every price in cell j < every price in cell
+    //         k > j, so "strictly cheaper" splits exactly into
+    //         earlier-cells + within-cell);
+    //      2. within-cell best-cheaper via a cell-PARTITIONED
+    //         RANGE-window (integer cents, .. 1 PRECEDING = price <
+    //         mine), tie-group max via a price-partitioned window;
+    //      3. cross-cell maxima ride the SKY_CELLS-row per-cell
+    //         aggregate (the only unpartitioned window input — bounded
+    //         by the constant grid, never by data), broadcast back;
+    //      4. rows with qty <= any cheaper cell's max are PRUNED
+    //         before the frontier windows (cells whose entire range is
+    //         dominated contribute zero window input). Correct because
+    //         a pruned row can neither be a frontier point (dominated
+    //         by definition) nor raise a survivor's best-cheaper/
+    //         tie-group max (its qty <= prev_best, which IS folded
+    //         in). Values identical to the one-window form — the
+    //         oracle keeps the global-window SQL. ----------------------
+    "q_skyline" -> ((s, d) =>
+      gridSkyline(li(s, d).groupBy("l_partkey")
         .agg(min(cents(col("l_extendedprice"))).as("price_c"),
-          sum("l_quantity").cast("long").as("qty"))
-      val wCheaper = Window.orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val wSame = Window.partitionBy("price_c")
-      per
-        .withColumn("best_cheaper", max("qty").over(wCheaper))
-        .withColumn("best_same", max("qty").over(wSame))
-        .filter((col("best_cheaper").isNull ||
-            col("best_cheaper") < col("qty")) &&
-          col("qty") === col("best_same"))
-        .select(col("l_partkey"), col("price_c"), col("qty"))
-        .orderBy("price_c", "l_partkey")
-    })
+          sum("l_quantity").cast("long").as("qty"))))
   )
+
+  /** Grid cells for q_skyline's distributed frontier — a CONSTANT, so
+    * the one unpartitioned window in the plan runs over exactly this
+    * many per-cell aggregate rows at any corpus size.
+    */
+  private val SKY_CELLS = 32
+
+  /** The grid-cell distributed pareto frontier over a prepared
+    * (l_partkey, price_c, qty) frame — see the q_skyline registry
+    * comment; SkylineSpec pins value-equality with both the brute
+    * dominance test and the one-window formulation.
+    */
+  def gridSkyline(per: DataFrame): DataFrame = {
+    val mm = per.agg(min("price_c").as("p_lo"), max("price_c").as("p_hi"))
+    val cells = per.crossJoin(broadcast(mm))
+      .withColumn("cell",
+        expr(s"((price_c - p_lo) * $SKY_CELLS) DIV (p_hi - p_lo + 1)"))
+    val cellMax = cells.groupBy("cell").agg(max("qty").as("cqty"))
+    val wPrevCells = Window.orderBy("cell")
+      .rangeBetween(Window.unboundedPreceding, -1) // SKY_CELLS rows
+    val prior = cellMax
+      .withColumn("prev_best", max("cqty").over(wPrevCells))
+      .select(col("cell"), col("prev_best"))
+    val wCheaper = Window.partitionBy("cell").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy("price_c")
+    cells.join(broadcast(prior), "cell")
+      .filter(col("prev_best").isNull || col("qty") > col("prev_best"))
+      .withColumn("best_cell", max("qty").over(wCheaper))
+      .withColumn("best_same", max("qty").over(wSame))
+      .withColumn("best_cheaper",
+        greatest(coalesce(col("best_cell"), lit(Long.MinValue)),
+          coalesce(col("prev_best"), lit(Long.MinValue))))
+      .filter(col("best_cheaper") < col("qty") &&
+        col("qty") === col("best_same"))
+      .select(col("l_partkey"), col("price_c"), col("qty"))
+      .orderBy("price_c", "l_partkey")
+  }
 
   /** a-priori basket-size cap for [[q_copurchase_pairs]]: pair fan-out is
     * O(k^2) per basket, so baskets beyond this never enter the self-join.

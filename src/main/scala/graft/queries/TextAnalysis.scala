@@ -853,6 +853,10 @@ object TextAnalysis extends QueryModule {
     //    agree bit-for-bit; one tokenize pass, map-only -------------------
     "txt_gopher" -> ((s, d) => gopherFrom(Tables.documents(s, d))),
 
+    // -- Naive-Bayes quality classifier (see nbQualityFrom): the
+    //    model-based filter pass over Gopher weak labels ---------------
+    "txt_nb_quality" -> ((s, d) => nbQualityFrom(Tables.documents(s, d))),
+
     // -- bigram-LM document scoring (the CCNet/KenLM-shaped quality
     //    signal): train a maximum-likelihood bigram model on the corpus
     //    itself, score each document by its average per-bigram negative
@@ -1530,6 +1534,69 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality classifier — the closed-form Naive-Bayes
+    * filter pass (the DCLM/CCNet-style "train a classifier on weak
+    * labels, score everything" step that completes the curation family
+    * beyond rule gates): [[gopherFrom]]'s pass/fail gate provides the
+    * weak labels, per-class token counts give Laplace-smoothed
+    * log-likelihood ratios, and every document scores in one
+    * tf·llr sum. All integer after the one per-TERM rounding:
+    *
+    *   llr(w)  = round(1e6·(lnDet((c_w,pos+1)·(T_neg+V))
+    *                      − lnDet((c_w,neg+1)·(T_pos+V))))
+    *   score_d = prior_mu + Σ_w tf_dw · llr(w),
+    *   prior_mu = round(1e6·(lnDet(N_pos+1) − lnDet(N_neg+1)))
+    *
+    * lnDet is [[graft.functions.DetMath]] (bit-identical across
+    * engines); ln arguments are exact integer-valued doubles, and the
+    * single-fraction products stay below 2^53 to ~10^9-token margins
+    * (the PMI argument — past that, split into four lnDet terms).
+    *
+    * Scale shape: training is a token-level hash agg + one |vocab|
+    * agg (corpus-sublinear); class/prior totals attach as broadcast
+    * 1-row aggs (no plan-time count — the bm25 discipline); scoring
+    * is the tfidf join shape (tf ⋈ llr on w, then per-doc re-agg).
+    * Self-scoring on the training corpus is the published bootstrap
+    * shape: the model generalizes the rule gate smoothly instead of
+    * reproducing it (NbQualitySpec pins exact scores on a seeded
+    * corpus against an out-of-band pure-Scala computation).
+    */
+  def nbQualityFrom(docs: DataFrame): DataFrame = {
+    val lab = gopherFrom(docs).select(col("doc_id"), col("gopher_pass"))
+    val tf = docs.select(col("doc_id"), graft.functions.TokenizeExplode
+        .tokenize(docs.sparkSession, lower(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val byc = tf.join(lab, "doc_id")
+      .groupBy("w")
+      .agg(sum(when(col("gopher_pass"), col("tf")).otherwise(0L)).as("cp"),
+        sum(when(col("gopher_pass"), lit(0L)).otherwise(col("tf"))).as("cn"))
+    val tot = byc.agg(sum("cp").as("tp"), sum("cn").as("tn"),
+      count(lit(1)).as("v"))
+    def lnMu(a: Column, b: Column): Column =
+      round((graft.functions.DetMath.lnColumn(a.cast("double"))
+        - graft.functions.DetMath.lnColumn(b.cast("double"))) * 1e6)
+        .cast("long")
+    val prior = lab.agg(
+        (sum(when(col("gopher_pass"), 1L).otherwise(0L)) + 1).as("np1"),
+        (sum(when(col("gopher_pass"), 0L).otherwise(1L)) + 1).as("nn1"))
+      .select(lnMu(col("np1"), col("nn1")).as("prior_mu"))
+    val llr = byc.crossJoin(broadcast(tot))
+      .select(col("w"),
+        lnMu((col("cp") + 1) * (col("tn") + col("v")),
+          (col("cn") + 1) * (col("tp") + col("v"))).as("llr_mu"))
+    tf.join(llr, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf") * col("llr_mu")).as("tok_mu"))
+      .crossJoin(broadcast(prior))
+      .join(lab, "doc_id")
+      .select(col("doc_id"), col("n_terms"),
+        (col("prior_mu") + col("tok_mu")).as("nb_micronat"),
+        (col("prior_mu") + col("tok_mu") > 0).as("nb_pass"),
+        col("gopher_pass"))
+      .orderBy("doc_id")
+  }
+
   private val sqlToks =
     "list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), t -> t <> '')"
   private val sqlToksLower =
@@ -2123,6 +2190,67 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id, n_bigrams, nll_micronat, avg_micronat
       FROM $sqlLmScores
       ORDER BY doc_id""",
+
+    // weak labels from the gopher gate; two lnDet staging chains (one
+    // for the per-term llr, one for the 1-row prior), then all-integer
+    // scoring — the exact mirror of nbQualityFrom
+    "txt_nb_quality" -> {
+      val dm = graft.functions.DetMath
+      s"""
+      WITH lab AS (SELECT doc_id, gopher_pass FROM $sqlGopherFlags),
+           tf AS (SELECT doc_id, w, count(1)::BIGINT AS tf
+                  FROM (SELECT doc_id, unnest($sqlToksLower) AS w
+                        FROM documents)
+                  GROUP BY doc_id, w),
+           byc AS (SELECT w,
+                          sum(CASE WHEN gopher_pass THEN tf ELSE 0 END)::BIGINT AS cp,
+                          sum(CASE WHEN gopher_pass THEN 0 ELSE tf END)::BIGINT AS cn
+                   FROM tf JOIN lab USING (doc_id)
+                   GROUP BY w),
+           tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+                          count(1)::BIGINT AS v
+                   FROM byc),
+           pr0 AS (SELECT (sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) + 1)::DOUBLE AS xa,
+                          (sum(CASE WHEN gopher_pass THEN 0 ELSE 1 END) + 1)::DOUBLE AS xb
+                   FROM lab),
+           pr1 AS (SELECT *, ${dm.eSql("xa")} AS ea, ${dm.eSql("xb")} AS eb
+                   FROM pr0),
+           pr2 AS (SELECT *, ${dm.ySql("xa", "ea")} AS ya,
+                          ${dm.ySql("xb", "eb")} AS yb FROM pr1),
+           pr3 AS (SELECT *, ${dm.zSql("ya")} AS za, ${dm.zSql("yb")} AS zb
+                   FROM pr2),
+           pr4 AS (SELECT *, (za * za) AS za2, (zb * zb) AS zb2 FROM pr3),
+           prior AS (SELECT round((${dm.lnSqlFromParts("ea", "za", "za2")}
+                       - ${dm.lnSqlFromParts("eb", "zb", "zb2")})
+                       * 1e6)::BIGINT AS prior_mu
+                     FROM pr4),
+           l0 AS (SELECT w, ((cp + 1) * (tn + v))::DOUBLE AS xa,
+                         ((cn + 1) * (tp + v))::DOUBLE AS xb
+                  FROM byc, tot),
+           l1 AS (SELECT *, ${dm.eSql("xa")} AS ea, ${dm.eSql("xb")} AS eb
+                  FROM l0),
+           l2 AS (SELECT *, ${dm.ySql("xa", "ea")} AS ya,
+                         ${dm.ySql("xb", "eb")} AS yb FROM l1),
+           l3 AS (SELECT *, ${dm.zSql("ya")} AS za, ${dm.zSql("yb")} AS zb
+                  FROM l2),
+           l4 AS (SELECT *, (za * za) AS za2, (zb * zb) AS zb2 FROM l3),
+           llr AS (SELECT w, round((${dm.lnSqlFromParts("ea", "za", "za2")}
+                     - ${dm.lnSqlFromParts("eb", "zb", "zb2")})
+                     * 1e6)::BIGINT AS llr_mu
+                   FROM l4),
+           sc AS (SELECT doc_id, count(1)::BIGINT AS n_terms,
+                         sum(tf * llr_mu)::BIGINT AS tok_mu
+                  FROM tf JOIN llr USING (w)
+                  GROUP BY doc_id)
+      SELECT s.doc_id, s.n_terms,
+             (p.prior_mu + s.tok_mu)::BIGINT AS nb_micronat,
+             (p.prior_mu + s.tok_mu > 0) AS nb_pass,
+             l.gopher_pass
+      FROM sc s
+      CROSS JOIN prior p
+      JOIN lab l ON s.doc_id = l.doc_id
+      ORDER BY s.doc_id"""
+    },
 
     // the observe() counters, recomputed as plain aggregates: the
     // Spark side reports what its accumulators saw in one pass; the

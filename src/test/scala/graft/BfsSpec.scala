@@ -60,4 +60,25 @@ class BfsSpec extends AnyFunSuite {
           s"seed=$seed edges=$edges")
     }
   }
+
+  test("deep rounds with per-round checkpoints are value-identical") {
+    import spark.implicits._
+    // rounds=8 with the lineage cut every 2 rounds (two checkpoint
+    // cycles, incl. a release of the first) vs the plain lazy chain —
+    // the deep-rounds path relax8 times at x20, pinned bit-equal here;
+    // also lpa, whose argmax state follows the same discipline
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(40)((rng.nextLong(16), rng.nextLong(16)))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("a_id", "b_id")
+    val plainBfs = Dedup.bfsFromPairs(df, 3, 8, 0).collect().toSeq
+    val cpBfs = Dedup.bfsFromPairs(df, 3, 8, 2).collect().toSeq
+    assert(cpBfs == plainBfs)
+    val plainLpa = Dedup.lpaFromPairs(df, 8, 0).collect().toSeq
+    val cpLpa = Dedup.lpaFromPairs(df, 8, 2).collect().toSeq
+    assert(cpLpa == plainLpa)
+    val plainH = Dedup.harmonicFromPairs(df, 3, 8, 0).collect().toSeq
+    val cpH = Dedup.harmonicFromPairs(df, 3, 8, 2).collect().toSeq
+    assert(cpH == plainH)
+  }
 }
