@@ -115,8 +115,11 @@ object Bench {
       "rows); cost is one corpus scan, tracked by sim_brute_topk " +
       "(filtered_topk is the same scan with a label equi-key that only " +
       "SHRINKS the pair work; mmr_rerank adds only constant-size " +
-      "shortlist rounds on top of the identical scan)" -> Seq(
-      "sim_range_search", "sim_filtered_topk", "sim_mmr_rerank"),
+      "shortlist rounds on top of the identical scan; ivf_recall runs " +
+      "the ivf + brute twins both already timed, joined on a " +
+      "queries-x-k frame)" -> Seq(
+      "sim_range_search", "sim_filtered_topk", "sim_mmr_rerank",
+      "sim_ivf_recall"),
     "cap-parity probe on a 40-edge synthetic star+clique graph: exists " +
       "to exercise edgeJaccardFrom's capped path against the oracle " +
       "mirror every round; the operator's cost is timed at 20x by " +
@@ -136,7 +139,7 @@ object Bench {
       "ev_forecast_eval",
       "ev_retention", "ev_session_window", "ev_session_dynamic",
       "ev_topk_users", "ev_tumbling",
-      "ev_typed_gaps", "ev_user_stats"),
+      "ev_typed_gaps", "ev_user_stats", "ev_cohort_ltv"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +
       "scaled_stream_{window,session,chain,tws}_x20; these replay 100k " +
       "events and track replay-scratch scan cost (enrich is stateless " +

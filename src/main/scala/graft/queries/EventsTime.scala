@@ -1129,6 +1129,38 @@ object EventsTime extends QueryModule {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // -- cohort LTV curves: cumulative purchase revenue per (first-
+    //    activity-week cohort, age week) — the revenue-side companion
+    //    of ev_retention (presence) and ev_rfm (point-in-time value):
+    //    which acquisition cohorts pay back, and how fast. Shape: the
+    //    cohort map is one per-user agg; revenue cells are one hash agg
+    //    over purchases joined to it; the cumulative LTV window is
+    //    PARTITIONED BY cohort and ordered by age — frames are
+    //    |weeks|-sized per cohort, never user- or event-scale. Integer
+    //    cents + DIV throughout.
+    "ev_cohort_ltv" -> ((s, d) => {
+      val WEEK_US = 604800000000L
+      val first = ev(s, d).select(col("user_id"), us.as("us"))
+        .groupBy("user_id")
+        .agg(expr(s"min(us) div $WEEK_US").as("cohort_wk"))
+      val size = first.groupBy("cohort_wk").agg(count(lit(1)).as("n_users"))
+      val cell = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("p_us"), valE2.as("cents"))
+        .join(first, "user_id")
+        .groupBy(col("cohort_wk"),
+          (expr(s"p_us div $WEEK_US") - col("cohort_wk")).as("age_wk"))
+        .agg(sum("cents").as("rev_cents"),
+          countDistinct("user_id").as("n_buyers"))
+      val wC = Window.partitionBy("cohort_wk").orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.join(size, "cohort_wk")
+        .withColumn("cum_cents", sum("rev_cents").over(wC))
+        .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+          col("n_buyers"), col("rev_cents"), col("cum_cents"),
+          expr("cum_cents DIV n_users").as("ltv_cents"))
+        .orderBy("cohort_wk", "age_wk")
+    }),
+
     // -- pivot: event_type counts per day (conditional aggregation) -------
     "ev_pivot" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -1963,6 +1995,31 @@ object EventsTime extends QueryModule {
       WHERE d.day - c.d0 <= 7
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+
+    // cohort = first-activity week; cumulative window partitioned by
+    // cohort (|weeks|-sized frames); all arithmetic integer
+    "ev_cohort_ltv" -> """
+      WITH f AS (SELECT user_id,
+                        (min(epoch_us(ts)) // 604800000000)::BIGINT AS cohort_wk
+                 FROM events GROUP BY user_id),
+           sz AS (SELECT cohort_wk, count(1) AS n_users
+                  FROM f GROUP BY cohort_wk),
+           cell AS (SELECT f.cohort_wk,
+                           ((epoch_us(e.ts) // 604800000000)
+                             - f.cohort_wk)::BIGINT AS age_wk,
+                           sum(round(e.value * 100)::BIGINT)::BIGINT AS rev_cents,
+                           count(DISTINCT e.user_id) AS n_buyers
+                    FROM events e JOIN f ON e.user_id = f.user_id
+                    WHERE e.event_type = 'purchase'
+                    GROUP BY 1, 2),
+           cum AS (SELECT *, sum(rev_cents) OVER (PARTITION BY cohort_wk
+                     ORDER BY age_wk ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)::BIGINT AS cum_cents
+                   FROM cell)
+      SELECT c.cohort_wk, c.age_wk, s.n_users, c.n_buyers, c.rev_cents,
+             c.cum_cents, (c.cum_cents // s.n_users)::BIGINT AS ltv_cents
+      FROM cum c JOIN sz s USING (cohort_wk)
+      ORDER BY cohort_wk, age_wk""",
 
     "ev_interval_join" -> s"""
       WITH e AS (SELECT user_id, event_id, us FROM

@@ -670,6 +670,26 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
     }),
 
+    // -- IVF recall@k as a GATED METRIC (the dedup_lsh_recall pattern
+    //    applied to the ANN surface): the approximate top-k is scored
+    //    against the exact brute-force top-k INSIDE the engine, and the
+    //    one-row metric is oracle-value-checked every round — a probing
+    //    or assignment regression breaks the driver compare, not just a
+    //    local spec. AnnRecallSpec pins the floor; this row makes the
+    //    number part of the correctness artifact.
+    "sim_ivf_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val approx = ivfTopkFrom(s, e).select(col("q_id"), col("vec_id"))
+      val exact = bruteTopkFrom(s, e, topK = IVFK)
+        .select(col("q_id"), col("vec_id"))
+      val hit = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(hit))
+        .select(col("n_true"), col("n_hit"),
+          expr("(1000 * n_hit) DIV n_true").as("recall_mille"))
+    }),
+
     // -- persisted PQ codes + codebooks, served via ADC --------------------
     //    Same build-once/probe-many contract for the compressed index:
     //    training (pqIndex — the expensive Lloyd rounds) runs only
@@ -1167,6 +1187,28 @@ object Similarity extends QueryModule {
     // the persisted-index serve path is bit-equal to the inline build
     // (IndexPersistSpec), so the SAME oracle gates it
     "sim_index_persist" -> ivfTopkSql,
+
+    // approximate (ivf chain) vs exact (brute chain over the same e/q
+    // CTEs) top-k overlap, reduced to the one-row integer metric
+    "sim_ivf_recall" -> s"""
+      WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "")},
+           bscored AS (
+             SELECT q.q_id, e.vec_id,
+                    ${sqlCos.format("q.q_v", "e.v")} AS icos_e6
+             FROM e CROSS JOIN q
+             WHERE e.vec_id <> q.q_id),
+           branked AS (
+             SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY icos_e6 DESC, vec_id) AS rk
+             FROM bscored),
+           a AS (SELECT q_id, vec_id FROM ranked WHERE rk <= $IVFK),
+           x AS (SELECT q_id, vec_id FROM branked WHERE rk <= $IVFK),
+           h AS (SELECT count(1) AS n_hit FROM a JOIN x USING (q_id, vec_id)),
+           tt AS (SELECT count(1) AS n_true FROM x)
+      SELECT tt.n_true, h.n_hit,
+             ((1000 * h.n_hit) // tt.n_true)::BIGINT AS recall_mille
+      FROM tt, h""",
 
     "sim_pq_topk" -> pqTopkSql,
     "sim_pq_persist" -> pqTopkSql

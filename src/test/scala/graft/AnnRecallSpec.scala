@@ -30,6 +30,22 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.5, s"IVF recall@5 = $r")
   }
 
+  test("sim_ivf_recall metric row agrees with the spec's own recall") {
+    // the GATED metric (oracle-value-checked each round) must be the
+    // same number this spec computes out-of-band, and above the floor
+    val exact = byQuery("sim_brute_topk", 5)
+    val ivf = byQuery("sim_ivf_topk", 5)
+    val row = SparkEntry.queries("sim_ivf_recall")(spark, sf).collect()(0)
+    val (nTrue, nHit, mille) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val expectHit = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).count(truth.contains) }.sum
+    assert(nTrue == exact.values.map(_.size).sum.toLong)
+    assert(nHit == expectHit.toLong, s"metric hit=$nHit spec=$expectHit")
+    assert(mille == 1000L * nHit / nTrue)
+    assert(mille >= 500, s"IVF recall@5 fell to $mille per-mille")
+  }
+
   test("LSH buckets recover a useful fraction of exact top-5") {
     val exact = byQuery("sim_brute_topk", 5)
     val lsh = byQuery("sim_lsh_topk", 5)
