@@ -102,7 +102,7 @@ object Bench {
       "dedup_semantic", "dedup_simhash_pairs", "dedup_stream_probe",
       "dedup_substrings", "dedup_url_canonical", "dedup_weighted_jaccard",
       "dedup_winnow_clusters", "dedup_winnow_pairs", "dedup_wminhash_pairs",
-      "dedup_lsh_recall",
+      "dedup_lsh_recall", "pipe_dedup_rate_curve",
       "graph_triangles", "sim_knn_graph", "sim_pq_topk", "sim_sparse_pairs"),
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +
@@ -139,7 +139,7 @@ object Bench {
       "ev_forecast_eval",
       "ev_retention", "ev_session_window", "ev_session_dynamic",
       "ev_topk_users", "ev_tumbling",
-      "ev_typed_gaps", "ev_user_stats", "ev_cohort_ltv"),
+      "ev_typed_gaps", "ev_user_stats", "ev_cohort_ltv", "ev_wau"),
     "gate-scale streaming twins: the state-store path is timed at 20x by " +
       "scaled_stream_{window,session,chain,tws}_x20; these replay 100k " +
       "events and track replay-scratch scan cost (enrich is stateless " +

@@ -2059,6 +2059,31 @@ object Dedup extends QueryModule {
     "dedup_minhash_pairs" -> ((s, d) =>
       minhashPairsFrom(Tables.documents(s, d))),
 
+    // -- dedup threshold TUNING CURVE: the artifact a pipeline owner
+    //    actually reads before picking tau — for every threshold
+    //    tau/10 in [0.5, 1.0], how many candidate pairs survive and
+    //    what fraction of the corpus the min-id keep rule would drop.
+    //    ONE pass over the pair frame: each pair explodes to the <= 6
+    //    thresholds it satisfies (bounded fan-out), then a per-tau
+    //    hash agg; corpus size attaches as a broadcast 1-row agg. The
+    //    drop rate is monotone in tau by construction, which the
+    //    oracle compare re-proves value-for-value every round.
+    "pipe_dedup_rate_curve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      minhashPairsFrom(docs, ordered = false)
+        .select(col("b_id"),
+          explode(sequence(lit(5L),
+            floor(col("est_jaccard") * 10).cast("long"))).as("tau_deci"))
+        .groupBy("tau_deci")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("b_id").as("n_docs_dropped"))
+        .crossJoin(broadcast(nd))
+        .select(col("tau_deci"), col("n_pairs"), col("n_docs_dropped"),
+          expr("(1000 * n_docs_dropped) DIV n_docs").as("drop_per_mille"))
+        .orderBy("tau_deci")
+    }),
+
     // -- MinHash containment: asymmetric overlap per candidate pair ------
     "dedup_containment" -> ((s, d) =>
       containmentPairsFrom(Tables.documents(s, d))),
@@ -2782,6 +2807,24 @@ object Dedup extends QueryModule {
       ORDER BY doc_id""",
 
     "dedup_minhash_pairs" -> minhashPairsSql(ordered = true),
+
+    // the pair statement embeds as a CTE'd derived table (the
+    // sqlGopherFlags pattern); floor(est*10) is exact on both engines
+    // (est = m/16 is a dyadic rational)
+    "pipe_dedup_rate_curve" -> s"""
+      WITH curve AS (
+             SELECT unnest(range(5, floor(p.est_jaccard * 10)::BIGINT + 1))
+                      AS tau_deci,
+                    p.b_id
+             FROM (${minhashPairsSql(ordered = false)}) p),
+           n AS (SELECT count(1) AS n_docs FROM documents)
+      SELECT c.tau_deci, count(1) AS n_pairs,
+             count(DISTINCT c.b_id) AS n_docs_dropped,
+             ((1000 * count(DISTINCT c.b_id)) // n.n_docs)::BIGINT
+               AS drop_per_mille
+      FROM curve c, n
+      GROUP BY c.tau_deci, n.n_docs
+      ORDER BY tau_deci""",
 
     "dedup_containment" -> s"""
       WITH $sqlSigCtes,

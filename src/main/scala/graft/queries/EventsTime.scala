@@ -1129,6 +1129,34 @@ object EventsTime extends QueryModule {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // -- rolling active users: DAU / trailing-7-day WAU / stickiness ------
+    //    The product-analytics staple, built WITHOUT a sliding window
+    //    over events: distinct (user, day) first (one hash agg), then
+    //    each active day contributes to the <= 7 window-end days it
+    //    falls in (bounded explode), distinct again, and two hash
+    //    aggs. No WindowExec anywhere; every frame is user-day-scale
+    //    or smaller. Stickiness = DAU/WAU in integer per-mille —
+    //    the "how habitual is usage" dial.
+    "ev_wau" -> ((s, d) => {
+      val DAY_US = 86400000000L
+      val ud = ev(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DAY_US").as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("w_day"))
+        .select(col("user_id"), col("w_day").as("day"))
+        .distinct()
+        .join(days, "day") // only observed days report a window
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(1000 * dau) DIV wau").as("stickiness_mille"))
+        .orderBy("day")
+    }),
+
     // -- cohort LTV curves: cumulative purchase revenue per (first-
     //    activity-week cohort, age week) — the revenue-side companion
     //    of ev_retention (presence) and ev_rfm (point-in-time value):
@@ -1995,6 +2023,25 @@ object EventsTime extends QueryModule {
       WHERE d.day - c.d0 <= 7
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+
+    // distinct user-days -> bounded 7-day contribution explode ->
+    // distinct -> per-day aggs; no window on either engine
+    "ev_wau" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+                         (epoch_us(ts) // 86400000000)::BIGINT AS day
+                  FROM events),
+           days AS (SELECT DISTINCT day FROM ud),
+           dau AS (SELECT day, count(1) AS dau FROM ud GROUP BY day),
+           w AS (SELECT DISTINCT u.user_id, (u.day + o.o)::BIGINT AS day
+                 FROM ud u
+                 CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o),
+           wau AS (SELECT w.day, count(1) AS wau
+                   FROM w JOIN days USING (day)
+                   GROUP BY w.day)
+      SELECT d.day, d.dau, wau.wau,
+             ((1000 * d.dau) // wau.wau)::BIGINT AS stickiness_mille
+      FROM dau d JOIN wau USING (day)
+      ORDER BY day""",
 
     // cohort = first-activity week; cumulative window partitioned by
     // cohort (|weeks|-sized frames); all arithmetic integer
