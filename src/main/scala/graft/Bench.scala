@@ -177,7 +177,7 @@ object Bench {
       "list" -> Seq(
       "q_cube", "q_date_agg", "q_distinct_agg", "q_histogram",
       "q_json_agg", "q_minmax_by", "q_misc_aggs", "q_regr_stats",
-      "q_skyline", "q_bitwise_agg"),
+      "q_skyline", "q_bitwise_agg", "q_grouping_id"),
     "join variants of timed q3_topk_join / q5_multijoin / q_outer_join / " +
       "io_bucketed_join: same shuffle/broadcast shapes" -> Seq(
       "q_anti_join", "q_dpp", "q_salted_join", "q_semi_join"),
@@ -201,7 +201,8 @@ object Bench {
       "txt_quality / txt_winnow / txt_lm_score / txt_entropy / " +
       "txt_gopher: same fused-generator scan shape; BPE is timed by the " +
       "scaled_bpe rows" -> Seq(
-      "txt_bigrams", "txt_bpe_merges", "txt_dup_ngrams", "txt_fingerprint",
+      "txt_bigrams", "txt_bpe_merges", "txt_code_detect", "txt_dup_ngrams",
+      "txt_fingerprint",
       "txt_heavy_hitters", "txt_lang_id", "txt_length_hist", "txt_pack",
       "txt_pmi", "txt_rake", "txt_redact", "txt_repetition",
       "txt_rolling_hash", "txt_token_bpe", "txt_token_estimate",

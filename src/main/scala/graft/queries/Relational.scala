@@ -1086,6 +1086,23 @@ object Relational extends QueryModule {
     //         tie-group max (its qty <= prev_best, which IS folded
     //         in). Values identical to the one-window form — the
     //         oracle keeps the global-window SQL. ----------------------
+    // -- grouping_id()/grouping() over CUBE: the level indicator that
+    //    lets one cube result serve per-level consumers (which rows
+    //    are subtotals vs grand totals) — bitmask semantics identical
+    //    in Spark and DuckDB (last grouping column = LSB), so the gid
+    //    itself is part of the value compare --------------------------
+    "q_grouping_id" -> ((s, d) =>
+      li(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("g_rf"), col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     "q_skyline" -> ((s, d) =>
       gridSkyline(li(s, d).groupBy("l_partkey")
         .agg(min(cents(col("l_extendedprice"))).as("price_c"),
@@ -1164,6 +1181,17 @@ object Relational extends QueryModule {
       FROM lineitem
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    // GROUPING(a, b) bitmask: last column = LSB on both engines
+    "q_grouping_id" -> """
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+             GROUPING(l_returnflag)::BIGINT AS g_rf,
+             count(1) AS n,
+             sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     // DuckDB's ^ is power, so XOR spells xor() here
     "q_bitwise_agg" -> """

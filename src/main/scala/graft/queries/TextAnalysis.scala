@@ -857,6 +857,39 @@ object TextAnalysis extends QueryModule {
     //    model-based filter pass over Gopher weak labels ---------------
     "txt_nb_quality" -> ((s, d) => nbQualityFrom(Tables.documents(s, d))),
 
+    // -- code-vs-prose detection: symbol/digit density classifier --------
+    //    The curation signal that routes code OUT of a prose corpus
+    //    (or into a code-specific mix weight): per-doc counts of
+    //    code-shaped characters ({}[]();=<>... ) and digits, density
+    //    in integer per-mille, threshold rule. Deterministic code
+    //    fragments are injected per doc_id (the pii_scan discipline —
+    //    this synthetic corpus has no code of its own), so whether a
+    //    doc crosses the density threshold is EMERGENT arithmetic
+    //    (fragment symbols vs the doc's own length), not a planted
+    //    flag. One scan, two codegen'd regexp_replace strips, all
+    //    integer — per-row regex cost rides the same WholeStageCodegen
+    //    path the PII scan times.
+    "txt_code_detect" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" if (x < y) { return arr[i]; }")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" for i in range(10): total += vals[i]")).otherwise(lit("")))
+      val symPat = "[{}\\[\\]();=<>+*/&|#:]"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(aug).cast("long").as("n_chars"),
+          (length(aug) - length(regexp_replace(aug, symPat, "")))
+            .cast("long").as("sym_chars"),
+          (length(aug) - length(regexp_replace(aug, "[0-9]", "")))
+            .cast("long").as("digit_chars"))
+        .select(col("doc_id"), col("n_chars"), col("sym_chars"),
+          col("digit_chars"),
+          expr("(1000 * sym_chars) DIV n_chars").as("sym_mille"),
+          (expr("(1000 * sym_chars) DIV n_chars") >= 10).as("is_code"))
+        .orderBy("doc_id")
+    }),
+
     // -- bigram-LM document scoring (the CCNet/KenLM-shaped quality
     //    signal): train a maximum-likelihood bigram model on the corpus
     //    itself, score each document by its average per-bigram negative
@@ -2190,6 +2223,29 @@ object TextAnalysis extends QueryModule {
       SELECT doc_id, n_bigrams, nll_micronat, avg_micronat
       FROM $sqlLmScores
       ORDER BY doc_id""",
+
+    // injected fragments mirrored verbatim; DuckDB regexp_replace
+    // needs the 'g' flag for the replace-all Spark does by default
+    "txt_code_detect" -> """
+      WITH a AS (SELECT doc_id,
+                   text || (CASE WHEN doc_id % 5 = 0
+                              THEN ' if (x < y) { return arr[i]; }'
+                              ELSE '' END)
+                        || (CASE WHEN doc_id % 7 = 0
+                              THEN ' for i in range(10): total += vals[i]'
+                              ELSE '' END) AS t
+                 FROM documents),
+           m AS (SELECT doc_id, length(t)::BIGINT AS n_chars,
+                        (length(t) - length(regexp_replace(t,
+                          '[{}\[\]();=<>+*/&|#:]', '', 'g')))::BIGINT
+                          AS sym_chars,
+                        (length(t) - length(regexp_replace(t,
+                          '[0-9]', '', 'g')))::BIGINT AS digit_chars
+                 FROM a)
+      SELECT doc_id, n_chars, sym_chars, digit_chars,
+             ((1000 * sym_chars) // n_chars)::BIGINT AS sym_mille,
+             (((1000 * sym_chars) // n_chars) >= 10) AS is_code
+      FROM m ORDER BY doc_id""",
 
     // weak labels from the gopher gate; two lnDet staging chains (one
     // for the per-term llr, one for the 1-row prior), then all-integer
