@@ -299,20 +299,78 @@ object Bench {
     path
   }
 
+  /** Re-time the REFERENCE C BINARY on the CURRENT box over the same
+    * corpora the engine's headline rows read (r16, after the r15
+    * verdict's unexplained wc12m/skew/cc drift): BASELINE.md's numbers
+    * were measured on the 2026-08-12 survey host, and the host has
+    * since CHANGED (cpuinfo model 2.10 -> 2.60 GHz; measured r16: the
+    * C binary's memory-bound workload A runs 2.08x slower at 1 thread
+    * and 1.32x slower at 16 threads than BASELINE.md records, while
+    * the cache-resident workload B is unchanged). A per-round live C
+    * number makes the vs-baseline ratio apples-to-apples on whatever
+    * box the sweep actually ran on. Builds with the reference's own
+    * Makefile (timing an EXECUTION of the public reference — no code
+    * is copied); any failure degrades to NaN, never fails the sweep.
+    *
+    * @return (workload A min-of-3 at 16 threads,
+    *          workload B min-of-5 at 1 thread — BASELINE.md's configs)
+    */
+  private def timeRefC(aDir: String, bDir: String): (Double, Double) = try {
+    def exec(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectOutput(new java.io.File("/dev/null"))
+        .redirectErrorStream(false).start()
+      require(p.waitFor() == 0, s"${cmd.head} exited nonzero")
+    }
+    val build = new java.io.File("target/bench_scratch/refbuild")
+    val bin = new java.io.File(build, "mapred_woc")
+    if (!bin.exists()) {
+      exec("rm", "-rf", build.getPath)
+      exec("cp", "-r", "/root/reference", build.getPath)
+      exec("make", "-C", build.getPath)
+    }
+    // the binary reads ONE file; the engine corpora are 32-part dirs —
+    // concatenate once (same bytes, part order is the deterministic
+    // part-file order both engines' readers enumerate)
+    def concat(dir: String, out: String): String = {
+      val f = new java.io.File(out)
+      if (!f.exists()) {
+        val os = new java.io.FileOutputStream(f)
+        try new java.io.File(dir).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .foreach(p => java.nio.file.Files.copy(p.toPath, os))
+        finally os.close()
+      }
+      out
+    }
+    val aF = concat(aDir, "target/bench_scratch/refA_concat.txt")
+    val bF = concat(bDir, "target/bench_scratch/refB_concat.txt")
+    def run1(file: String, threads: Int): Double = {
+      val t0 = System.nanoTime()
+      exec(bin.getAbsolutePath, file, threads.toString)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val a = (1 to 3).map(_ => run1(aF, 16)).min
+    val b = (1 to 5).map(_ => run1(bF, 1)).min
+    System.err.println(f"[bench] live C reference on this box: " +
+      f"A@16=$a%.3f s (BASELINE.md 0.67) B@1=$b%.3f s (BASELINE.md 0.108)")
+    (a, b)
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] C re-time skipped: ${e.getMessage}")
+      (Double.NaN, Double.NaN)
+  }
+
   /** Cache key component for scratch corpora derived from a testdata
     * table: file sizes + mtimes of the source parquet. The driver
     * REGENERATES /root/testdata between rounds (observed twice, with
     * changed encodings and duplicate structure) — a path keyed only by
     * SF dir would silently replay a stale corpus against new-testdata
-    * expectations.
+    * expectations. Shared with the queries-side writeOnce artifacts
+    * (sim_index_persist / sim_pq_persist key through it too).
     */
-  private def srcSig(sfDir: String, table: String): String = {
-    val src = new java.io.File(sfDir, s"$table.parquet")
-    val parts = (if (src.isDirectory)
-      Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
-    else Seq(src)).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-    java.lang.Long.toHexString(parts.mkString("|").hashCode.toLong & 0xffffffffL)
-  }
+  private def srcSig(sfDir: String, table: String): String =
+    graft.queries.Io.srcSig(sfDir, table)
 
   /** Scaled dedup corpus: documents x20 (even replicas exact copies,
     * odd replicas near-dups with one appended token) — at sf0.1 that's
@@ -617,6 +675,8 @@ object Bench {
       runOnce(graft.operators.WordCount.counts(five, col("value")))
       (System.nanoTime() - t0) / 1e9 / 5
     }.min
+    // the C reference re-timed on THIS box + THIS corpus (see timeRefC)
+    val (refCLiveA, refCLiveB) = timeRefC(refPath, refBPath)
 
     // Scaled workloads also run pre-sweep: they are the biggest
     // allocators, i.e. the entries most sensitive to accumulated heap
@@ -632,6 +692,17 @@ object Bench {
     val cc = (1 to 3).map(_ => timeOne("scaled_cc_x20", () =>
       graft.queries.Dedup.clustersFrom(
         spark.read.parquet(scaledPath), ordered = false)))
+    // Pair-graph density NEXT TO the timing (r15 verdict #1): the
+    // cc/minhash/cascade rows cost ~linearly in the EDGE count, and
+    // the driver regenerates the corpus between rounds — r15's
+    // scaled_cc_x20 2.3x move was unadjudicable because nothing in
+    // the artifact said whether the regenerated pair graph got denser.
+    // One untimed diagnostic pass; rides a tail "info" line.
+    val (ccStatDocs, ccStatEdges, ccStatHot) =
+      graft.queries.Dedup.pairGraphStats(spark.read.parquet(scaledPath))
+    System.err.println(s"[bench] scaled x20 pair graph: docs=$ccStatDocs " +
+      s"edges=$ccStatEdges hot_buckets_dropped=$ccStatHot " +
+      f"cc_reps=${cc.map(v => f"$v%.2f").mkString(",")}")
     // decontamination at x20: the shingle join against a 1-in-50
     // benchmark slice, 100k docs / ~20M shingles
     val contam = (1 to 3).map(_ => timeOne("scaled_contam_x20", () => {
@@ -937,6 +1008,9 @@ object Bench {
       "ref_wordcount_2m_skew" -> refBRuns.min,
       "ref_wordcount_2m_skew_median" -> median(refBRuns),
       "ref_wordcount_2m_skew_amortized" -> refBAmortized,
+      // the C binary itself, re-timed this sweep on this box/corpus
+      "ref_c_live_12m" -> refCLiveA,
+      "ref_c_live_2m_skew" -> refCLiveB,
       "scaled_minhash_x20" -> mh.min,
       "scaled_cc_x20" -> cc.min,
       "scaled_contam_x20" -> contam.min,
@@ -1002,17 +1076,23 @@ object Bench {
     // The full line above outgrew tail-capture windows once (r09:
     // "parsed": null) — so a SHORT summary line always comes LAST,
     // carrying the headline numbers a capped tail capture needs.
-    val summaryLine = f"""{"metric":"summary","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"ref_wordcount_12m":${jNum(refRuns.min)},"ref_wordcount_12m_cold":${jNum(coldRuns.min)},"ref_wordcount_2m_skew":${jNum(refBRuns.min)},"load_avg":$loadAvg%.2f,"sf":"$sfDir"}"""
+    val summaryLine = f"""{"metric":"summary","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"ref_wordcount_12m":${jNum(refRuns.min)},"ref_wordcount_12m_cold":${jNum(coldRuns.min)},"ref_wordcount_2m_skew":${jNum(refBRuns.min)},"ref_c_live_12m":${jNum(refCLiveA)},"ref_c_live_2m_skew":${jNum(refCLiveB)},"load_avg":$loadAvg%.2f,"sf":"$sfDir"}"""
     println(summaryLine)
-    // TAIL EMISSION ORDER (r13 verdict #1): the driver keeps only the
+    // TAIL EMISSION ORDER (r13 verdict #1, REVISED r16 after r15's
+    // artifact lost every tel/info line): the driver keeps only the
     // last ~2000 chars of output, so value must INCREASE toward the
-    // last line. r13's artifact proved the old order wrong — tel/info
-    // printed after the ranked per-query "q" lines ate the window and
-    // all three q parts were clipped, losing the round's headline
-    // numbers. New order: tel parts first (least valuable — adjudication
-    // context), then info (x100 refusal justification), then the q parts
-    // REVERSED (cheapest part first, so the most expensive rows land
-    // nearest the end), then the short summary as the very last line.
+    // last line. r13 lost the q parts (tel/info printed after them and
+    // ate the window); r15 lost tel/info the other way (three q parts
+    // plus ~900 chars of shutdown BlockManager WARNs pushed them out).
+    // New order: FULL tel parts EARLY (complete record for an uncapped
+    // reader), then the q parts REVERSED (cheapest part first, most
+    // expensive rows nearest the end), then ONE compact tel part for
+    // just the top-ranked rows, then the SHORT info lines (x100
+    // refusal justification, pair-graph density, per-rep headline
+    // times), then the summary as the very last line. The log level
+    // drops to ERROR first so the shutdown WARN spray cannot eat the
+    // window again.
+    spark.sparkContext.setLogLevel("ERROR")
     val ranked = results
       .filterNot { case (k, v) => k.endsWith("_wedges2") || v.isNaN }
       .sortBy(-_._2)
@@ -1030,6 +1110,28 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"tel","part":${i + 1},"of":${(telTail.size + 15) / 16},"rows":$rows}""")
     }
+    // Row-level perf history must survive the driver's capped tail
+    // capture (r10 AND r13 both lost it): the most expensive ~36 rows
+    // as SHORT "metric":"q" part lines (~12 rows, ~450 bytes each).
+    // Parts are numbered most-expensive-first (part 1 = top rows) but
+    // PRINTED in reverse so part 1 is the last line before the tail
+    // tel/info block.
+    val qParts = ranked.grouped(12).zipWithIndex.map { case (grp, i) =>
+      val rows = grp.map { case (k, v) => "\"" + k + "\":" + jNum(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"q","part":${i + 1},"of":${(ranked.size + 11) / 12},"rows":$rows}"""
+    }.toSeq
+    qParts.reverse.foreach(println)
+    // Compact tel for just the top-ranked rows — ONE part, sized so it
+    // fits the capped window together with the info + summary lines
+    // (the full tel parts above are for uncapped readers).
+    val telTop = ranked.take(12)
+      .flatMap { case (k, _) => stageTel.get(k).map(k -> _) }
+    if (telTop.nonEmpty) {
+      val rows = telTop.map { case (k, (l, h)) => f""""$k":[$l%.2f,$h]""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"tel","part":1,"of":1,"top":true,"rows":$rows}""")
+    }
     // The x100 refusal's justification must survive the capped tail
     // window (r11/r12: the wedge count lived only in the clipped full
     // line, so the skip read as an unexplained hole): SHORT info lines
@@ -1037,17 +1139,11 @@ object Bench {
     // timed pass was skipped — plus the coreness-x100 evidence line.
     println(f"""{"metric":"info","scaled_tri_x100_wedges2":$wedges2x100,"budget":4000000000,"scaled_tri_x100_bound_sec":$triBoundSec%.3f,"skipped":$triX100skipped}""")
     corenessX100Info.foreach(println)
-    // Row-level perf history must survive the driver's capped tail
-    // capture (r10 AND r13 both lost it): the most expensive ~36 rows
-    // as SHORT "metric":"q" part lines (~12 rows, ~450 bytes each).
-    // Parts are numbered most-expensive-first (part 1 = top rows) but
-    // PRINTED in reverse so part 1 is the last line before the summary.
-    val qParts = ranked.grouped(12).zipWithIndex.map { case (grp, i) =>
-      val rows = grp.map { case (k, v) => "\"" + k + "\":" + jNum(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"q","part":${i + 1},"of":${(ranked.size + 11) / 12},"rows":$rows}"""
-    }.toSeq
-    qParts.reverse.foreach(println)
+    // Pair-graph density + per-rep times for the regeneration-sensitive
+    // rows (r15 verdict #1/#3/#5): the numbers that adjudicate a
+    // timing move as corpus-density vs plan-regression vs load.
+    println(s"""{"metric":"info","scaled_x20_docs":$ccStatDocs,"scaled_x20_edges":$ccStatEdges,"scaled_x20_hot_buckets":$ccStatHot,"scaled_cc_x20_reps":[${cc.map(jNum).mkString(",")}]}""")
+    println(s"""{"metric":"info","ref_wordcount_2m_skew_reps":[${refBRuns.map(jNum).mkString(",")}],"ref_wordcount_12m_reps":[${refRuns.map(jNum).mkString(",")}]}""")
     println(summaryLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -288,6 +288,20 @@ object BenchProbe {
           .select("a_id", "b_id")
       } else SparkEntry.queries(name)(spark, sfDir)
 
+    if (name == "ccstats") {
+      // Pair-graph density of the x20 scaled corpus (r15 verdict #1):
+      // docs / surviving est>=0.5 edges / guard-dropped hot buckets —
+      // the numbers that adjudicate a scaled_cc_x20 timing move as
+      // corpus density vs plan regression. Optional factor via reps
+      // arg (default 20).
+      val factor = if (args.length > 1) args(1).toInt else 20
+      val p = Bench.prepareScaledDocs(spark, sfDir, factor)
+      val (d, e, h) = graft.queries.Dedup.pairGraphStats(
+        spark.read.parquet(p))
+      println(s"[probe] ccstats x$factor: docs=$d edges=$e " +
+        s"hot_buckets_dropped=$h")
+      spark.stop(); return
+    }
     if (name == "relax8") {
       // deep-rounds relaxation probe (r14 verdict #6 closure): bfs /
       // harmonic / lpa at rounds=8 with checkpointEvery=4 over the x20

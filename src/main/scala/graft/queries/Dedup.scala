@@ -413,6 +413,16 @@ object Dedup extends QueryModule {
     */
   def ccFromPairs(docs: DataFrame, pairs: DataFrame,
       ordered: Boolean = true): DataFrame = {
+    // Phase telemetry behind an env flag (r15 verdict #1 adjudication):
+    // each localCheckpoint below is EAGER, so wall time between marks
+    // is the real cost of that phase. Zero overhead when unset.
+    val ccDiag = sys.env.get("SPARK_GRAFT_CC_DIAG").contains("1")
+    var diagT0 = System.nanoTime()
+    def mark(label: => String): Unit = if (ccDiag) {
+      val sec = (System.nanoTime() - diagT0) / 1e9 // before label's counts
+      System.err.println(f"[cc] $label: $sec%.3f s")
+      diagT0 = System.nanoTime()
+    }
     // label frames are <= |corpus| keys — broadcast them into the edge
     // scan when the corpus is within broadcast reach (size-gated, same
     // policy as the signature re-attach); the EDGE set, |pairs|-sized,
@@ -438,6 +448,7 @@ object Dedup extends QueryModule {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    mark(s"edges checkpoint${if (ccDiag) s" (${edges.count()} rows)" else ""}")
     // Round 1 collapsed into a join-free aggregation: with labels
     // initialized to ids, min neighbor LABEL == min neighbor ID, so the
     // heaviest round (every node active) is one groupBy over the edge
@@ -448,6 +459,7 @@ object Dedup extends QueryModule {
       .select(col("id"),
         least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
       .localCheckpoint()
+    mark("lab1 (round-1 min + checkpoint)")
     // CONTRACT, then solve (Kiveris et al.'s star-contraction family):
     // lab1 maps every node into its own component (itself or a direct
     // neighbor), so collapsing nodes onto their round-1 labels preserves
@@ -470,6 +482,7 @@ object Dedup extends QueryModule {
       .distinct()
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    mark(s"cEdges contraction${if (ccDiag) s" (${cEdges.count()} rows)" else ""}")
     // the full edge set is dead from here on — release it NOW, so the
     // loop runs with only the contracted remnant + one label frame
     // retained (vs pinning the |pairs|-sized frame for the whole loop)
@@ -532,6 +545,7 @@ object Dedup extends QueryModule {
       labels = next.select("id", "label")
       rounds += 1
     }
+    mark(s"loop ($rounds rounds)")
     // The cap exists to bound a pathological input (diameter > 50 means
     // chains of thousands of near-identical docs, not dedup cliques);
     // returning silently-unconverged labels would diverge from the
@@ -903,6 +917,25 @@ object Dedup extends QueryModule {
     */
   private def flatSigsOf(docs: DataFrame): DataFrame =
     DedupOps.minhashSignaturesFlat(docs, "doc_id", col("text"), 3, K)
+
+  /** Diagnostic pair-graph density stats for a corpus — (docs,
+    * surviving est>=0.5 edges, guard-dropped hot buckets). Bench emits
+    * these next to the `scaled_cc_x20` timing (r15 verdict #1): CC /
+    * minhash / cascade cost is linear-ish in the EDGE count, and the
+    * driver regenerates the corpus between rounds, so a timing without
+    * the edge count cannot distinguish "denser regenerated corpus"
+    * from a plan regression. Runs the signature pipeline once for the
+    * hot-bucket count and once inside the pair count — a one-shot
+    * diagnostic, not a gated query.
+    */
+  def pairGraphStats(docs: DataFrame,
+      maxBucket: Int = MINHASH_MAX_BUCKET): (Long, Long, Long) = {
+    val banded = flatBanded(flatSigsOf(docs), "doc_id")
+    val hot = banded.groupBy("bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).count()
+    val edges = minhashPairsFrom(docs, ordered = false, maxBucket).count()
+    (docs.count(), edges, hot)
+  }
 
   private def flatBandKey(b: Int): Column =
     xxhash64(lit(b), concat_ws("|",
@@ -1604,6 +1637,17 @@ object Dedup extends QueryModule {
     * need no checkpoint and MUST stay job-free at plan time); the
     * deep-rounds path is exercised by `BenchProbe relax8` and pinned
     * value-identical in BfsSpec.
+    *
+    * Lifetime note (r15 ADVICE): the LAST surviving checkpoint is
+    * deliberately NOT released here — the lazy result may still read
+    * it — and no release handle is returned, so each deep-rounds
+    * invocation pins one state-sized frame in the block manager for
+    * the session lifetime. Fine for the relax8 probe (session exits);
+    * if deep-rounds ever joins a long-lived sweep, materialize the
+    * result (the returned frame is a few lazy rounds on top of the
+    * last checkpoint — the final round never checkpoints) and then
+    * release that last checkpoint; the shape to add then is returning
+    * the checkpoint handle alongside the frame.
     */
   def bfsFromPairs(pairs0: DataFrame, seeds: Int,
       rounds: Int, checkpointEvery: Int): DataFrame = {
@@ -2062,7 +2106,16 @@ object Dedup extends QueryModule {
     // -- dedup threshold TUNING CURVE: the artifact a pipeline owner
     //    actually reads before picking tau — for every threshold
     //    tau/10 in [0.5, 1.0], how many candidate pairs survive and
-    //    what fraction of the corpus the min-id keep rule would drop.
+    //    what fraction of the corpus the PAIRWISE larger-id greedy
+    //    rule would drop (n_docs_dropped = docs that are the larger id
+    //    of >= 1 surviving pair). NOTE: this is the per-pair greedy
+    //    rule, which UNDERCOUNTS the cluster min-id rule — a doc can
+    //    be non-min in its component without being any pair's b_id
+    //    (component {1,5,9} with pairs (1,9),(5,9) only drops 9 here,
+    //    while the cluster rule also drops 5). The oracle mirrors the
+    //    same pairwise arithmetic, so the gate is sound; the cluster
+    //    rule's exact drop is clustersFrom (6 CC runs per curve would
+    //    be the cost of exactness).
     //    ONE pass over the pair frame: each pair explodes to the <= 6
     //    thresholds it satisfies (bounded fan-out), then a per-tau
     //    hash agg; corpus size attaches as a broadcast 1-row agg. The
@@ -2072,6 +2125,12 @@ object Dedup extends QueryModule {
       val docs = Tables.documents(s, d)
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       minhashPairsFrom(docs, ordered = false)
+        // Local invariant guard: minhashPairsFrom already filters
+        // est_jaccard >= 0.5 today, but the sequence(5, floor(est*10))
+        // below silently generates a DESCENDING range in Spark (while
+        // DuckDB's range() is empty) if a sub-0.5 pair ever slipped
+        // through — make the precondition explicit at the use site.
+        .filter(col("est_jaccard") >= 0.5)
         .select(col("b_id"),
           explode(sequence(lit(5L),
             floor(col("est_jaccard") * 10).cast("long"))).as("tau_deci"))
@@ -2810,13 +2869,19 @@ object Dedup extends QueryModule {
 
     // the pair statement embeds as a CTE'd derived table (the
     // sqlGopherFlags pattern); floor(est*10) is exact on both engines
-    // (est = m/16 is a dyadic rational)
+    // (est = m/16 is a dyadic rational). n_docs_dropped mirrors the
+    // engine's PAIRWISE larger-id greedy rule (count of distinct b_id
+    // over surviving pairs) — NOT the cluster min-id rule; see the
+    // queries-side comment. The explicit est >= 0.5 predicate mirrors
+    // the engine's local guard (Spark's sequence() would descend on a
+    // sub-0.5 pair where this range() is empty).
     "pipe_dedup_rate_curve" -> s"""
       WITH curve AS (
              SELECT unnest(range(5, floor(p.est_jaccard * 10)::BIGINT + 1))
                       AS tau_deci,
                     p.b_id
-             FROM (${minhashPairsSql(ordered = false)}) p),
+             FROM (${minhashPairsSql(ordered = false)}) p
+             WHERE p.est_jaccard >= 0.5),
            n AS (SELECT count(1) AS n_docs FROM documents)
       SELECT c.tau_deci, count(1) AS n_pairs,
              count(DISTINCT c.b_id) AS n_docs_dropped,

@@ -31,6 +31,23 @@ object Io extends QueryModule {
     s"target/io_scratch/${name}_${java.lang.ProcessHandle.current().pid()}"
   }
 
+  /** Source fingerprint (file names + sizes + mtimes) of a testdata
+    * table — the scratch-artifact discipline (see CLAUDE.md): the
+    * driver REGENERATES /root/testdata between rounds, so any derived
+    * artifact cached per-JVM (writeOnce keys, bench scratch corpora)
+    * must key on the source table's current bytes, not just its dir
+    * path, or a long-lived JVM would serve a stale artifact against a
+    * fresh oracle. Bench.prepareScaledDocs keys its corpora through
+    * this same helper.
+    */
+  private[graft] def srcSig(sfDir: String, table: String): String = {
+    val src = new java.io.File(sfDir, s"$table.parquet")
+    val parts = (if (src.isDirectory)
+      Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+    else Seq(src)).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    java.lang.Long.toHexString(parts.mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
   // One write per (dataset, source dir) per JVM: repeated invocations of
   // the same query function (bench reps, explain passes) should time the
   // read/join leg, not re-pay the scratch write. Keyed on the source dir

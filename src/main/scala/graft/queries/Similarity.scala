@@ -657,7 +657,11 @@ object Similarity extends QueryModule {
       val e = Tables.embeddings(s, d)
       val base = Io.scratch(s, "ivf_index")
       val (centB, asgB) = ivfIndexFrames(s, e)
-      Io.writeOnce(base, d) {
+      // writeOnce key folds in the SOURCE fingerprint (r15 ADVICE):
+      // the driver regenerates /root/testdata between rounds, and a
+      // key of (path, sf dir) alone would let a long-lived JVM serve
+      // a stale index against a fresh oracle.
+      Io.writeOnce(base, d + "|" + Io.srcSig(d, "embeddings")) {
         centB.write.mode("overwrite").parquet(s"$base/centroids")
         asgB.write.mode("overwrite").parquet(s"$base/assigned")
       }
@@ -699,7 +703,9 @@ object Similarity extends QueryModule {
     "sim_pq_persist" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val base = Io.scratch(s, "pq_index")
-      Io.writeOnce(base, d) {
+      // source-fingerprinted key — same stale-artifact guard as
+      // sim_index_persist above
+      Io.writeOnce(base, d + "|" + Io.srcSig(d, "embeddings")) {
         val (codes, books) = pqIndex(e)
         codes.write.mode("overwrite").parquet(s"$base/codes")
         books.write.mode("overwrite").parquet(s"$base/books")

@@ -42,8 +42,13 @@ class QueriesSpec extends AnyFunSuite {
     // mentioned (backticked) anywhere in README fails here.
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), "UTF-8")
-    val documented = "`([A-Za-z0-9_,` ]+)`".r.findAllMatchIn(readme)
-      .flatMap(_.group(1).split("[,` ]+")).toSet
+    // Match single backtick spans only (non-greedy, no backtick in the
+    // class): the old class included backtick+space, so one greedy
+    // match could span from one span's opening backtick to a later
+    // span's close, marking intervening NON-backticked words as
+    // documented — weakening exactly the drift pin this test is for.
+    val documented = "`([^`]+)`".r.findAllMatchIn(readme)
+      .flatMap(_.group(1).split("[, ]+")).toSet
     val missing = SparkEntry.queries.keySet -- documented
     assert(missing.isEmpty,
       s"registry queries missing from README's coverage map: " +
