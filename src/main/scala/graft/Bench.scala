@@ -83,7 +83,11 @@ object Bench {
     // closed-form Naive-Bayes quality filter (token-class training agg
     // + |vocab| llr join + per-doc re-agg — the model-based filter pass
     // real curation pipelines add on top of the rule gates)
-    "sim_index_persist", "txt_nb_quality")
+    "sim_index_persist", "txt_nb_quality",
+    // round 16: the incremental-append serve path (v1 + v2 posting
+    // union against frozen centroids — the daily-ingest ANN shape;
+    // first rep pays the one-time v1 build + delta assignment write)
+    "sim_index_append")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at
@@ -103,7 +107,8 @@ object Bench {
       "dedup_substrings", "dedup_url_canonical", "dedup_weighted_jaccard",
       "dedup_winnow_clusters", "dedup_winnow_pairs", "dedup_wminhash_pairs",
       "dedup_lsh_recall", "pipe_dedup_rate_curve",
-      "graph_triangles", "sim_knn_graph", "sim_pq_topk", "sim_sparse_pairs"),
+      "graph_triangles", "graph_tri_estimate", "sim_knn_graph",
+      "sim_pq_topk", "sim_sparse_pairs"),
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +
       "scaled_cc_x20's contract-then-solve loop family; gate-scale graph " +
@@ -127,8 +132,11 @@ object Bench {
     "observe()-accumulator metrics demo, shard manifest, PSI drift " +
       "audit: one corpus scan + one hash agg each (drift's windows run " +
       "over <= 17 post-agg rows), scan-bound twins of the timed " +
-      "pipe_split shape" -> Seq(
-      "pipe_observe_metrics", "pipe_shard_manifest", "pipe_drift"),
+      "pipe_split shape; embed_drift reads the persisted assignment " +
+      "frame sim_index_persist already times and windows over |cells| " +
+      "rows" -> Seq(
+      "pipe_observe_metrics", "pipe_shard_manifest", "pipe_drift",
+      "pipe_embed_drift"),
     "event-time BATCH variants of timed representatives (ev_sessionize / " +
       "ev_asof_join / ev_range_join / ev_sliding / ev_gap_fill / " +
       "ev_outliers / ev_funnel / ev_asof_nearest): same scan + window / " +
@@ -876,6 +884,28 @@ object Bench {
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id")))
     val tri = Seq(triOnce(), triOnce())
+    // DOULION agreement at x20 (r15 verdict #5): exact T vs the
+    // edge-sampled estimate over the SAME pair graph — the statistical
+    // validation the gate-scale oracle row cannot provide (its sampled
+    // triangle count is ~0 at sf0.01). Untimed diagnostic; the numbers
+    // ride a tail info line so every round re-proves the estimator.
+    val (triExactX20, triEstX20) = {
+      val p = graft.queries.Dedup.minhashPairsFrom(
+          spark.read.parquet(scaledPath), ordered = false)
+        .select("a_id", "b_id")
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val exact = graft.queries.Dedup.trianglesFromPairs(p)
+        .agg(expr("coalesce(sum(n_tri), 0) DIV 3").as("t"))
+        .collect()(0).getAs[Long]("t")
+      val est = graft.queries.Dedup.triEstimateFrom(p)
+        .collect()(0).getAs[Long]("tri_estimate")
+      org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(p)
+      System.err.println(s"[bench] tri x20 agreement: exact=$exact " +
+        s"estimate=$est (${if (exact > 0) 1000L * est / exact else -1} " +
+        "per-mille of exact)")
+      (exact, est)
+    }
     def ejaccOnce() = timeOne("scaled_ejacc_x20", () =>
       graft.queries.Dedup.edgeJaccardFrom(
         graft.queries.Dedup.minhashPairsFrom(
@@ -978,6 +1008,23 @@ object Bench {
         Seq("scaled_tri_x100" -> timeOne("scaled_tri_x100", () =>
           graft.queries.Dedup.trianglesFromPairs(pairs100)))
       else Seq.empty)
+    // Bounded-work ESTIMATE in the refusal regime (r15 verdict #5 —
+    // "a real user still wants a number"): the md5 edge sample keeps
+    // ~1/5 of the edges, so the sampled graph's wedge volume is ~1/25
+    // of the full — inside the budget exactly when the full graph is
+    // within 25x of it. The estimate VALUE stays out of `results`
+    // (a triangle count would top the seconds-ranked q parts); it
+    // rides the info line with the x20 agreement numbers instead.
+    val (triX100EstSec, triX100Estimate) = if (triX100skipped) {
+      snap("scaled_tri_x100_est")
+      val t0 = System.nanoTime()
+      val est = graft.queries.Dedup.triEstimateFrom(pairs100)
+        .collect()(0).getAs[Long]("tri_estimate")
+      ((System.nanoTime() - t0) / 1e9, est)
+    } else (Double.NaN, -1L)
+    if (triX100skipped)
+      System.err.println(f"[bench] scaled_tri_x100 DOULION estimate=" +
+        f"$triX100Estimate (wall $triX100EstSec%.1f s)")
     // survives-100x evidence for the r13 h-index core decomposition
     // (r13 verdict #5): the probe's 199 s wall lived only in README —
     // time the FULL decomposition over the same checkpointed x100 pair
@@ -1039,7 +1086,9 @@ object Bench {
       "scaled_kcore_x20" -> kcore.min,
       "scaled_coreness_x20" -> coreness.min,
       "scaled_lpa_x20" -> lpa.min,
-      "scaled_bpe_deep200" -> bpeDeep.min) ++ triX100
+      "scaled_bpe_deep200" -> bpeDeep.min) ++ triX100 ++
+      (if (triX100skipped) Seq("scaled_tri_x100_est_sec" -> triX100EstSec)
+       else Seq.empty)
 
     // NaN (= failed) prints as null and never reaches a sum: a reader
     // of only the metric lines sees the gap, not a fake-fast number
@@ -1138,6 +1187,10 @@ object Bench {
     // carrying the measured bound, the guard budget, and whether the
     // timed pass was skipped — plus the coreness-x100 evidence line.
     println(f"""{"metric":"info","scaled_tri_x100_wedges2":$wedges2x100,"budget":4000000000,"scaled_tri_x100_bound_sec":$triBoundSec%.3f,"skipped":$triX100skipped}""")
+    // the DOULION numbers: x20 estimate-vs-exact agreement (the
+    // estimator's per-round validation) and the x100 estimate that
+    // turns the wedge-budget refusal into a bounded-work answer
+    println(s"""{"metric":"info","tri_x20_exact":$triExactX20,"tri_x20_estimate":$triEstX20,"tri_x100_estimate":$triX100Estimate,"tri_x100_est_sec":${jNum(triX100EstSec)}}""")
     corenessX100Info.foreach(println)
     // Pair-graph density + per-rep times for the regeneration-sensitive
     // rows (r15 verdict #1/#3/#5): the numbers that adjudicate a

@@ -1375,6 +1375,48 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Edge-sampling modulus for [[triEstimateFrom]]: keep ~1/5 of the
+    * edges, so the sampled graph's oriented-wedge volume is ~1/25 of
+    * the full graph's (forward degrees scale with the sampling rate) —
+    * the knob that brings the x100 regime's 67e9-wedge graph under the
+    * 4e9 budget [[orientedWedgeVolume2]] guards. Estimate variance at
+    * this rate is negligible on clique-rich dedup graphs (millions of
+    * surviving triangles at x20+); the x20 agreement check in Bench
+    * re-measures it every round.
+    */
+  val TRI_EST_MOD = 5L
+
+  /** DOULION-style triangle-count ESTIMATE via deterministic edge
+    * sampling (Tsourakakis, Kang, Miller & Faloutsos, "DOULION:
+    * counting triangles in massive graphs with a coin", KDD 2009):
+    * keep an edge iff md5("triest|a|b") mod k = 0 (each edge kept with
+    * probability ~1/k, hash-deterministic so re-runs, retries, and the
+    * DuckDB oracle keep IDENTICAL edges), count triangles exactly on
+    * the sampled graph with the degree-ordered [[trianglesFromPairs]]
+    * pass, and scale by k^3 (a triangle survives iff all 3 edges do).
+    * All integer arithmetic — the estimate is exact given the sample,
+    * so the oracle mirror is bit-exact, not statistical. This is the
+    * bounded-work answer for graphs whose full wedge volume exceeds
+    * the counting budget (the x100 regime Bench previously could only
+    * refuse): sampled wedge volume scales ~1/k^2.
+    *
+    * @return ONE row (n_edges_kept, n_tri_sampled, tri_estimate)
+    */
+  def triEstimateFrom(pairs0: DataFrame, mod: Long = TRI_EST_MOD): DataFrame = {
+    val kept = pairs0.filter(
+      conv(substring(md5(concat(lit("triest|"), col("a_id").cast("string"),
+        lit("|"), col("b_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % mod === 0)
+    // per-node counts sum to 3T (each triangle contributes one count
+    // to each of its vertices) — integer DIV 3 recovers T exactly
+    val tri = trianglesFromPairs(kept)
+      .agg(expr("coalesce(sum(n_tri), 0) DIV 3").as("n_tri_sampled"))
+    kept.agg(count(lit(1)).as("n_edges_kept"))
+      .crossJoin(broadcast(tri)) // 1-row attach
+      .select(col("n_edges_kept"), col("n_tri_sampled"),
+        (col("n_tri_sampled") * lit(mod * mod * mod)).as("tri_estimate"))
+  }
+
   /** Oriented wedge volume (x2) of a pair graph under the degree-ordered
     * orientation [[trianglesFromPairs]] uses: sum over nodes of
     * fwdDeg*(fwdDeg-1) — the number of candidate-wedge walks the
@@ -2233,6 +2275,15 @@ object Dedup extends QueryModule {
     //    the shape that survives the "last reducer" at 100 TB ----------
     "graph_triangles" -> ((s, d) =>
       trianglesFromPairs(
+        minhashPairsFrom(Tables.documents(s, d), ordered = false)
+          .select("a_id", "b_id"))),
+
+    // -- DOULION edge-sampled triangle ESTIMATE (see triEstimateFrom):
+    //    the bounded-work answer where exact counting exceeds the
+    //    wedge budget — deterministic md5 edge sampling keeps the
+    //    oracle mirror bit-exact, k^3 scale-up in exact integers ------
+    "graph_tri_estimate" -> ((s, d) =>
+      triEstimateFrom(
         minhashPairsFrom(Tables.documents(s, d), ordered = false)
           .select("a_id", "b_id"))),
 
@@ -3203,6 +3254,40 @@ object Dedup extends QueryModule {
       FROM x
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // the graph_triangles orientation mirrored over the md5-sampled
+    // edge set; tri counts each triangle ONCE (at its base edge), so
+    // no DIV 3 is needed here — count(1) over tri IS T_sampled
+    "graph_tri_estimate" -> s"""
+      WITH mp AS (SELECT a_id, b_id
+                  FROM (${minhashPairsSql(ordered = false)}) p
+                  WHERE ('0x' || substr(md5('triest|' || a_id::VARCHAR
+                          || '|' || b_id::VARCHAR), 1, 12))::BIGINT
+                        % $TRI_EST_MOD = 0),
+           deg AS (SELECT id, count(1) AS degree FROM (
+                     SELECT a_id AS id FROM mp
+                     UNION ALL
+                     SELECT b_id AS id FROM mp)
+                   GROUP BY id),
+           o AS (SELECT CASE WHEN da.degree < db.degree
+                             OR (da.degree = db.degree AND mp.a_id < mp.b_id)
+                        THEN mp.a_id ELSE mp.b_id END AS src,
+                        CASE WHEN da.degree < db.degree
+                             OR (da.degree = db.degree AND mp.a_id < mp.b_id)
+                        THEN mp.b_id ELSE mp.a_id END AS dst
+                 FROM mp
+                 JOIN deg da ON mp.a_id = da.id
+                 JOIN deg db ON mp.b_id = db.id),
+           tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+                   FROM o e1
+                   JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+                   JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+           t AS (SELECT count(1) AS n_tri_sampled FROM tri),
+           e AS (SELECT count(1) AS n_edges_kept FROM mp)
+      SELECT e.n_edges_kept, t.n_tri_sampled,
+             t.n_tri_sampled * ${TRI_EST_MOD * TRI_EST_MOD * TRI_EST_MOD}
+               AS tri_estimate
+      FROM e, t""",
 
     // the same 8 bounded peel rounds unrolled CTE-for-CTE (the
     // graph_pagerank discipline). Every CTE is MATERIALIZED: each

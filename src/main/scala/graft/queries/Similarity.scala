@@ -674,6 +674,43 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
     }),
 
+    // -- INCREMENTAL index maintenance: append a batch to the
+    //    persisted IVF artifact WITHOUT retraining -----------------------
+    //    A production corpus grows daily; rebuilding the index per drop
+    //    is the cost this op removes. v1 = centroids + assignment
+    //    trained on the BASE slice only (vec_id % 10 <> 7); the new
+    //    batch (vec_id % 10 = 7) is assigned to the FROZEN v1 centroids
+    //    — the same argmax-cosine rule via ivfAssign, zero Lloyd/seed
+    //    work — and written as a VERSIONED delta (v2/assigned_delta).
+    //    Serving unions v1 + v2 posting lists: base rows keep their
+    //    v1 assignment bit-for-bit, so the artifact is append-only.
+    //    IndexPersistSpec proves zero training jobs at serve-plan time
+    //    and bit-equality with the inline frozen-centroid build; the
+    //    oracle mirrors the frozen rule (seeds from the base slice,
+    //    assignment over the full corpus).
+    "sim_index_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isDelta = pmod(col("vec_id"), lit(10L)) === 7
+      val root = Io.scratch(s, "ivf_index_versions")
+      val (centB, asgB) = ivfIndexFrames(s, e.filter(!isDelta))
+      Io.writeOnce(root, d + "|" + Io.srcSig(d, "embeddings")) {
+        centB.write.mode("overwrite").parquet(s"$root/v1/centroids")
+        asgB.write.mode("overwrite").parquet(s"$root/v1/assigned")
+        // the append pass itself: assign the new batch against the
+        // LOADED v1 centroids — the only index input is the artifact
+        ivfAssign(s, e.filter(isDelta),
+            s.read.schema(centB.schema).parquet(s"$root/v1/centroids"))
+          .write.mode("overwrite").parquet(s"$root/v2/assigned_delta")
+      }
+      val cent = s.read.schema(centB.schema).parquet(s"$root/v1/centroids")
+      val asg = s.read.schema(asgB.schema).parquet(s"$root/v1/assigned")
+        .unionByName(s.read.schema(asgB.schema)
+          .parquet(s"$root/v2/assigned_delta"))
+      ivfServe(s, cent, asg,
+        e.filter(col("vec_id") < NQUERIES)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
+    }),
+
     // -- IVF recall@k as a GATED METRIC (the dedup_lsh_recall pattern
     //    applied to the ANN surface): the approximate top-k is scored
     //    against the exact brute-force top-k INSIDE the engine, and the
@@ -692,6 +729,55 @@ object Similarity extends QueryModule {
         .crossJoin(broadcast(hit))
         .select(col("n_true"), col("n_hit"),
           expr("(1000 * n_hit) DIV n_true").as("recall_mille"))
+    }),
+
+    // -- SEMANTIC drift between releases: PSI over frozen-IVF-cell
+    //    occupancy ---------------------------------------------------------
+    //    The embedding-space counterpart of pipe_drift's lexical
+    //    doc-length PSI — what a training-data owner actually watches
+    //    between corpus drops: did the DISTRIBUTION of content move,
+    //    not just its size. Releases = the corpus's two deterministic
+    //    halves (vec_id % 2, the pipe_drift derivation); cells = the
+    //    PERSISTED IVF index's posting-list labels, loaded from the
+    //    same artifact sim_index_persist serves (zero retrain — the
+    //    cells are frozen, so the metric is comparable across drops).
+    //    Arithmetic is pipe_drift's exactly: Laplace +1 smoothing,
+    //    integer ppm occupancy, DetMath bit-exact ln in micronats.
+    //    The unpartitioned window is over the |cells| post-agg frame
+    //    (= nlist, constant-size — the pipe_drift 16-bucket shape).
+    "pipe_embed_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = Io.scratch(s, "ivf_index")
+      val (centB, asgB) = ivfIndexFrames(s, e)
+      // same artifact + key as sim_index_persist: whichever runs first
+      // pays the one-time build, the other serves from it
+      Io.writeOnce(base, d + "|" + Io.srcSig(d, "embeddings")) {
+        centB.write.mode("overwrite").parquet(s"$base/centroids")
+        asgB.write.mode("overwrite").parquet(s"$base/assigned")
+      }
+      val asg = s.read.schema(asgB.schema).parquet(s"$base/assigned")
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val ln = graft.functions.DetMath.lnColumn _
+      asg.select(col("c_label"), pmod(col("vec_id"), lit(2L)).as("half"))
+        .groupBy("c_label")
+        .agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        .withColumn("na", sum(col("ca") + 1).over(w))
+        .withColumn("nb", sum(col("cb") + 1).over(w))
+        .select(col("c_label"), col("ca"), col("cb"),
+          greatest(expr("(1000000 * (ca + 1)) DIV na"), lit(1L))
+            .as("fa_ppm"),
+          greatest(expr("(1000000 * (cb + 1)) DIV nb"), lit(1L))
+            .as("fb_ppm"))
+        .select(col("c_label"), col("ca"), col("cb"),
+          col("fa_ppm"), col("fb_ppm"),
+          floor((col("fa_ppm") - col("fb_ppm")).cast("double") *
+              (ln(col("fa_ppm").cast("double")) -
+               ln(col("fb_ppm").cast("double"))))
+            .cast("long").as("psi_micro"))
+        .orderBy("c_label")
     }),
 
     // -- persisted PQ codes + codebooks, served via ADC --------------------
@@ -839,17 +925,27 @@ object Similarity extends QueryModule {
     val centroids = e.join(broadcast(seedIds),
         col("vec_id") === col("seed_id"))
       .select(col("label").as("c_label"), col("embedding").as("c_v"))
-    // Assignment: nearest centroid per vector (one broadcast pass).
-    // argmax-cosine via min(struct(-icos, c_label, payload)) — the same
-    // hash-agg trick as the k-means assign step: the broadcast join
-    // leaves all k candidate rows of a vector in ONE partition, so the
-    // map-side partial min collapses k -> 1 before the exchange, where
-    // the row_number window this replaces shuffled and sorted all
-    // N x k rows WITH their embedding payloads. (-icos, c_label) pairs
-    // are distinct per vector, so the trailing payload field never
-    // decides the minimum; the tie rule (highest cosine, then lowest
-    // centroid label) is identical to the window's ordering.
-    val assigned = e.join(broadcast(centroids))
+    (centroids, ivfAssign(s, e, centroids))
+  }
+
+  /** Assignment: nearest centroid per vector (one broadcast pass).
+    * argmax-cosine via min(struct(-icos, c_label, payload)) — the same
+    * hash-agg trick as the k-means assign step: the broadcast join
+    * leaves all k candidate rows of a vector in ONE partition, so the
+    * map-side partial min collapses k -> 1 before the exchange, where
+    * the row_number window this replaces shuffled and sorted all
+    * N x k rows WITH their embedding payloads. (-icos, c_label) pairs
+    * are distinct per vector, so the trailing payload field never
+    * decides the minimum; the tie rule (highest cosine, then lowest
+    * centroid label) is identical to the window's ordering.
+    *
+    * Factored out of [[ivfIndexFrames]] so `sim_index_append` can run
+    * the SAME rule against FROZEN (parquet-loaded) centroids — the
+    * incremental-ingest half of the index lifecycle, zero retraining.
+    */
+  def ivfAssign(s: SparkSession, e: DataFrame,
+      centroids: DataFrame): DataFrame =
+    e.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("c_label"),
         Vectors.cosineScaled(s, col("embedding"), col("c_v")).as("a_icos"))
       .groupBy("vec_id")
@@ -857,8 +953,6 @@ object Similarity extends QueryModule {
         col("embedding").as("emb"))).as("m"))
       .select(col("vec_id"), col("m.emb").as("embedding"),
         col("m.cl").as("c_label"))
-    (centroids, assigned)
-  }
 
   /** The probe/search half of IVF top-k, over index frames from ANY
     * provenance (inline-built or parquet-loaded): rank centroids per
@@ -921,11 +1015,12 @@ object Similarity extends QueryModule {
     * rk to its top-k. Renaming CTEs is the only parameterization —
     * the arithmetic is byte-identical across uses.
     */
-  private[queries] def ivfCtesSql(queryCond: String, p: String): String = s"""
+  private[queries] def ivfCtesSql(queryCond: String, p: String,
+      baseCond: String = "TRUE"): String = s"""
       ${p}e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
                  FROM embeddings),
            ${p}seeds AS (SELECT label, min(vec_id) AS seed_id
-                         FROM ${p}e GROUP BY label),
+                         FROM ${p}e WHERE $baseCond GROUP BY label),
            ${p}cent AS (SELECT e.label AS c_label, e.v AS c_v
                     FROM ${p}e e JOIN ${p}seeds seeds
                       ON e.vec_id = seeds.seed_id),
@@ -1193,6 +1288,53 @@ object Similarity extends QueryModule {
     // the persisted-index serve path is bit-equal to the inline build
     // (IndexPersistSpec), so the SAME oracle gates it
     "sim_index_persist" -> ivfTopkSql,
+
+    // frozen-centroid append: seeds come from the BASE slice only
+    // (vec_id % 10 <> 7 — the pre-append corpus), assignment runs over
+    // the FULL corpus against those frozen centroids — exactly the
+    // v1-train + v2-assign union the engine serves
+    "sim_index_append" -> s"""
+      WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "",
+        baseCond = "vec_id % 10 <> 7")}
+      SELECT q_id, rk, vec_id, icos_e6
+      FROM ranked WHERE rk <= $IVFK
+      ORDER BY q_id, rk""",
+
+    // the IVF assignment CTEs (unreferenced probe/rank CTEs inline
+    // away) + pipe_drift's PSI chain over (c_label, vec_id % 2)
+    "pipe_embed_drift" -> s"""
+      WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "")},
+           h AS (SELECT c_label, vec_id % 2 AS half FROM assigned),
+           c AS (SELECT c_label,
+                        sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+                 FROM h GROUP BY c_label),
+           t AS (SELECT c_label, ca, cb,
+                        sum(ca + 1) OVER () AS na,
+                        sum(cb + 1) OVER () AS nb
+                 FROM c),
+           f AS (SELECT c_label, ca, cb,
+                        greatest((1000000 * (ca + 1)) // na, 1)::BIGINT AS fa_ppm,
+                        greatest((1000000 * (cb + 1)) // nb, 1)::BIGINT AS fb_ppm
+                 FROM t),
+           p1 AS (SELECT *, ${graft.functions.DetMath.eSql("fa_ppm")} AS ea,
+                         ${graft.functions.DetMath.eSql("fb_ppm")} AS eb
+                  FROM f),
+           p2 AS (SELECT *,
+                    ${graft.functions.DetMath.ySql("fa_ppm::DOUBLE", "ea")} AS ya,
+                    ${graft.functions.DetMath.ySql("fb_ppm::DOUBLE", "eb")} AS yb
+                  FROM p1),
+           p3 AS (SELECT *, ${graft.functions.DetMath.zSql("ya")} AS za,
+                         ${graft.functions.DetMath.zSql("yb")} AS zb
+                  FROM p2),
+           p4 AS (SELECT *, (za * za) AS za2, (zb * zb) AS zb2 FROM p3)
+      SELECT c_label, ca, cb, fa_ppm, fb_ppm,
+             floor((fa_ppm - fb_ppm)::DOUBLE *
+               (${graft.functions.DetMath.lnSqlFromParts("ea", "za", "za2")}
+                - ${graft.functions.DetMath.lnSqlFromParts("eb", "zb", "zb2")}))::BIGINT
+               AS psi_micro
+      FROM p4
+      ORDER BY c_label""",
 
     // approximate (ivf chain) vs exact (brute chain over the same e/q
     // CTEs) top-k overlap, reduced to the one-row integer metric

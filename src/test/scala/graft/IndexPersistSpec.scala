@@ -33,11 +33,34 @@ class IndexPersistSpec extends AnyFunSuite {
       "loaded-index PQ result differs from the inline build")
   }
 
+  test("appended index serve is bit-equal to the inline frozen build") {
+    import org.apache.spark.sql.functions._
+    // the engine unions the persisted v1 (base-slice) assignment with
+    // the v2 delta assigned against FROZEN v1 centroids; the inline
+    // twin assigns the FULL corpus against base-derived centroids in
+    // one pass — identical iff the append really froze the centroids
+    val loaded = SparkEntry.queries("sim_index_append")(
+      spark, TestSpark.sf0001).collect().toSeq
+    val e = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 7
+    val (cent, _) = graft.queries.Similarity.ivfIndexFrames(
+      spark, e.filter(!isDelta))
+    val inline = graft.queries.Similarity.ivfServe(spark, cent,
+      graft.queries.Similarity.ivfAssign(spark, e, cent),
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
+      .collect().toSeq
+    assert(loaded.nonEmpty)
+    assert(loaded == inline,
+      "appended-index IVF result differs from the inline frozen build")
+  }
+
   test("serve plans launch ZERO training jobs once the artifact exists") {
     // ensure the artifacts exist (writeOnce is keyed per JVM + sf dir,
-    // so these two calls build at most once even across the suite)
+    // so these calls build at most once even across the suite)
     SparkEntry.queries("sim_index_persist")(spark, TestSpark.sf0001)
     SparkEntry.queries("sim_pq_persist")(spark, TestSpark.sf0001)
+    SparkEntry.queries("sim_index_append")(spark, TestSpark.sf0001)
     val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]
     val counter = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -49,7 +72,8 @@ class IndexPersistSpec extends AnyFunSuite {
     try {
       val ivf = SparkEntry.queries("sim_index_persist")(spark, TestSpark.sf0001)
       val pq = SparkEntry.queries("sim_pq_persist")(spark, TestSpark.sf0001)
-      ivf.schema; pq.schema // force analysis — still plan-only work
+      val app = SparkEntry.queries("sim_index_append")(spark, TestSpark.sf0001)
+      ivf.schema; pq.schema; app.schema // force analysis — plan-only work
       org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
       // The ONLY jobs allowed at plan time are the source-table footer
       // reads (`spark.read.parquet` on embeddings, Tables.scala — one
@@ -63,7 +87,7 @@ class IndexPersistSpec extends AnyFunSuite {
         s"serve-path construction ran non-source jobs at " +
           s"[${offending.mkString("; ")}] — training or artifact schema " +
           "inference has leaked into the serve plan")
-      assert(ivf.count() > 0 && pq.count() > 0) // the plans still execute
+      assert(ivf.count() > 0 && pq.count() > 0 && app.count() > 0)
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 }

@@ -13,7 +13,7 @@ class QueriesSpec extends AnyFunSuite {
     // Pin the registry size so silent shrinkage (a registry edit, a
     // testdata-encoding drift that drops queries from the gate) fails
     // loudly. Update the pin ONLY when deliberately adding queries.
-    val expected = 250
+    val expected = 253
     val n = SparkEntry.queries.size
     assert(n == expected,
       s"query registry has $n entries, expected $expected; " +
@@ -42,12 +42,15 @@ class QueriesSpec extends AnyFunSuite {
     // mentioned (backticked) anywhere in README fails here.
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), "UTF-8")
-    // Match single backtick spans only (non-greedy, no backtick in the
-    // class): the old class included backtick+space, so one greedy
+    // Match single-line backtick spans only (no backtick OR newline in
+    // the class): the old class included backtick+space, so one greedy
     // match could span from one span's opening backtick to a later
     // span's close, marking intervening NON-backticked words as
     // documented — weakening exactly the drift pin this test is for.
-    val documented = "`([^`]+)`".r.findAllMatchIn(readme)
+    // Newlines are excluded because README's ``` code fences otherwise
+    // shift the backtick pairing and swallow whole sections as one
+    // "span" (inline code never spans lines anyway).
+    val documented = "`([^`\n]+)`".r.findAllMatchIn(readme)
       .flatMap(_.group(1).split("[, ]+")).toSet
     val missing = SparkEntry.queries.keySet -- documented
     assert(missing.isEmpty,
