@@ -336,6 +336,12 @@ object Bench {
       exec("rm", "-rf", build.getPath)
       exec("cp", "-r", "/root/reference", build.getPath)
       exec("make", "-C", build.getPath)
+      // keep ONLY the compiled binary: no reference SOURCE may live
+      // inside the repo tree, even transiently under target/ — this
+      // scratch exists to execute the public reference, not to hold
+      // its code
+      Seq("src", "obj", "dep", "Makefile", "test_input1", "test_input2")
+        .foreach(n => exec("rm", "-rf", new java.io.File(build, n).getPath))
     }
     // the binary reads ONE file; the engine corpora are 32-part dirs —
     // concatenate once (same bytes, part order is the deterministic
@@ -368,6 +374,31 @@ object Bench {
       System.err.println(s"[bench] C re-time skipped: ${e.getMessage}")
       (Double.NaN, Double.NaN)
   }
+
+  /** A second A@16 sample of the C binary, taken MID-SWEEP (after the
+    * headline engine rows, 90 GiB of JVM heap resident): the r16 A/B
+    * showed the same binary on the same corpus at 0.886 s standalone
+    * vs 2.043 s next to the loaded JVM — the box-state spread itself.
+    * Reporting both keeps the engine-vs-C ratio honest in either
+    * direction: the EARLY number (timeRefC, clean JVM) is the
+    * conservative denominator, this one shows the conditions the
+    * engine's own rows actually run under.
+    */
+  private def timeRefCMidSweep(aDir: String): Double = try {
+    val bin = new java.io.File("target/bench_scratch/refbuild/mapred_woc")
+    val aF = new java.io.File("target/bench_scratch/refA_concat.txt")
+    if (!bin.exists() || !aF.exists()) return Double.NaN
+    def run1(): Double = {
+      val t0 = System.nanoTime()
+      val p = new ProcessBuilder(bin.getAbsolutePath, aF.getPath, "16")
+        .redirectOutput(new java.io.File("/dev/null")).start()
+      require(p.waitFor() == 0, "mapred_woc exited nonzero")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val a = (1 to 3).map(_ => run1()).min
+    System.err.println(f"[bench] live C reference MID-SWEEP: A@16=$a%.3f s")
+    a
+  } catch { case _: Throwable => Double.NaN }
 
   /** Cache key component for scratch corpora derived from a testdata
     * table: file sizes + mtimes of the source parquet. The driver
@@ -575,6 +606,13 @@ object Bench {
     // Warm the JVM/codegen paths once with a cheap query.
     runOnce(SparkEntry.queries("q_topk")(spark, sfDir))
     val refPath = prepareRefCorpus(spark)
+    // Re-time the C binary FIRST, while the JVM heap is still small —
+    // the r16 A/B measured the same binary at 0.886 s standalone vs
+    // 2.043 s next to the fully-grown 90 GiB heap, so a mid-sweep-only
+    // sample would flatter the engine ratio. This early number is the
+    // conservative denominator; timeRefCMidSweep adds the contrast
+    // sample after the engine's own headline rows.
+    val (refCLiveA, refCLiveB) = timeRefC(refPath, prepareRefCorpusB(spark))
 
     // Warm the ref-workload plan SHAPE on a 1/16-size corpus (untimed):
     // Janino compiles the generated TokenCountsExec/sort classes and C2
@@ -683,8 +721,8 @@ object Bench {
       runOnce(graft.operators.WordCount.counts(five, col("value")))
       (System.nanoTime() - t0) / 1e9 / 5
     }.min
-    // the C reference re-timed on THIS box + THIS corpus (see timeRefC)
-    val (refCLiveA, refCLiveB) = timeRefC(refPath, refBPath)
+    // the C binary again, now under the engine rows' own conditions
+    val refCLiveAMid = timeRefCMidSweep(refPath)
 
     // Scaled workloads also run pre-sweep: they are the biggest
     // allocators, i.e. the entries most sensitive to accumulated heap
@@ -1015,16 +1053,29 @@ object Bench {
     // within 25x of it. The estimate VALUE stays out of `results`
     // (a triangle count would top the seconds-ranked q parts); it
     // rides the info line with the x20 agreement numbers instead.
-    val (triX100EstSec, triX100Estimate) = if (triX100skipped) {
-      snap("scaled_tri_x100_est")
-      val t0 = System.nanoTime()
-      val est = graft.queries.Dedup.triEstimateFrom(pairs100)
-        .collect()(0).getAs[Long]("tri_estimate")
-      ((System.nanoTime() - t0) / 1e9, est)
-    } else (Double.NaN, -1L)
+    val (triX100EstSec, triX100Estimate, triX100EstWedges2) =
+      if (triX100skipped) {
+        snap("scaled_tri_x100_est")
+        val t0 = System.nanoTime()
+        // MEASURE the sampled graph's wedge volume against the same
+        // budget before counting on it — the ~1/k² reduction is
+        // expected, not guaranteed, on a pathological sample
+        val estW = graft.queries.Dedup.orientedWedgeVolume2(
+          graft.queries.Dedup.triSampleOf(pairs100))
+        if (estW > 4_000_000_000L) {
+          System.err.println(s"[bench] scaled_tri_x100 estimate REFUSED " +
+            s"too: sampled wedges2=$estW still over budget")
+          ((System.nanoTime() - t0) / 1e9, -1L, estW)
+        } else {
+          val est = graft.queries.Dedup.triEstimateFrom(pairs100)
+            .collect()(0).getAs[Long]("tri_estimate")
+          ((System.nanoTime() - t0) / 1e9, est, estW)
+        }
+      } else (Double.NaN, -1L, -1L)
     if (triX100skipped)
       System.err.println(f"[bench] scaled_tri_x100 DOULION estimate=" +
-        f"$triX100Estimate (wall $triX100EstSec%.1f s)")
+        f"$triX100Estimate (wall $triX100EstSec%.1f s, sampled " +
+        f"wedges2=$triX100EstWedges2)")
     // survives-100x evidence for the r13 h-index core decomposition
     // (r13 verdict #5): the probe's 199 s wall lived only in README —
     // time the FULL decomposition over the same checkpointed x100 pair
@@ -1056,8 +1107,11 @@ object Bench {
       "ref_wordcount_2m_skew_median" -> median(refBRuns),
       "ref_wordcount_2m_skew_amortized" -> refBAmortized,
       // the C binary itself, re-timed this sweep on this box/corpus
+      // (early = clean-JVM conservative denominator; midsweep = under
+      // the engine rows' own heap/box conditions)
       "ref_c_live_12m" -> refCLiveA,
       "ref_c_live_2m_skew" -> refCLiveB,
+      "ref_c_live_12m_midsweep" -> refCLiveAMid,
       "scaled_minhash_x20" -> mh.min,
       "scaled_cc_x20" -> cc.min,
       "scaled_contam_x20" -> contam.min,
@@ -1190,13 +1244,13 @@ object Bench {
     // the DOULION numbers: x20 estimate-vs-exact agreement (the
     // estimator's per-round validation) and the x100 estimate that
     // turns the wedge-budget refusal into a bounded-work answer
-    println(s"""{"metric":"info","tri_x20_exact":$triExactX20,"tri_x20_estimate":$triEstX20,"tri_x100_estimate":$triX100Estimate,"tri_x100_est_sec":${jNum(triX100EstSec)}}""")
+    println(s"""{"metric":"info","tri_x20_exact":$triExactX20,"tri_x20_estimate":$triEstX20,"tri_x100_estimate":$triX100Estimate,"tri_x100_est_sec":${jNum(triX100EstSec)},"tri_x100_est_wedges2":$triX100EstWedges2}""")
     corenessX100Info.foreach(println)
     // Pair-graph density + per-rep times for the regeneration-sensitive
     // rows (r15 verdict #1/#3/#5): the numbers that adjudicate a
     // timing move as corpus-density vs plan-regression vs load.
     println(s"""{"metric":"info","scaled_x20_docs":$ccStatDocs,"scaled_x20_edges":$ccStatEdges,"scaled_x20_hot_buckets":$ccStatHot,"scaled_cc_x20_reps":[${cc.map(jNum).mkString(",")}]}""")
-    println(s"""{"metric":"info","ref_wordcount_2m_skew_reps":[${refBRuns.map(jNum).mkString(",")}],"ref_wordcount_12m_reps":[${refRuns.map(jNum).mkString(",")}]}""")
+    println(s"""{"metric":"info","ref_wordcount_2m_skew_reps":[${refBRuns.map(jNum).mkString(",")}],"ref_wordcount_12m_reps":[${refRuns.map(jNum).mkString(",")}],"ref_c_live_12m_midsweep":${jNum(refCLiveAMid)}}""")
     println(summaryLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -1403,10 +1403,7 @@ object Dedup extends QueryModule {
     * @return ONE row (n_edges_kept, n_tri_sampled, tri_estimate)
     */
   def triEstimateFrom(pairs0: DataFrame, mod: Long = TRI_EST_MOD): DataFrame = {
-    val kept = pairs0.filter(
-      conv(substring(md5(concat(lit("triest|"), col("a_id").cast("string"),
-        lit("|"), col("b_id").cast("string")).cast("binary")), 1, 12), 16, 10)
-        .cast("long") % mod === 0)
+    val kept = triSampleOf(pairs0, mod)
     // per-node counts sum to 3T (each triangle contributes one count
     // to each of its vertices) — integer DIV 3 recovers T exactly
     val tri = trianglesFromPairs(kept)
@@ -1416,6 +1413,19 @@ object Dedup extends QueryModule {
       .select(col("n_edges_kept"), col("n_tri_sampled"),
         (col("n_tri_sampled") * lit(mod * mod * mod)).as("tri_estimate"))
   }
+
+  /** The deterministic edge sample [[triEstimateFrom]] counts on —
+    * exposed so a caller can MEASURE the sampled graph's wedge volume
+    * against the counting budget before committing to the estimate
+    * (the ~1/k² wedge reduction is expected, not guaranteed, on a
+    * pathological sample; Bench guards the x100 estimate with the
+    * measured number, never the analytic one).
+    */
+  def triSampleOf(pairs0: DataFrame, mod: Long = TRI_EST_MOD): DataFrame =
+    pairs0.filter(
+      conv(substring(md5(concat(lit("triest|"), col("a_id").cast("string"),
+        lit("|"), col("b_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % mod === 0)
 
   /** Oriented wedge volume (x2) of a pair graph under the degree-ordered
     * orientation [[trianglesFromPairs]] uses: sum over nodes of
