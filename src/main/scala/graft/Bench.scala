@@ -122,9 +122,10 @@ object Bench {
       "SHRINKS the pair work; mmr_rerank adds only constant-size " +
       "shortlist rounds on top of the identical scan; ivf_recall runs " +
       "the ivf + brute twins both already timed, joined on a " +
-      "queries-x-k frame)" -> Seq(
+      "queries-x-k frame; index_compact serves the identical loaded-" +
+      "artifact plan sim_index_persist times, minus 10% of rows)" -> Seq(
       "sim_range_search", "sim_filtered_topk", "sim_mmr_rerank",
-      "sim_ivf_recall"),
+      "sim_ivf_recall", "sim_index_compact"),
     "cap-parity probe on a 40-edge synthetic star+clique graph: exists " +
       "to exercise edgeJaccardFrom's capped path against the oracle " +
       "mirror every round; the operator's cost is timed at 20x by " +

@@ -711,6 +711,42 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
     }),
 
+    // -- index DELETE + COMPACTION: the third leg of the lifecycle ------
+    //    (build: sim_index_persist; append: sim_index_append). A
+    //    deterministic tombstone slice (vec_id % 10 = 3 — takedowns,
+    //    opt-outs, dedup removals) is deleted from the index WITHOUT
+    //    retraining: centroids stay FROZEN (deletion never changes
+    //    them — the production invariant that keeps cell ids
+    //    comparable across versions), and compaction rewrites the
+    //    posting lists minus the tombstones as a v3 artifact, so the
+    //    serve path carries no tombstone anti-join at query time.
+    //    Deleted vectors must not OCCUPY RANKS — the oracle filters
+    //    the assignment before ranking (servedCond), exactly what the
+    //    compacted artifact encodes physically. IndexPersistSpec pins
+    //    zero training jobs at serve-plan time, bit-equality with the
+    //    inline filtered build, and that no tombstoned id ever
+    //    surfaces in a result.
+    "sim_index_compact" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isDead = pmod(col("vec_id"), lit(10L)) === 3
+      val root = Io.scratch(s, "ivf_index_compact")
+      val (centB, asgB) = ivfIndexFrames(s, e)
+      Io.writeOnce(root, d + "|" + Io.srcSig(d, "embeddings")) {
+        centB.write.mode("overwrite").parquet(s"$root/v1/centroids")
+        asgB.write.mode("overwrite").parquet(s"$root/v1/assigned")
+        // compaction: rewrite the LOADED v1 posting lists minus the
+        // tombstoned rows — no retraining, no full-corpus pass
+        s.read.schema(asgB.schema).parquet(s"$root/v1/assigned")
+          .filter(!isDead)
+          .write.mode("overwrite").parquet(s"$root/v3/assigned")
+      }
+      ivfServe(s,
+        s.read.schema(centB.schema).parquet(s"$root/v1/centroids"),
+        s.read.schema(asgB.schema).parquet(s"$root/v3/assigned"),
+        e.filter(col("vec_id") < NQUERIES)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
+    }),
+
     // -- IVF recall@k as a GATED METRIC (the dedup_lsh_recall pattern
     //    applied to the ANN surface): the approximate top-k is scored
     //    against the exact brute-force top-k INSIDE the engine, and the
@@ -1015,8 +1051,14 @@ object Similarity extends QueryModule {
     * rk to its top-k. Renaming CTEs is the only parameterization —
     * the arithmetic is byte-identical across uses.
     */
+  /** `servedCond` filters the assignment BEFORE ranking — the oracle
+    * mirror of a compacted index (deleted vectors must not occupy
+    * ranks); the default serves everything. `baseCond` restricts which
+    * vectors SEED the centroids (frozen-centroid append/delete: the
+    * index never retrains on corpus changes).
+    */
   private[queries] def ivfCtesSql(queryCond: String, p: String,
-      baseCond: String = "TRUE"): String = s"""
+      baseCond: String = "TRUE", servedCond: String = "TRUE"): String = s"""
       ${p}e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
                  FROM embeddings),
            ${p}seeds AS (SELECT label, min(vec_id) AS seed_id
@@ -1040,10 +1082,11 @@ object Similarity extends QueryModule {
                         ORDER BY ${sqlCos.format("q.q_v", "cent.c_v")} DESC, cent.c_label) AS prn
                FROM ${p}q q CROSS JOIN ${p}cent cent)
              WHERE prn <= $NPROBE),
+           ${p}served AS (SELECT * FROM ${p}assigned WHERE $servedCond),
            ${p}searched AS (
              SELECT p.q_id, a.vec_id,
                     ${sqlCos.format("p.q_v", "a.v")} AS icos_e6
-             FROM ${p}assigned a JOIN ${p}probes p ON a.c_label = p.c_label
+             FROM ${p}served a JOIN ${p}probes p ON a.c_label = p.c_label
              WHERE a.vec_id <> p.q_id),
            ${p}ranked AS (
              SELECT q_id, vec_id, icos_e6,
@@ -1288,6 +1331,16 @@ object Similarity extends QueryModule {
     // the persisted-index serve path is bit-equal to the inline build
     // (IndexPersistSpec), so the SAME oracle gates it
     "sim_index_persist" -> ivfTopkSql,
+
+    // compaction: centroids from the FULL corpus (frozen — deletion
+    // never retrains), assignment filtered BEFORE ranking so deleted
+    // vectors occupy no ranks — the compacted artifact's physical form
+    "sim_index_compact" -> s"""
+      WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "",
+        servedCond = "vec_id % 10 <> 3")}
+      SELECT q_id, rk, vec_id, icos_e6
+      FROM ranked WHERE rk <= $IVFK
+      ORDER BY q_id, rk""",
 
     // frozen-centroid append: seeds come from the BASE slice only
     // (vec_id % 10 <> 7 — the pre-append corpus), assignment runs over

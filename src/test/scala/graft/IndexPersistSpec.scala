@@ -55,12 +55,33 @@ class IndexPersistSpec extends AnyFunSuite {
       "appended-index IVF result differs from the inline frozen build")
   }
 
+  test("compacted index serve is bit-equal to the inline filtered build " +
+      "and never surfaces a tombstoned id") {
+    import org.apache.spark.sql.functions._
+    val loaded = SparkEntry.queries("sim_index_compact")(
+      spark, TestSpark.sf0001).collect().toSeq
+    val e = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val (cent, asg) = graft.queries.Similarity.ivfIndexFrames(spark, e)
+    val inline = graft.queries.Similarity.ivfServe(spark, cent,
+      asg.filter(pmod(col("vec_id"), lit(10L)) =!= 3),
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
+      .collect().toSeq
+    assert(loaded.nonEmpty)
+    assert(loaded == inline,
+      "compacted-index result differs from the inline filtered build")
+    val dead = loaded.filter(_.getAs[Long]("vec_id") % 10 == 3)
+    assert(dead.isEmpty,
+      s"tombstoned ids surfaced in compacted results: $dead")
+  }
+
   test("serve plans launch ZERO training jobs once the artifact exists") {
     // ensure the artifacts exist (writeOnce is keyed per JVM + sf dir,
     // so these calls build at most once even across the suite)
     SparkEntry.queries("sim_index_persist")(spark, TestSpark.sf0001)
     SparkEntry.queries("sim_pq_persist")(spark, TestSpark.sf0001)
     SparkEntry.queries("sim_index_append")(spark, TestSpark.sf0001)
+    SparkEntry.queries("sim_index_compact")(spark, TestSpark.sf0001)
     val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]
     val counter = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -73,7 +94,8 @@ class IndexPersistSpec extends AnyFunSuite {
       val ivf = SparkEntry.queries("sim_index_persist")(spark, TestSpark.sf0001)
       val pq = SparkEntry.queries("sim_pq_persist")(spark, TestSpark.sf0001)
       val app = SparkEntry.queries("sim_index_append")(spark, TestSpark.sf0001)
-      ivf.schema; pq.schema; app.schema // force analysis — plan-only work
+      val cpt = SparkEntry.queries("sim_index_compact")(spark, TestSpark.sf0001)
+      ivf.schema; pq.schema; app.schema; cpt.schema // analysis: plan-only
       org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
       // The ONLY jobs allowed at plan time are the source-table footer
       // reads (`spark.read.parquet` on embeddings, Tables.scala — one
@@ -87,7 +109,8 @@ class IndexPersistSpec extends AnyFunSuite {
         s"serve-path construction ran non-source jobs at " +
           s"[${offending.mkString("; ")}] — training or artifact schema " +
           "inference has leaked into the serve plan")
-      assert(ivf.count() > 0 && pq.count() > 0 && app.count() > 0)
+      assert(ivf.count() > 0 && pq.count() > 0 && app.count() > 0 &&
+        cpt.count() > 0)
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 }
