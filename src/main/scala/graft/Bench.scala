@@ -87,7 +87,9 @@ object Bench {
     // round 16: the incremental-append serve path (v1 + v2 posting
     // union against frozen centroids — the daily-ingest ANN shape;
     // first rep pays the one-time v1 build + delta assignment write)
-    "sim_index_append")
+    // and its streaming twin (stream-static broadcast scoring, a
+    // microbatch shape nothing else in the sweep exercises)
+    "sim_index_append", "sim_stream_ingest")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at

@@ -711,6 +711,55 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
     }),
 
+    // -- STREAMING ingest into the index: the continuous twin of
+    //    sim_index_append ---------------------------------------------------
+    //    New vectors arrive as a STREAM (readStream over the delta
+    //    batch, AvailableNow) and are scored against the BROADCAST
+    //    frozen centroids as a stateless stream-static join — the
+    //    shape that runs unbounded on a real feed (no stream-side
+    //    state, no watermark needed; the dedup_stream_probe pattern on
+    //    the ANN surface). The per-vector argmax and the serve join
+    //    run batch-side on the sink output, so the result is
+    //    definitionally the same frozen-centroid assignment the batch
+    //    append computes — one oracle gates both, and
+    //    StreamIngestSpec pins engine-level equality with
+    //    sim_index_append's loaded-artifact serve.
+    "sim_stream_ingest" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isDelta = pmod(col("vec_id"), lit(10L)) === 7
+      val (cent, asgBase) = ivfIndexFrames(s, e.filter(!isDelta))
+      val scratch = "target/verify_scratch/stream_ingest_" +
+        new java.io.File(d).getName
+      // ALWAYS rewrite (the dedup_stream_probe discipline): memoizing
+      // on the dir basename would replay stale input after a testdata
+      // regeneration while the oracle reads fresh data
+      e.filter(isDelta).write.mode("overwrite").parquet(scratch)
+      val stream = s.readStream.schema(e.schema).parquet(scratch)
+      val scored = stream.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("c_label"),
+          Vectors.cosineScaled(s, col("embedding"), col("c_v")).as("a_icos"))
+      val sink = "sim_stream_ingest_" + System.nanoTime()
+      val q = scored.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      // batch-side argmax over the sink rows (k rows per vector), then
+      // drop the memory table so repeat invocations don't leak views
+      val delta = s.table(sink)
+        .groupBy("vec_id")
+        .agg(min(struct((-col("a_icos")).as("ni"), col("c_label").as("cl"),
+          col("embedding").as("emb"))).as("m"))
+        .select(col("vec_id"), col("m.emb").as("embedding"),
+          col("m.cl").as("c_label"))
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      ivfServe(s, cent, asgBase.unionByName(delta),
+        e.filter(col("vec_id") < NQUERIES)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v")))
+    }),
+
     // -- index DELETE + COMPACTION: the third leg of the lifecycle ------
     //    (build: sim_index_persist; append: sim_index_append). A
     //    deterministic tombstone slice (vec_id % 10 = 3 — takedowns,
@@ -1347,6 +1396,16 @@ object Similarity extends QueryModule {
     // the FULL corpus against those frozen centroids — exactly the
     // v1-train + v2-assign union the engine serves
     "sim_index_append" -> s"""
+      WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "",
+        baseCond = "vec_id % 10 <> 7")}
+      SELECT q_id, rk, vec_id, icos_e6
+      FROM ranked WHERE rk <= $IVFK
+      ORDER BY q_id, rk""",
+
+    // the streaming ingest computes the SAME frozen-centroid
+    // assignment as the batch append (stream-static scoring + batch
+    // argmax), so the append oracle gates it verbatim
+    "sim_stream_ingest" -> s"""
       WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "",
         baseCond = "vec_id % 10 <> 7")}
       SELECT q_id, rk, vec_id, icos_e6
