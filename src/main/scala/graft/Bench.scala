@@ -110,7 +110,7 @@ object Bench {
       "dedup_winnow_clusters", "dedup_winnow_pairs", "dedup_wminhash_pairs",
       "dedup_lsh_recall", "pipe_dedup_rate_curve",
       "graph_triangles", "graph_tri_estimate", "sim_knn_graph",
-      "sim_pq_topk", "sim_sparse_pairs"),
+      "sim_pq_topk", "sim_sq_topk", "sim_sparse_pairs"),
     "iterative fixed-round graph loops (PageRank power iteration, " +
       "k-core peel): the per-round agg+join plan is the one timed by " +
       "scaled_cc_x20's contract-then-solve loop family; gate-scale graph " +
@@ -840,6 +840,9 @@ object Bench {
     val pq = (1 to 2).map(_ => timeOne("scaled_pq_x20", () =>
       graft.queries.Similarity.pqTopkFrom(
         spark.read.parquet(embPath), scaledEmbQueryPred, topK = 10)))
+    val sq = (1 to 2).map(_ => timeOne("scaled_sq_x20", () =>
+      graft.queries.Similarity.sqTopkFrom(
+        spark.read.parquet(embPath), scaledEmbQueryPred, topK = 10)))
     // Structured Streaming at x20 (2M events / 30k users replayed via
     // AvailableNow): exercises the real state-store path — watermark
     // advance, window eviction, merging session state — at 20x the
@@ -1130,6 +1133,7 @@ object Bench {
       "scaled_substr_x20" -> substr.min,
       "scaled_ivf_x20" -> ivf.min,
       "scaled_pq_x20" -> pq.min,
+      "scaled_sq_x20" -> sq.min,
       "scaled_stream_window_x20" -> stw.min,
       "scaled_stream_session_x20" -> sts.min,
       "scaled_stream_chain_x20" -> stc.min,

@@ -388,6 +388,59 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rk")
   }
 
+  /** Shortlist size for [[sqTopkFrom]] — same contract as [[PQ_R]]. */
+  private val SQ_R = 64
+
+  /** Top-k via SCALAR QUANTIZATION (SQ8 — the FAISS
+    * ScalarQuantizer/QT_8bit point on the compression curve, next to
+    * IVF and PQ): each dimension is independently affine-quantized to
+    * an 8-bit code against per-dimension [lo, hi] trained in ONE
+    * corpus aggregate, candidates are ranked by integer squared-L2
+    * against the DEQUANTIZED codes, and the SQ_R shortlist gets the
+    * same exact integer re-rank as PQ. All arithmetic integer
+    * micro-units end to end — code = ((v-lo)*255) DIV max(hi-lo, 1),
+    * recon = lo + (code*(hi-lo)) DIV 255, every operand non-negative
+    * so Spark's truncating DIV and DuckDB's floor // agree — which is
+    * what makes the oracle mirror bit-exact rather than statistical.
+    *
+    * Scale shape: training is one 2·DIM-cell aggregate (vs PQ's Lloyd
+    * rounds — SQ is the train-free end of the curve); scoring is a
+    * broadcast of |queries|·DIM against the corpus long form with
+    * map-side partial aggs; full vectors are touched only by the
+    * SQ_R-row exact re-rank.
+    */
+  def sqTopkFrom(emb: DataFrame,
+      queryPred: Column = col("vec_id") < NQUERIES,
+      topK: Int = IVFK): DataFrame = {
+    val lf = longForm(emb)
+    val st = lf.groupBy("d").agg(min("v").as("lo"), max("v").as("hi"))
+    val rec = lf.join(broadcast(st), "d")
+      .select(col("vec_id"), col("d"),
+        (col("lo") + expr(
+          "(((v - lo) * 255) DIV greatest(hi - lo, 1)) * (hi - lo) DIV 255"))
+          .as("r"))
+    val q = longForm(emb.filter(queryPred))
+      .select(col("vec_id").as("q_id"), col("d"), col("v").as("qv"))
+    val approx = rec.join(broadcast(q), "d")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum((col("qv") - col("r")) * (col("qv") - col("r"))).as("adist"))
+    val wSq = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+    val shortlist = approx.withColumn("arn", row_number().over(wSq))
+      .filter(col("arn") <= SQ_R)
+      .select("q_id", "vec_id")
+    val exact = shortlist
+      .join(lf, "vec_id")
+      .join(q, Seq("q_id", "d"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum((col("qv") - col("v")) * (col("qv") - col("v"))).as("l2_dist"))
+    val wL2 = Window.partitionBy("q_id").orderBy(col("l2_dist"), col("vec_id"))
+    exact.withColumn("rk", row_number().over(wL2))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("l2_dist"))
+      .orderBy("q_id", "rk")
+  }
+
   /** SemDeDup (Abbas et al. 2023)-shaped semantic dedup: k-means the
     * embedding space, then compare pairs ONLY within a cluster; a
     * vector is dropped when a smaller-id cluster-mate sits above the
@@ -637,6 +690,10 @@ object Similarity extends QueryModule {
 
     // -- product-quantization top-k (see pqTopkFrom) -----------------------
     "sim_pq_topk" -> ((s, d) => pqTopkFrom(Tables.embeddings(s, d))),
+
+    // -- scalar-quantization top-k (see sqTopkFrom): the train-free
+    //    8-bit point on the compression curve next to IVF and PQ ------
+    "sim_sq_topk" -> ((s, d) => sqTopkFrom(Tables.embeddings(s, d))),
 
     // -- seeded-IVF approximate top-k (see ivfTopkFrom) -------------------
     "sim_ivf_topk" -> ((s, d) => ivfTopkFrom(s, Tables.embeddings(s, d))),
@@ -1471,7 +1528,49 @@ object Similarity extends QueryModule {
       FROM tt, h""",
 
     "sim_pq_topk" -> pqTopkSql,
-    "sim_pq_persist" -> pqTopkSql
+    "sim_pq_persist" -> pqTopkSql,
+
+    // SQ8 mirrored integer-for-integer: per-dim [lo,hi] stats, affine
+    // code, dequantized squared-L2 shortlist, exact re-rank — every
+    // division operand non-negative, so // ≡ DIV
+    "sim_sq_topk" -> s"""
+      WITH e AS (
+             SELECT vec_id, ii.i AS d,
+                    floor(embedding[ii.i]::DOUBLE * 1e6 + 0.5)::BIGINT AS v
+             FROM embeddings
+             CROSS JOIN (SELECT unnest(range(1, $DIM + 1)) AS i) ii),
+           st AS (SELECT d, min(v) AS lo, max(v) AS hi FROM e GROUP BY d),
+           rec AS (SELECT e.vec_id, e.d,
+                          st.lo + (((e.v - st.lo) * 255)
+                            // greatest(st.hi - st.lo, 1))
+                            * (st.hi - st.lo) // 255 AS r
+                   FROM e JOIN st USING (d)),
+           q AS (SELECT vec_id AS q_id, d, v AS qv FROM e
+                 WHERE vec_id < $NQUERIES),
+           ad AS (SELECT q.q_id, r.vec_id,
+                         sum((q.qv - r.r) * (q.qv - r.r)) AS adist
+                  FROM q JOIN rec r USING (d)
+                  WHERE r.vec_id <> q.q_id
+                  GROUP BY q.q_id, r.vec_id),
+           sl AS (SELECT q_id, vec_id FROM (
+                    SELECT q_id, vec_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS arn
+                    FROM ad)
+                  WHERE arn <= $SQ_R),
+           ex AS (SELECT s.q_id, s.vec_id,
+                         sum((q.qv - e.v) * (q.qv - e.v))::BIGINT AS l2_dist
+                  FROM sl s
+                  JOIN e ON e.vec_id = s.vec_id
+                  JOIN q ON q.q_id = s.q_id AND q.d = e.d
+                  GROUP BY s.q_id, s.vec_id)
+      SELECT q_id, rk, vec_id, l2_dist FROM (
+        SELECT q_id, vec_id, l2_dist,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY l2_dist, vec_id) AS rk
+        FROM ex)
+      WHERE rk <= $IVFK
+      ORDER BY q_id, rk"""
   )
 
   private lazy val ivfTopkSql: String = s"""

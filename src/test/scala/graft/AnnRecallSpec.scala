@@ -83,6 +83,13 @@ class AnnRecallSpec extends AnyFunSuite {
     val pq = byQuery("sim_pq_topk", 5)
     val r = recallAt(5, pq, exact)
     assert(r >= 0.5, s"PQ recall@5 (vs exact L2) = $r")
+    // SQ8 quantizes each dimension independently at 8-bit resolution —
+    // far finer than PQ's 16-codeword subspaces — so with the same
+    // exact re-rank its shortlist should essentially never miss a
+    // true L2 neighbor; gate it strictly above the PQ floor.
+    val sq = byQuery("sim_sq_topk", 5)
+    val rSq = recallAt(5, sq, exact)
+    assert(rSq >= 0.9, s"SQ recall@5 (vs exact L2) = $rSq")
   }
 
   test("brute force is self-consistent: 5 queries x full top-10") {
