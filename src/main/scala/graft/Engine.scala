@@ -34,6 +34,17 @@ object Engine {
       // Pinned HERE (not mutated inside a loader) so every session —
       // including raw reads that bypass Tables — behaves identically.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local[n] = the "executor" IS the driver JVM, so a long full-GC
+      // pause or a co-tenant CPU-starvation stall freezes heartbeats
+      // for both sides at once — and the default 120 s expiry then
+      // KILLS the only executor, wedging the whole session (observed
+      // r16: a 127.7 s stall under box load 22 took down a sweep at
+      // scaled_lpa_x20). A real cluster wants prompt expiry to replace
+      // lost remote executors; single-JVM local mode has nothing to
+      // replace, so the honest move is tolerating stalls up to the
+      // scale of the longest observed one.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "20s")
       .config("spark.ui.enabled", "false")
 
   def session(
