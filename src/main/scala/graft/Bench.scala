@@ -89,7 +89,12 @@ object Bench {
     // first rep pays the one-time v1 build + delta assignment write)
     // and its streaming twin (stream-static broadcast scoring, a
     // microbatch shape nothing else in the sweep exercises)
-    "sim_index_append", "sim_stream_ingest")
+    "sim_index_append", "sim_stream_ingest",
+    // round 17: the persisted-tokenizer serve path (first rep pays the
+    // one-time merge-table train, later reps time the loaded-artifact
+    // replace-chain application — the build-once/apply-many split on
+    // the repo's most expensive trained artifact)
+    "txt_bpe_persist")
 
   /** Registry queries deliberately NOT in the timed sweep, grouped by a
     * one-line reason. Coverage is CLOSED: [[checkSweepCoverage]] (run at
@@ -125,9 +130,13 @@ object Bench {
       "shortlist rounds on top of the identical scan; ivf_recall runs " +
       "the ivf + brute twins both already timed, joined on a " +
       "queries-x-k frame; index_compact serves the identical loaded-" +
-      "artifact plan sim_index_persist times, minus 10% of rows)" -> Seq(
+      "artifact plan sim_index_persist times, minus 10% of rows; " +
+      "pq_recall/sq_recall run the pq/sq + brute twins all timed at 20x " +
+      "by scaled_{pq,sq}_x20 + the brute scan, joined on a queries-x-k " +
+      "frame)" -> Seq(
       "sim_range_search", "sim_filtered_topk", "sim_mmr_rerank",
-      "sim_ivf_recall", "sim_index_compact"),
+      "sim_ivf_recall", "sim_pq_recall", "sim_sq_recall",
+      "sim_index_compact"),
     "cap-parity probe on a 40-edge synthetic star+clique graph: exists " +
       "to exercise edgeJaccardFrom's capped path against the oracle " +
       "mirror every round; the operator's cost is timed at 20x by " +
@@ -135,11 +144,11 @@ object Bench {
     "observe()-accumulator metrics demo, shard manifest, PSI drift " +
       "audit: one corpus scan + one hash agg each (drift's windows run " +
       "over <= 17 post-agg rows), scan-bound twins of the timed " +
-      "pipe_split shape; embed_drift reads the persisted assignment " +
-      "frame sim_index_persist already times and windows over |cells| " +
-      "rows" -> Seq(
+      "pipe_split shape; embed_drift / embed_drift_v2 read persisted " +
+      "assignment frames (sim_index_persist / sim_index_append already " +
+      "time those serve paths) and window over |cells| rows" -> Seq(
       "pipe_observe_metrics", "pipe_shard_manifest", "pipe_drift",
-      "pipe_embed_drift"),
+      "pipe_embed_drift", "pipe_embed_drift_v2"),
     "event-time BATCH variants of timed representatives (ev_sessionize / " +
       "ev_asof_join / ev_range_join / ev_sliding / ev_gap_fill / " +
       "ev_outliers / ev_funnel / ev_asof_nearest): same scan + window / " +

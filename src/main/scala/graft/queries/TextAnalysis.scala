@@ -244,6 +244,35 @@ object TextAnalysis extends QueryModule {
       "(length(seg) - length(replace(seg, '|', ''))) DIV 2").as("n_sub"))
   }
 
+  /** Parquet schema of the persisted BPE merge-table artifact
+    * (`txt_bpe_persist`) — pinned as DDL so the serve path reads it
+    * without a schema-inference footer job.
+    */
+  private[graft] val BPE_MERGES_DDL =
+    "rank BIGINT, l STRING, r STRING, cnt BIGINT"
+
+  /** Per-document (n_words, n_bpe) from a per-word subword table — the
+    * corpus-scale application leg shared by txt_token_bpe (inline
+    * train) and txt_bpe_persist (loaded artifact): encode runs on the
+    * distinct-word table and joins back by word, so repeated words are
+    * never re-segmented.
+    */
+  private def bpeDocCounts(s: SparkSession, d: String,
+      wsub: DataFrame): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.TokenizeExplode
+        .tokenize(s, lower(col("text"))).as("w"))
+      .join(broadcast(wsub), Seq("w")) // vocab-sized build side
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** Okapi BM25 (Robertson & Zaragoza, FnTIR 2009; k1 = 1.2,
     * b = 0.75) of every document against the corpus's three highest-df
     * query terms, as top-20 (doc_id, score_e6, n_hit). Per-term
@@ -337,19 +366,42 @@ object TextAnalysis extends QueryModule {
     //    application never re-segments repeated words ------------------
     "txt_token_bpe" -> ((s, d) => {
       val words = bpeWords(s, d).localCheckpoint() // train + encode share it
-      val wsub = bpeWordSubwords(words, bpeTrain(words, BPE_MERGES))
-      val perDoc = Tables.documents(s, d)
-        .select(col("doc_id"), graft.functions.TokenizeExplode
-          .tokenize(s, lower(col("text"))).as("w"))
-        .join(broadcast(wsub), Seq("w")) // vocab-sized build side
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe"))
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_words"), lit(0L)).as("n_words"),
-          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
-        .orderBy("doc_id")
+      bpeDocCounts(s, d,
+        bpeWordSubwords(words, bpeTrain(words, BPE_MERGES)))
+    }),
+
+    // -- PERSISTED tokenizer: train the merge table ONCE into a
+    //    parquet artifact, apply it many times (r16 verdict #2) --------
+    //    The sim_index_persist discipline on the repo's most expensive
+    //    trained artifact: bpeTrain's per-round collect+checkpoint
+    //    chain runs only inside the one-time writeOnce (keyed by the
+    //    SOURCE fingerprint — the driver regenerates testdata between
+    //    rounds); every later invocation LOADS the nMerges-row merge
+    //    table (one tiny explicit-schema parquet read — the only job
+    //    the serve path is allowed) and pays just the codegen'd
+    //    replace-chain application. This is the contract an LLM
+    //    pipeline actually runs: tokenizer.json ships once, encode
+    //    runs per training batch. BpePersistSpec pins bit-equality
+    //    with the inline train and that serving runs no training jobs
+    //    (no localCheckpoint round chain, exactly one artifact read).
+    "txt_bpe_persist" -> ((s, d) => {
+      val base = Io.scratch(s, "bpe_merges")
+      Io.writeOnce(base, d + "|" + Io.srcSig(d, "documents")) {
+        val words = bpeWords(s, d).localCheckpoint()
+        val sp = s
+        import sp.implicits._
+        bpeTrain(words, BPE_MERGES).toDF("rank", "l", "r", "cnt")
+          .coalesce(1).write.mode("overwrite").parquet(base)
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(words)
+      }
+      // the LOADED artifact is the only tokenizer input from here on:
+      // explicit schema (no inference footer job), one collect of
+      // BPE_MERGES rows to build the replace chain
+      val merges = s.read.schema(BPE_MERGES_DDL).parquet(base)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      bpeDocCounts(s, d, bpeWordSubwords(bpeWords(s, d), merges))
     }),
 
     // -- context-window chunking (width 64 tokens, stride 48) -------------
@@ -1700,6 +1752,26 @@ object TextAnalysis extends QueryModule {
               FROM wg)
        SELECT doc_id, fp FROM wf)"""
 
+  /** Train-then-encode oracle shared by txt_token_bpe (inline) and
+    * txt_bpe_persist (loaded artifact): the unrolled training CTEs +
+    * the word-table encode + per-doc re-agg.
+    */
+  private lazy val tokenBpeSql: String = s"""
+      ${bpeCtesSql(BPE_MERGES)},
+      ws AS (SELECT w,
+                    (length(seg) - length(replace(seg, '|', ''))) // 2 AS n_sub
+             FROM s$BPE_MERGES),
+      tok AS (SELECT doc_id, unnest($sqlToksLower) AS w FROM documents),
+      agg AS (SELECT t.doc_id, count(1)::BIGINT AS n_words,
+                     sum(ws.n_sub)::BIGINT AS n_bpe
+              FROM tok t JOIN ws USING (w)
+              GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_words, 0)::BIGINT AS n_words,
+             coalesce(a.n_bpe, 0)::BIGINT AS n_bpe
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
+
   override def oracles: Map[String, String] = Map(
     "txt_chunk" -> s"""
       WITH t AS (SELECT doc_id, $sqlToks AS ts FROM documents),
@@ -1799,21 +1871,11 @@ object TextAnalysis extends QueryModule {
       ORDER BY rank"""
     },
 
-    "txt_token_bpe" -> s"""
-      ${bpeCtesSql(BPE_MERGES)},
-      ws AS (SELECT w,
-                    (length(seg) - length(replace(seg, '|', ''))) // 2 AS n_sub
-             FROM s$BPE_MERGES),
-      tok AS (SELECT doc_id, unnest($sqlToksLower) AS w FROM documents),
-      agg AS (SELECT t.doc_id, count(1)::BIGINT AS n_words,
-                     sum(ws.n_sub)::BIGINT AS n_bpe
-              FROM tok t JOIN ws USING (w)
-              GROUP BY t.doc_id)
-      SELECT d.doc_id,
-             coalesce(a.n_words, 0)::BIGINT AS n_words,
-             coalesce(a.n_bpe, 0)::BIGINT AS n_bpe
-      FROM documents d LEFT JOIN agg a USING (doc_id)
-      ORDER BY d.doc_id""",
+    "txt_token_bpe" -> tokenBpeSql,
+    // the loaded-artifact tokenizer is bit-equal to the inline train
+    // (BpePersistSpec — the sim_index_persist discipline), so the SAME
+    // oracle gates it
+    "txt_bpe_persist" -> tokenBpeSql,
 
     "txt_rolling_hash" -> s"""
       SELECT doc_id,
