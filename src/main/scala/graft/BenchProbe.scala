@@ -314,16 +314,23 @@ object BenchProbe {
       val pairs = graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(p), ordered = false)
         .select("a_id", "b_id").localCheckpoint(true)
-      def time1(label: String)(mkDf: => DataFrame): Unit = {
+      // releasable variants (r16 ADVICE #4 closure): consume, then
+      // free the surviving state + edge checkpoints — the probe now
+      // demonstrates the lifecycle a long-lived sweep would need
+      // instead of pinning three state-sized frames until exit
+      def time1(label: String)(mk: => (DataFrame, () => Unit)): Unit = {
         val t0 = System.nanoTime()
-        mkDf.write.mode("overwrite").format("noop").save()
+        val (df, release) = mk
+        df.write.mode("overwrite").format("noop").save()
+        release()
         println(f"[probe] relax8 $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
-      time1("bfs rounds=8 cp=4")(graft.queries.Dedup.bfsFromPairs(
+      time1("bfs rounds=8 cp=4")(graft.queries.Dedup.bfsFromPairsReleasable(
         pairs, graft.queries.Dedup.BFS_SEEDS, 8, 4))
-      time1("harmonic rounds=8 cp=4")(graft.queries.Dedup.harmonicFromPairs(
-        pairs, graft.queries.Dedup.BFS_SEEDS, 8, 4))
-      time1("lpa rounds=8 cp=4")(graft.queries.Dedup.lpaFromPairs(
+      time1("harmonic rounds=8 cp=4")(
+        graft.queries.Dedup.harmonicFromPairsReleasable(
+          pairs, graft.queries.Dedup.BFS_SEEDS, 8, 4))
+      time1("lpa rounds=8 cp=4")(graft.queries.Dedup.lpaFromPairsReleasable(
         pairs, 8, 4))
       spark.stop(); return
     }

@@ -1690,19 +1690,25 @@ object Dedup extends QueryModule {
     * deep-rounds path is exercised by `BenchProbe relax8` and pinned
     * value-identical in BfsSpec.
     *
-    * Lifetime note (r15 ADVICE): the LAST surviving checkpoint is
-    * deliberately NOT released here — the lazy result may still read
-    * it — and no release handle is returned, so each deep-rounds
-    * invocation pins one state-sized frame in the block manager for
-    * the session lifetime. Fine for the relax8 probe (session exits);
-    * if deep-rounds ever joins a long-lived sweep, materialize the
-    * result (the returned frame is a few lazy rounds on top of the
-    * last checkpoint — the final round never checkpoints) and then
-    * release that last checkpoint; the shape to add then is returning
-    * the checkpoint handle alongside the frame.
+    * Lifetime note (r15/r16 ADVICE, closed r17): the LAST surviving
+    * checkpoint is deliberately NOT released here — the lazy result
+    * still reads it. Callers that outlive the result (a long-lived
+    * sweep running deep rounds) should use
+    * [[bfsFromPairsReleasable]]: MATERIALIZE the result (the returned
+    * frame is a few lazy rounds on top of the last checkpoint — the
+    * final round never checkpoints), then call the hook, which frees
+    * the last state checkpoint AND the symmetrized edge checkpoint.
+    * After the hook fires the frame cannot be recomputed (local
+    * checkpoints have no lineage). This 4-arg form discards the hook
+    * — fine for session-exiting probes and tests.
     */
   def bfsFromPairs(pairs0: DataFrame, seeds: Int,
-      rounds: Int, checkpointEvery: Int): DataFrame = {
+      rounds: Int, checkpointEvery: Int): DataFrame =
+    bfsFromPairsReleasable(pairs0, seeds, rounds, checkpointEvery)._1
+
+  /** See [[bfsFromPairs]]: returns (result, release hook). */
+  def bfsFromPairsReleasable(pairs0: DataFrame, seeds: Int,
+      rounds: Int, checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
     var dist = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
@@ -1722,8 +1728,22 @@ object Dedup extends QueryModule {
         dist = next
       }
     }
-    dist.select(col("id").as("doc_id"), col("dist"))
-      .orderBy("doc_id")
+    val lastCp = distCp
+    (dist.select(col("id").as("doc_id"), col("dist"))
+      .orderBy("doc_id"),
+      releaseHook(lastCp, edges))
+  }
+
+  /** Release hook over the frames a relaxation loop retains: the final
+    * surviving state checkpoint (if any) + the symmetrized edge
+    * checkpoint. Idempotent; only call once the consumer is done with
+    * the RESULT frame (checkpoints have no lineage to recompute from).
+    */
+  private def releaseHook(cps: DataFrame*): () => Unit = {
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () => if (released.compareAndSet(false, true))
+      cps.filter(_ != null).foreach(
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint)
   }
 
   /** Harmonic centrality from the BFS seed set, bounded depth:
@@ -1747,7 +1767,12 @@ object Dedup extends QueryModule {
     * sooner here.
     */
   def harmonicFromPairs(pairs0: DataFrame, seeds: Int,
-      rounds: Int, checkpointEvery: Int): DataFrame = {
+      rounds: Int, checkpointEvery: Int): DataFrame =
+    harmonicFromPairsReleasable(pairs0, seeds, rounds, checkpointEvery)._1
+
+  /** See [[bfsFromPairs]]'s lifetime note: (result, release hook). */
+  def harmonicFromPairsReleasable(pairs0: DataFrame, seeds: Int,
+      rounds: Int, checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
     val seedIds = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
@@ -1770,12 +1795,14 @@ object Dedup extends QueryModule {
         dist = next
       }
     }
-    dist.filter(col("dist") > 0)
+    val lastCp = distCp
+    (dist.filter(col("dist") > 0)
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_seeds_reached"),
         sum(expr("1000000 DIV dist")).as("harmonic_e6"))
       .orderBy(col("harmonic_e6").desc, col("doc_id"))
-      .limit(25)
+      .limit(25),
+      releaseHook(lastCp, edges))
   }
 
   /** Walk length for [[walksFromPairs]] and its oracle. */
@@ -1855,7 +1882,12 @@ object Dedup extends QueryModule {
 
   /** `checkpointEvery` as in [[bfsFromPairs]]. */
   def lpaFromPairs(pairs0: DataFrame, rounds: Int,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int): DataFrame =
+    lpaFromPairsReleasable(pairs0, rounds, checkpointEvery)._1
+
+  /** See [[bfsFromPairs]]'s lifetime note: (result, release hook). */
+  def lpaFromPairsReleasable(pairs0: DataFrame, rounds: Int,
+      checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
@@ -1877,9 +1909,11 @@ object Dedup extends QueryModule {
       }
     }
     // edges stays checkpointed until the caller consumes the (lazy)
-    // result — the one frame this call retains, like PageRank's
-    lab.select(col("id").as("doc_id"), col("lab").as("community"))
-      .orderBy("doc_id")
+    // result; the hook releases it together with the last state cp
+    val lastCp = labCp
+    (lab.select(col("id").as("doc_id"), col("lab").as("community"))
+      .orderBy("doc_id"),
+      releaseHook(lastCp, edges))
   }
   /** Per-cluster quality report over the near-dup CC partition — the
     * curation dial for whether cluster-dedup is collapsing genuine
