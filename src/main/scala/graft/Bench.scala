@@ -144,11 +144,12 @@ object Bench {
     "observe()-accumulator metrics demo, shard manifest, PSI drift " +
       "audit: one corpus scan + one hash agg each (drift's windows run " +
       "over <= 17 post-agg rows), scan-bound twins of the timed " +
-      "pipe_split shape; embed_drift / embed_drift_v2 read persisted " +
-      "assignment frames (sim_index_persist / sim_index_append already " +
-      "time those serve paths) and window over |cells| rows" -> Seq(
+      "pipe_split shape; embed_drift / embed_drift_v2 / index_stats " +
+      "read persisted assignment frames (sim_index_persist / " +
+      "sim_index_append already time those serve paths) and window " +
+      "over |cells| rows" -> Seq(
       "pipe_observe_metrics", "pipe_shard_manifest", "pipe_drift",
-      "pipe_embed_drift", "pipe_embed_drift_v2"),
+      "pipe_embed_drift", "pipe_embed_drift_v2", "sim_index_stats"),
     "event-time BATCH variants of timed representatives (ev_sessionize / " +
       "ev_asof_join / ev_range_join / ev_sliding / ev_gap_fill / " +
       "ev_outliers / ev_funnel / ev_asof_nearest): same scan + window / " +
@@ -221,8 +222,8 @@ object Bench {
       "txt_quality / txt_winnow / txt_lm_score / txt_entropy / " +
       "txt_gopher: same fused-generator scan shape; BPE is timed by the " +
       "scaled_bpe rows" -> Seq(
-      "txt_bigrams", "txt_bpe_merges", "txt_code_detect", "txt_dup_ngrams",
-      "txt_fingerprint",
+      "txt_bigrams", "txt_bpe_merges", "txt_bpe_stats", "txt_code_detect",
+      "txt_dup_ngrams", "txt_fingerprint",
       "txt_heavy_hitters", "txt_lang_id", "txt_length_hist", "txt_pack",
       "txt_pmi", "txt_rake", "txt_redact", "txt_repetition",
       "txt_rolling_hash", "txt_token_bpe", "txt_token_estimate",
@@ -335,6 +336,28 @@ object Bench {
     * @return (workload A min-of-3 at 16 threads,
     *          workload B min-of-5 at 1 thread — BASELINE.md's configs)
     */
+  /** Fingerprint of a file tree (sorted names + sizes + mtimes,
+    * recursive) — the [[srcSig]] discipline for NON-parquet inputs:
+    * keys the compiled reference binary on /root/reference's current
+    * bytes and each concat file on its corpus dir (r16 ADVICE: the old
+    * bare-existence caches would silently re-time stale artifacts as
+    * the live C baseline if either changed between rounds).
+    */
+  private def dirSig(dir: java.io.File): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val parts = walk(dir).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    java.lang.Long.toHexString(parts.mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
+  // set by timeRefC for timeRefCMidSweep (same binary + concat, so the
+  // mid-sweep sample can never race a key change within one sweep)
+  @volatile private var refCBin: java.io.File = null
+  @volatile private var refCConcatA: java.io.File = null
+
   private def timeRefC(aDir: String, bDir: String): (Double, Double) = try {
     def exec(cmd: String*): Unit = {
       val p = new ProcessBuilder(cmd: _*)
@@ -343,23 +366,34 @@ object Bench {
       require(p.waitFor() == 0, s"${cmd.head} exited nonzero")
     }
     val build = new java.io.File("target/bench_scratch/refbuild")
-    val bin = new java.io.File(build, "mapred_woc")
+    val bin = new java.io.File(build,
+      s"mapred_woc_${dirSig(new java.io.File("/root/reference"))}")
     if (!bin.exists()) {
-      exec("rm", "-rf", build.getPath)
-      exec("cp", "-r", "/root/reference", build.getPath)
-      exec("make", "-C", build.getPath)
-      // keep ONLY the compiled binary: no reference SOURCE may live
-      // inside the repo tree, even transiently under target/ — this
-      // scratch exists to execute the public reference, not to hold
-      // its code
-      Seq("src", "obj", "dep", "Makefile", "test_input1", "test_input2")
-        .foreach(n => exec("rm", "-rf", new java.io.File(build, n).getPath))
+      exec("rm", "-rf", build.getPath) // drop stale-sig binaries too
+      build.mkdirs()
+      // Build OUTSIDE the repo tree (r16 ADVICE, medium): no reference
+      // SOURCE may live inside the repo even transiently — the old
+      // in-tree copy + post-make strip left the sources behind
+      // whenever make failed (the catch-all swallowed it). A /tmp
+      // build dir removed in finally cannot, whatever make does; only
+      // the compiled binary crosses into target/.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_refbuild")
+        .toFile
+      try {
+        val src = new java.io.File(tmp, "ref")
+        exec("cp", "-r", "/root/reference", src.getPath)
+        exec("make", "-C", src.getPath)
+        java.nio.file.Files.copy(
+          new java.io.File(src, "mapred_woc").toPath, bin.toPath)
+        bin.setExecutable(true)
+      } finally exec("rm", "-rf", tmp.getPath)
     }
     // the binary reads ONE file; the engine corpora are 32-part dirs —
-    // concatenate once (same bytes, part order is the deterministic
-    // part-file order both engines' readers enumerate)
-    def concat(dir: String, out: String): String = {
-      val f = new java.io.File(out)
+    // concatenate once per corpus fingerprint (same bytes, part order
+    // is the deterministic part-file order both engines enumerate)
+    def concat(dir: String, label: String): java.io.File = {
+      val f = new java.io.File("target/bench_scratch/" +
+        s"ref${label}_concat_${dirSig(new java.io.File(dir))}.txt")
       if (!f.exists()) {
         val os = new java.io.FileOutputStream(f)
         try new java.io.File(dir).listFiles()
@@ -367,17 +401,19 @@ object Bench {
           .foreach(p => java.nio.file.Files.copy(p.toPath, os))
         finally os.close()
       }
-      out
+      f
     }
-    val aF = concat(aDir, "target/bench_scratch/refA_concat.txt")
-    val bF = concat(bDir, "target/bench_scratch/refB_concat.txt")
+    val aF = concat(aDir, "A")
+    val bF = concat(bDir, "B")
+    refCBin = bin
+    refCConcatA = aF
     def run1(file: String, threads: Int): Double = {
       val t0 = System.nanoTime()
       exec(bin.getAbsolutePath, file, threads.toString)
       (System.nanoTime() - t0) / 1e9
     }
-    val a = (1 to 3).map(_ => run1(aF, 16)).min
-    val b = (1 to 5).map(_ => run1(bF, 1)).min
+    val a = (1 to 3).map(_ => run1(aF.getPath, 16)).min
+    val b = (1 to 5).map(_ => run1(bF.getPath, 1)).min
     System.err.println(f"[bench] live C reference on this box: " +
       f"A@16=$a%.3f s (BASELINE.md 0.67) B@1=$b%.3f s (BASELINE.md 0.108)")
     (a, b)
@@ -397,9 +433,10 @@ object Bench {
     * engine's own rows actually run under.
     */
   private def timeRefCMidSweep(aDir: String): Double = try {
-    val bin = new java.io.File("target/bench_scratch/refbuild/mapred_woc")
-    val aF = new java.io.File("target/bench_scratch/refA_concat.txt")
-    if (!bin.exists() || !aF.exists()) return Double.NaN
+    val bin = refCBin
+    val aF = refCConcatA
+    if (bin == null || aF == null || !bin.exists() || !aF.exists())
+      return Double.NaN
     def run1(): Double = {
       val t0 = System.nanoTime()
       val p = new ProcessBuilder(bin.getAbsolutePath, aF.getPath, "16")
@@ -1110,6 +1147,87 @@ object Bench {
       f"""{"metric":"info","scaled_coreness_x100_sec":$corSec%.3f,"scaled_coreness_x100_edges":$corenessEdges}""")
     org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(pairs100)
 
+    // ANN serve at the survives-100x regime (r16 verdict #6: the serve
+    // path's sweep evidence stopped at x20): the IVF index over the
+    // 200k-vector jittered x100 corpus is built ONCE into a parquet
+    // artifact (untimed — the sim_index_persist build/probe split,
+    // keyed through the corpus path's source fingerprint), then the
+    // LOADED-artifact serve is timed and its recall@10 graded against
+    // exact brute cosine over the same probes. Informational line,
+    // excluded from totals like the rest of the x100 block; any
+    // failure degrades to NaN, never fails the sweep.
+    val (serve100Sec, serve100Mille, serve100Vecs) = try {
+      snap("sim_serve_x100")
+      val emb100 = prepareScaledEmb(spark, sfDir, factor = 100)
+      val e100 = spark.read.parquet(emb100)
+      val idxBase = emb100 + "_ivfidx"
+      val (cent100, asg100) =
+        graft.queries.Similarity.ivfIndexFrames(spark, e100)
+      if (!new java.io.File(idxBase).exists()) {
+        cent100.write.mode("overwrite").parquet(s"$idxBase/centroids")
+        asg100.write.mode("overwrite").parquet(s"$idxBase/assigned")
+      }
+      val nVec = e100.count()
+      val q100 = e100.filter(scaledEmbQueryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+      val t0 = System.nanoTime()
+      val served = graft.queries.Similarity.ivfServe(spark,
+        spark.read.schema(cent100.schema).parquet(s"$idxBase/centroids"),
+        spark.read.schema(asg100.schema).parquet(s"$idxBase/assigned"),
+        q100, topK = 10).collect()
+      val sSec = (System.nanoTime() - t0) / 1e9
+      val exact = graft.queries.Similarity.bruteTopkFrom(spark, e100,
+        scaledEmbQueryPred, topK = 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nHit = served
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .count(exact.contains)
+      System.err.println(f"[bench] sim_serve_x100 serve=$sSec%.2f s " +
+        f"recall=${1000L * nHit / exact.size} mille over ${exact.size} pairs")
+      (sSec, 1000L * nHit / exact.size, nVec)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] sim_serve_x100 skipped: ${e.getMessage}")
+        (Double.NaN, -1L, -1L)
+    }
+
+    // Every scaled workload's full rep list ONCE — results (min), the
+    // warm total (min), and the cold total (head) all derive from this
+    // sequence, so a row added here can never be silently missing from
+    // a total (r16 ADVICE: scaled_snm/sq/lpa had drifted out of the
+    // hand-maintained total lists while present in results).
+    val scaledReps: Seq[(String, Seq[Double])] = Seq(
+      "scaled_minhash_x20" -> mh,
+      "scaled_cc_x20" -> cc,
+      "scaled_contam_x20" -> contam,
+      "scaled_bloom_x20" -> bloomC,
+      "scaled_contam_sparse_x20" -> contamS,
+      "scaled_bloom_sparse_x20" -> bloomS,
+      "scaled_chunk_x20" -> chunk,
+      "scaled_winnow_x20" -> winnow,
+      "scaled_ppjoin_x20" -> ppjoin,
+      "scaled_snm_x20" -> snm,
+      "scaled_sparse_x20" -> sparse,
+      "scaled_inc_x20" -> inc,
+      "scaled_substr_x20" -> substr,
+      "scaled_ivf_x20" -> ivf,
+      "scaled_pq_x20" -> pq,
+      "scaled_sq_x20" -> sq,
+      "scaled_stream_window_x20" -> stw,
+      "scaled_stream_session_x20" -> sts,
+      "scaled_stream_chain_x20" -> stc,
+      "scaled_stream_tws_x20" -> stt,
+      "scaled_bpe_x20" -> bpe,
+      "scaled_simhash_x20" -> simh,
+      "scaled_semantic_x20" -> sem,
+      "scaled_knng_x20" -> knng,
+      "scaled_tri_x20" -> tri,
+      "scaled_ejacc_x20" -> ejacc,
+      "scaled_kcore_x20" -> kcore,
+      "scaled_coreness_x20" -> coreness,
+      "scaled_lpa_x20" -> lpa,
+      "scaled_bpe_deep200" -> bpeDeep)
     val results = results0 ++ Seq(
       "ref_wordcount_12m" -> refRuns.min,
       "ref_wordcount_12m_median" -> median(refRuns),
@@ -1126,37 +1244,8 @@ object Bench {
       // the engine rows' own heap/box conditions)
       "ref_c_live_12m" -> refCLiveA,
       "ref_c_live_2m_skew" -> refCLiveB,
-      "ref_c_live_12m_midsweep" -> refCLiveAMid,
-      "scaled_minhash_x20" -> mh.min,
-      "scaled_cc_x20" -> cc.min,
-      "scaled_contam_x20" -> contam.min,
-      "scaled_bloom_x20" -> bloomC.min,
-      "scaled_contam_sparse_x20" -> contamS.min,
-      "scaled_bloom_sparse_x20" -> bloomS.min,
-      "scaled_chunk_x20" -> chunk.min,
-      "scaled_winnow_x20" -> winnow.min,
-      "scaled_ppjoin_x20" -> ppjoin.min,
-      "scaled_snm_x20" -> snm.min,
-      "scaled_sparse_x20" -> sparse.min,
-      "scaled_inc_x20" -> inc.min,
-      "scaled_substr_x20" -> substr.min,
-      "scaled_ivf_x20" -> ivf.min,
-      "scaled_pq_x20" -> pq.min,
-      "scaled_sq_x20" -> sq.min,
-      "scaled_stream_window_x20" -> stw.min,
-      "scaled_stream_session_x20" -> sts.min,
-      "scaled_stream_chain_x20" -> stc.min,
-      "scaled_stream_tws_x20" -> stt.min,
-      "scaled_bpe_x20" -> bpe.min,
-      "scaled_simhash_x20" -> simh.min,
-      "scaled_semantic_x20" -> sem.min,
-      "scaled_knng_x20" -> knng.min,
-      "scaled_tri_x20" -> tri.min,
-      "scaled_ejacc_x20" -> ejacc.min,
-      "scaled_kcore_x20" -> kcore.min,
-      "scaled_coreness_x20" -> coreness.min,
-      "scaled_lpa_x20" -> lpa.min,
-      "scaled_bpe_deep200" -> bpeDeep.min) ++ triX100 ++
+      "ref_c_live_12m_midsweep" -> refCLiveAMid) ++
+      scaledReps.map { case (k, reps) => k -> reps.min } ++ triX100 ++
       (if (triX100skipped) Seq("scaled_tri_x100_est_sec" -> triX100EstSec)
        else Seq.empty)
 
@@ -1166,22 +1255,17 @@ object Bench {
     def okSum(xs: Seq[Double]): Double = xs.filterNot(_.isNaN).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jNum(v) }
       .mkString("{", ",", "}")
-    // totals count each workload once: *_cold/*_median are informational
-    // (.min under TotalOrdering ranks NaN greatest, so a workload's min
-    // is its best SUCCESSFUL run; all-failed -> NaN -> excluded here)
-    val total = okSum(results0.map(_._2) ++ Seq(refRuns.min, refBRuns.min,
-      mh.min, cc.min, contam.min, bloomC.min, contamS.min,
-      bloomS.min, chunk.min, winnow.min, ppjoin.min, sparse.min,
-      inc.min, substr.min, ivf.min, pq.min, stw.min, sts.min,
-      stc.min, stt.min, bpe.min, simh.min, sem.min, knng.min, tri.min,
-      ejacc.min, kcore.min, coreness.min, bpeDeep.min))
-    val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head,
-      mh.head, cc.head, contam.head, bloomC.head, contamS.head,
-      bloomS.head, chunk.head, winnow.head, ppjoin.head,
-      sparse.head, inc.head, substr.head, ivf.head, pq.head,
-      stw.head, sts.head, stc.head, stt.head, bpe.head, simh.head,
-      sem.head, knng.head, tri.head, ejacc.head, kcore.head, coreness.head,
-      bpeDeep.head))
+    // totals count each workload once: *_cold/*_median/ref_c_live and
+    // the x100 info rows are informational (.min under TotalOrdering
+    // ranks NaN greatest, so a workload's min is its best SUCCESSFUL
+    // run; all-failed -> NaN -> excluded here). r17 note: deriving
+    // from scaledReps added the previously-omitted snm/sq/lpa rows
+    // (~+20 s warm vs the r16 denominator) — per-row comparisons are
+    // unaffected.
+    val total = okSum(results0.map(_._2) ++ Seq(refRuns.min, refBRuns.min) ++
+      scaledReps.map(_._2.min))
+    val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head) ++
+      scaledReps.map(_._2.head))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load at exit: the box is shared, and outside load
     // inflates the barrier-heavy workloads 2-4x — record it so a noisy
@@ -1262,6 +1346,9 @@ object Bench {
     // turns the wedge-budget refusal into a bounded-work answer
     println(s"""{"metric":"info","tri_x20_exact":$triExactX20,"tri_x20_estimate":$triEstX20,"tri_x100_estimate":$triX100Estimate,"tri_x100_est_sec":${jNum(triX100EstSec)},"tri_x100_est_wedges2":$triX100EstWedges2}""")
     corenessX100Info.foreach(println)
+    // the x100 serve-path evidence (r16 verdict #6): loaded-index IVF
+    // serve wall + recall@10 per-mille vs exact brute, every sweep
+    println(s"""{"metric":"info","sim_serve_x100_sec":${jNum(serve100Sec)},"sim_serve_x100_recall_mille":$serve100Mille,"sim_serve_x100_vectors":$serve100Vecs}""")
     // Pair-graph density + per-rep times for the regeneration-sensitive
     // rows (r15 verdict #1/#3/#5): the numbers that adjudicate a
     // timing move as corpus-density vs plan-regression vs load.

@@ -926,6 +926,38 @@ object Similarity extends QueryModule {
       psiOverCells(v1.unionByName(v2))
     }),
 
+    // -- IVF posting-list BALANCE audit over the persisted index -----------
+    //    The index-health check a vector store runs after every
+    //    build/append/compact: per-cell occupancy, corpus share in
+    //    ppm, and a balance factor vs perfect uniformity (1000 =
+    //    exactly corpus/nlist — the serve path's probe cost is
+    //    proportional to the probed cells' occupancy, so a cell at
+    //    balance 4000 means nprobe hits pay 4x the uniform estimate;
+    //    skew here is what drives IVF re-training decisions). Reads
+    //    the SAME persisted artifact sim_index_persist serves (shared
+    //    writeOnce key — whichever runs first pays the build); the
+    //    windows run over the |cells| post-agg frame (= nlist,
+    //    constant-size).
+    "sim_index_stats" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = Io.scratch(s, "ivf_index")
+      val (centB, asgB) = ivfIndexFrames(s, e)
+      Io.writeOnce(base, d + "|" + Io.srcSig(d, "embeddings")) {
+        centB.write.mode("overwrite").parquet(s"$base/centroids")
+        asgB.write.mode("overwrite").parquet(s"$base/assigned")
+      }
+      val asg = s.read.schema(asgB.schema).parquet(s"$base/assigned")
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      asg.groupBy("c_label").agg(count(lit(1)).as("n_vecs"))
+        .withColumn("n_total", sum("n_vecs").over(w))
+        .withColumn("n_cells", count(lit(1)).over(w))
+        .select(col("c_label"), col("n_vecs"),
+          expr("(1000000 * n_vecs) DIV n_total").as("share_ppm"),
+          expr("(1000 * n_vecs * n_cells) DIV n_total").as("balance_mille"))
+        .orderBy("c_label")
+    }),
+
     // -- persisted PQ codes + codebooks, served via ADC --------------------
     //    Same build-once/probe-many contract for the compressed index:
     //    training (pqIndex — the expensive Lloyd rounds) runs only
@@ -1565,6 +1597,22 @@ object Similarity extends QueryModule {
                         CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS half
                  FROM assigned),
            $psiCellsSqlTail""",
+
+    // per-cell occupancy + share/balance over the same frozen IVF
+    // assignment (windows over the constant-size post-agg frame)
+    "sim_index_stats" -> s"""
+      WITH ${ivfCtesSql(s"vec_id < $NQUERIES", "")},
+           g AS (SELECT c_label, count(1)::BIGINT AS n_vecs
+                 FROM assigned GROUP BY c_label),
+           t AS (SELECT c_label, n_vecs,
+                        sum(n_vecs) OVER () AS n_total,
+                        count(1) OVER () AS n_cells
+                 FROM g)
+      SELECT c_label, n_vecs,
+             ((1000000 * n_vecs) // n_total)::BIGINT AS share_ppm,
+             ((1000 * n_vecs * n_cells) // n_total)::BIGINT AS balance_mille
+      FROM t
+      ORDER BY c_label""",
 
     // approximate (ivf chain) vs exact (brute chain over the same e/q
     // CTEs) top-k overlap, reduced to the one-row integer metric

@@ -251,6 +251,30 @@ object TextAnalysis extends QueryModule {
   private[graft] val BPE_MERGES_DDL =
     "rank BIGINT, l STRING, r STRING, cnt BIGINT"
 
+  /** Ensure the persisted merge-table artifact exists (one-time train
+    * inside writeOnce, keyed by the documents source fingerprint) and
+    * return the LOADED merges in rank order — the only tokenizer input
+    * of every serve-path consumer (txt_bpe_persist, txt_bpe_stats):
+    * an explicit-schema read (no inference footer job) + one collect
+    * of BPE_MERGES rows to build the replace chain.
+    */
+  private def loadBpeMerges(s: SparkSession,
+      d: String): Seq[(Long, String, String, Long)] = {
+    val base = Io.scratch(s, "bpe_merges")
+    Io.writeOnce(base, d + "|" + Io.srcSig(d, "documents")) {
+      val words = bpeWords(s, d).localCheckpoint()
+      val sp = s
+      import sp.implicits._
+      bpeTrain(words, BPE_MERGES).toDF("rank", "l", "r", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(base)
+      org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(words)
+    }
+    s.read.schema(BPE_MERGES_DDL).parquet(base)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+  }
+
   /** Per-document (n_words, n_bpe) from a per-word subword table — the
     * corpus-scale application leg shared by txt_token_bpe (inline
     * train) and txt_bpe_persist (loaded artifact): encode runs on the
@@ -384,24 +408,49 @@ object TextAnalysis extends QueryModule {
     //    runs per training batch. BpePersistSpec pins bit-equality
     //    with the inline train and that serving runs no training jobs
     //    (no localCheckpoint round chain, exactly one artifact read).
-    "txt_bpe_persist" -> ((s, d) => {
-      val base = Io.scratch(s, "bpe_merges")
-      Io.writeOnce(base, d + "|" + Io.srcSig(d, "documents")) {
-        val words = bpeWords(s, d).localCheckpoint()
-        val sp = s
-        import sp.implicits._
-        bpeTrain(words, BPE_MERGES).toDF("rank", "l", "r", "cnt")
-          .coalesce(1).write.mode("overwrite").parquet(base)
-        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(words)
+    "txt_bpe_persist" -> ((s, d) =>
+      bpeDocCounts(s, d,
+        bpeWordSubwords(bpeWords(s, d), loadBpeMerges(s, d)))),
+
+    // -- tokenizer MERGE-UTILIZATION audit over the persisted merge
+    //    table: per merge rank, the freq-weighted number of times the
+    //    merge actually fires when encoding the corpus -----------------
+    //    The "is every merge carrying its weight" health check run
+    //    after shipping a tokenizer: training counts OVERLAPPING
+    //    adjacent pairs (the Sennrich convention), application merges
+    //    left-to-right non-overlapping — so n_applied <= cnt, and the
+    //    gap is exactly the overlap collapse (e.g. 'aaa' counts two
+    //    'a·a' pairs but merges once). Each stage is one codegen'd
+    //    replace over the vocab-sized word table; the final agg is one
+    //    row, unpivoted to |merges| rows and joined to the loaded
+    //    table. Oracle: per-round delta of the unrolled s{k-1}/s{k}
+    //    segmentation CTEs — identical left-to-right replace semantics
+    //    make it bit-exact.
+    "txt_bpe_stats" -> ((s, d) => {
+      val merges = loadBpeMerges(s, d)
+      var df = bpeWords(s, d)
+        .select(col("freq"), segInit(col("w")).as("seg0"))
+      merges.foreach { case (k, l, r, _) =>
+        df = df.withColumn(s"seg$k", call_function("replace",
+          col(s"seg${k - 1}"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
       }
-      // the LOADED artifact is the only tokenizer input from here on:
-      // explicit schema (no inference footer job), one collect of
-      // BPE_MERGES rows to build the replace chain
-      val merges = s.read.schema(BPE_MERGES_DDL).parquet(base)
-        .orderBy("rank").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getLong(3))).toSeq
-      bpeDocCounts(s, d, bpeWordSubwords(bpeWords(s, d), merges))
+      def syms(c: String) =
+        expr(s"(length($c) - length(replace($c, '|', ''))) DIV 2")
+      val aggs = merges.map { case (k, _, _, _) =>
+        sum(col("freq") * (syms(s"seg${k - 1}") - syms(s"seg$k")))
+          .as(s"a$k") }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = "stack(" + merges.size + ", " +
+        merges.map { case (k, _, _, _) => s"CAST($k AS BIGINT), a$k" }
+          .mkString(", ") + ") AS (rank, n_applied)"
+      val sp = s
+      import sp.implicits._
+      val mdf = merges.toDF("rank", "l", "r", "cnt")
+      one.selectExpr(stackExpr)
+        .join(broadcast(mdf), Seq("rank"))
+        .select(col("rank"), col("l"), col("r"), col("cnt"),
+          col("n_applied"))
+        .orderBy("rank")
     }),
 
     // -- context-window chunking (width 64 tokens, stride 48) -------------
@@ -1876,6 +1925,25 @@ object TextAnalysis extends QueryModule {
     // (BpePersistSpec — the sim_index_persist discipline), so the SAME
     // oracle gates it
     "txt_bpe_persist" -> tokenBpeSql,
+
+    // per-round application count = freq-weighted symbol-count delta
+    // between the unrolled s{k-1} and s{k} segmentation states (each
+    // merge application removes exactly one symbol; the word key is
+    // unique, so USING (w) pairs the states row-for-row)
+    "txt_bpe_stats" -> {
+      val rows = (1 to BPE_MERGES).map(k =>
+        s"""SELECT ${k}::BIGINT AS rank, m.l, m.r, m.cnt, u.n_applied
+      FROM m$k m, (SELECT sum(a.freq * (
+                 (length(a.seg) - length(replace(a.seg, '|', ''))) // 2
+               - (length(b.seg) - length(replace(b.seg, '|', ''))) // 2
+             ))::BIGINT AS n_applied
+           FROM s${k - 1} a JOIN s$k b USING (w)) u""")
+        .mkString("\n      UNION ALL ")
+      s"""
+      ${bpeCtesSql(BPE_MERGES)}
+      $rows
+      ORDER BY rank"""
+    },
 
     "txt_rolling_hash" -> s"""
       SELECT doc_id,

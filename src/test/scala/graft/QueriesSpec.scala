@@ -13,7 +13,7 @@ class QueriesSpec extends AnyFunSuite {
     // Pin the registry size so silent shrinkage (a registry edit, a
     // testdata-encoding drift that drops queries from the gate) fails
     // loudly. Update the pin ONLY when deliberately adding queries.
-    val expected = 260
+    val expected = 262
     val n = SparkEntry.queries.size
     assert(n == expected,
       s"query registry has $n entries, expected $expected; " +
