@@ -1109,20 +1109,27 @@ object Bench {
       if (triX100skipped) {
         snap("scaled_tri_x100_est")
         val t0 = System.nanoTime()
+        // the deterministic sample is drawn ONCE (r17): the wedge-budget
+        // measurement and the estimate both read this checkpoint instead
+        // of each re-running the 127M-row md5 filter scan
+        val kept = graft.queries.Dedup.triSampleOf(pairs100)
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         // MEASURE the sampled graph's wedge volume against the same
         // budget before counting on it — the ~1/k² reduction is
         // expected, not guaranteed, on a pathological sample
-        val estW = graft.queries.Dedup.orientedWedgeVolume2(
-          graft.queries.Dedup.triSampleOf(pairs100))
-        if (estW > 4_000_000_000L) {
+        val estW = graft.queries.Dedup.orientedWedgeVolume2(kept)
+        val out = if (estW > 4_000_000_000L) {
           System.err.println(s"[bench] scaled_tri_x100 estimate REFUSED " +
             s"too: sampled wedges2=$estW still over budget")
           ((System.nanoTime() - t0) / 1e9, -1L, estW)
         } else {
-          val est = graft.queries.Dedup.triEstimateFrom(pairs100)
+          val est = graft.queries.Dedup.triEstimateOnSample(kept)
             .collect()(0).getAs[Long]("tri_estimate")
           ((System.nanoTime() - t0) / 1e9, est, estW)
         }
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(kept)
+        out
       } else (Double.NaN, -1L, -1L)
     if (triX100skipped)
       System.err.println(f"[bench] scaled_tri_x100 DOULION estimate=" +

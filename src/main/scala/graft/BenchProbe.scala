@@ -15,6 +15,28 @@ object BenchProbe {
     val mb = sys.env.getOrElse("SPARK_GRAFT_MAXPART_MB", "8").toLong
     spark.conf.set("spark.sql.files.maxPartitionBytes", (mb << 20).toString)
 
+    // SPARK_GRAFT_STAGES=1: per-stage telemetry (duration, input rows,
+    // shuffle read/write rows + bytes) for ANY probe — the generic form
+    // of the scaledstages/pqstages listeners, so an optimization round
+    // can attribute a workload's wall to its exchanges without writing
+    // a bespoke probe per query (guide §1.1/§7.1).
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = for {s <- si.submissionTime; c <- si.completionTime}
+              yield c - s
+            val m = si.taskMetrics
+            println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+              f"dur=${ms.getOrElse(-1L)}%6d ms in=${m.inputMetrics.recordsRead}%10d " +
+              f"shufR=${m.shuffleReadMetrics.recordsRead}%10d/${m.shuffleReadMetrics.totalBytesRead >> 20}%5d MB " +
+              f"shufW=${m.shuffleWriteMetrics.recordsWritten}%10d/${m.shuffleWriteMetrics.bytesWritten >> 20}%5d MB " +
+              f"spill=${m.memoryBytesSpilled >> 20}%5d MB ${si.name.take(56)}")
+          }
+        })
+
     def mk(): DataFrame =
       if (name == "ref") {
         val p = Bench.prepareRefCorpus(spark)
@@ -947,6 +969,15 @@ object BenchProbe {
         val s = (System.nanoTime() - t0) / 1e9
         println(f"[probe] refsweep ${m}MB round $i: $s%.3f s")
       }
+    } else if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      // Write the formatted physical plan of the named workload to the
+      // given path (the plans/r17 evidence files) instead of timing it.
+      val out = sys.env("SPARK_GRAFT_EXPLAIN")
+      val plan = mk().queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        plan.getBytes("UTF-8"))
+      println(s"[probe] $name plan -> $out")
     } else for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       mk().write.mode("overwrite").format("noop").save()

@@ -1115,9 +1115,15 @@ object Dedup extends QueryModule {
     // count, order-independent, so the oracle's list_intersect agrees
     val sets = posts.groupBy("doc_id")
       .agg(array_sort(collect_list(col("s"))).as("ss"))
-    val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
-    // one exchange on doc_id serves both window functions
-    val ranked = posts.join(dfreq, "s")
+    // df as a count-over-s window instead of a separate (groupBy s) agg
+    // joined back (r17, guide §2.4): the join form paid an agg pass +
+    // its exchange PLUS an SMJ of the full posting list against the
+    // shingle-vocabulary frame; the window rides the one exchange on s
+    // the join needed anyway, so the posting list now crosses exactly
+    // two exchanges (by s for df, by doc_id for the rank windows) —
+    // identical df values (posts is already (doc, s)-distinct)
+    val ranked = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -1327,15 +1333,26 @@ object Dedup extends QueryModule {
   def trianglesFromPairs(pairs0: DataFrame): DataFrame = {
     val s = pairs0.sparkSession
     val pairs = pairs0.localCheckpoint(true) // consumed three times below
+    // metadata-cheap on the materialized checkpoint; gates the degree
+    // and adjacency broadcasts below (r17, guide §2.4/§3.1): without
+    // hints BOTH deg joins re-shuffled the full pair list, and the
+    // second adjacency join dragged every src-side neighbor array
+    // through the dst exchange — the wedge volume in bytes
+    val nEdges = pairs.count()
     val deg = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true) // nodes-sized; shared by both join legs
+    val degHint: DataFrame => DataFrame =
+      if (graphNodesBcast(s, deg.count())) broadcast else identity
+    val adjHint: DataFrame => DataFrame =
+      if (graphAdjBcast(s, nEdges)) broadcast else identity
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a_id") < col("b_id"))
     val o = pairs
-      .join(deg.select(col("id").as("a"), col("degree").as("da")),
+      .join(degHint(deg.select(col("id").as("a"), col("degree").as("da"))),
         col("a_id") === col("a"))
-      .join(deg.select(col("id").as("b"), col("degree").as("db")),
+      .join(degHint(deg.select(col("id").as("b"), col("degree").as("db"))),
         col("b_id") === col("b"))
       .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"),
         when(aLower, col("b_id")).otherwise(col("a_id")).as("dst"))
@@ -1356,21 +1373,30 @@ object Dedup extends QueryModule {
     // inner joins: an edge whose dst has no forward-neighbors closes
     // nothing and is dropped before the intersect
     val third = o
-      .join(adj, "src")
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_d")), "dst")
+      .join(adjHint(adj), "src")
+      .join(adjHint(adj.select(col("src").as("dst"),
+        col("nbrs").as("nbrs_d"))), "dst")
       .select(col("src"), col("dst"),
         graft.functions.ArraySets.sortedIntersectLongs(
           s, col("nbrs"), col("nbrs_d")).as("third"))
       .filter(size(col("third")) > 0)
     // per-triangle contributions: +1 to the base edge's endpoints per
     // common neighbor (aggregated as a count, never exploded) and +1
-    // to each third vertex (the only exploded stream)
-    third.select(col("src").as("doc_id"),
-        size(col("third")).cast("long").as("n"))
-      .union(third.select(col("dst").as("doc_id"),
-        size(col("third")).cast("long").as("n")))
-      .union(third.select(explode(col("third")).as("doc_id"),
-        lit(1L).as("n")))
+    // to each third vertex — emitted by ONE generator pass. r17: the
+    // previous 3-way union of selects over `third` re-executed the
+    // whole wedge-walk subtree (joins + intersect — the pass's actual
+    // compute) once per branch, because union branches are separate
+    // physical subtrees and only exchanges get reused. Concatenating
+    // the endpoint structs with the transformed third-array keeps the
+    // identical contribution multiset in a single scan.
+    third.select(explode(concat(
+        array(struct(col("src").as("doc_id"),
+            size(col("third")).cast("long").as("n")),
+          struct(col("dst").as("doc_id"),
+            size(col("third")).cast("long").as("n"))),
+        transform(col("third"),
+          t => struct(t.as("doc_id"), lit(1L).as("n"))))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.n").as("n"))
       .groupBy("doc_id").agg(sum("n").as("n_tri"))
       .orderBy("doc_id")
   }
@@ -1402,8 +1428,17 @@ object Dedup extends QueryModule {
     *
     * @return ONE row (n_edges_kept, n_tri_sampled, tri_estimate)
     */
-  def triEstimateFrom(pairs0: DataFrame, mod: Long = TRI_EST_MOD): DataFrame = {
-    val kept = triSampleOf(pairs0, mod)
+  def triEstimateFrom(pairs0: DataFrame, mod: Long = TRI_EST_MOD): DataFrame =
+    triEstimateOnSample(triSampleOf(pairs0, mod), mod)
+
+  /** [[triEstimateFrom]] over an ALREADY-drawn [[triSampleOf]] edge
+    * sample — value-identical (the sample is hash-deterministic), split
+    * out so a caller that must also MEASURE the sample's wedge volume
+    * against the counting budget (Bench's x100 block) materializes the
+    * md5-filtered scan once instead of re-running it per consumer.
+    */
+  def triEstimateOnSample(kept: DataFrame,
+      mod: Long = TRI_EST_MOD): DataFrame = {
     // per-node counts sum to 3T (each triangle contributes one count
     // to each of its vertices) — integer DIV 3 recovers T exactly
     val tri = trianglesFromPairs(kept)
@@ -1436,15 +1471,22 @@ object Dedup extends QueryModule {
     * triangle output is cubic in planted-clique size.
     */
   def orientedWedgeVolume2(pairs: DataFrame): Long = {
+    // same degree-broadcast shape as trianglesFromPairs (r17): the
+    // guard measurement was paying two full SMJ re-shuffles of the
+    // x100 pair list just to attach two longs per node
     val deg = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    val degHint: DataFrame => DataFrame =
+      if (graphNodesBcast(pairs.sparkSession, deg.count())) broadcast
+      else identity
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a_id") < col("b_id"))
-    pairs
-      .join(deg.select(col("id").as("a"), col("degree").as("da")),
+    val w = pairs
+      .join(degHint(deg.select(col("id").as("a"), col("degree").as("da"))),
         col("a_id") === col("a"))
-      .join(deg.select(col("id").as("b"), col("degree").as("db")),
+      .join(degHint(deg.select(col("id").as("b"), col("degree").as("db"))),
         col("b_id") === col("b"))
       .select(when(aLower, col("a_id")).otherwise(col("b_id")).as("src"))
       .groupBy("src").agg(count(lit(1)).as("fd"))
@@ -1452,6 +1494,8 @@ object Dedup extends QueryModule {
       // must report 0 wedges, not NPE the caller's unboxing getAs[Long]
       .agg(coalesce(sum(col("fd") * (col("fd") - 1)), lit(0L)).as("w"))
       .collect()(0).getAs[Long]("w")
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(deg)
+    w
   }
 
   /** k-core of an undirected pair graph (Seidman, "Network structure
@@ -1497,6 +1541,34 @@ object Dedup extends QueryModule {
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Broadcast gate for NODE-sized loop frames (degree / label /
+    * h-estimate tables: two longs per node) joined against an m-sized
+    * edge list. A shuffle join re-exchanges the edge list every round;
+    * broadcasting the node frame removes that exchange outright (guide
+    * §2.4) at ~24 B/row of build memory. The cap is a conf so cluster
+    * deployments can size it to executor memory; the default 8M rows
+    * (~200 MB built) is far past every bench corpus (x100: 500k nodes)
+    * and far under the 8 GB broadcast hard cap. Past the cap the loops
+    * keep their shuffle-join shape — a code path, not a comment.
+    */
+  private def graphNodesBcast(s: SparkSession, nodes: Long): Boolean =
+    nodes >= 0 && nodes <= s.conf.get(
+      "spark.graft.graph.broadcastNodes", (8L * 1000 * 1000).toString).toLong
+
+  /** Broadcast gate for ADJACENCY frames (one row per node carrying its
+    * sorted forward-neighbor array — total payload is the EDGE count,
+    * ~8 B per edge plus per-row overhead). Joining these by shuffle
+    * drags every array through the pair-stream exchanges (the wedge
+    * volume in bytes); a broadcast keeps the arrays resident once and
+    * streams the narrow pair rows with no exchange at all. Default cap
+    * 32M edges (~300 MB built); past it the join degrades to the
+    * shuffle shape.
+    */
+  private def graphAdjBcast(s: SparkSession, edges: Long): Boolean =
+    edges >= 0 && edges <= s.conf.get(
+      "spark.graft.graph.broadcastAdjEdges",
+      (32L * 1000 * 1000).toString).toLong
+
   /** Peel a (symmetrized, checkpointed) edge list to its k-core
     * fixpoint in at most `rounds` synchronous remove-all-under-k
     * rounds, dropped-set-driven: each round is one degree hash agg
@@ -1509,7 +1581,19 @@ object Dedup extends QueryModule {
     * list stays checkpointed.
     */
   private def peelToCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = edges0
+    // r17 (guide §1.2): materializing the surviving edge list EVERY
+    // round rewrote all m rows to remove a usually-tiny dropped set
+    // (x20 measured: 2.3 s per 10.1M-row re-checkpoint to delete 423
+    // nodes' edges). The anti-joins are broadcast map-only probes, so
+    // small drops now stay LAZY — the next round's degree agg scans the
+    // last checkpoint through the accumulated anti-join chain (bounded
+    // by the rounds dial, <= 8 everywhere) — and only a drop big
+    // enough to shrink the edge list materially pays a re-checkpoint.
+    // The relation per round is identical either way.
+    val cpMinDropped = edges0.sparkSession.conf.get(
+      "spark.graft.graph.kcoreCpMinDropped", "1000000").toLong
+    var edgesCp = edges0 // last materialized frame (released on replace)
+    var edges = edges0 // current, possibly lazy, frame
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -1524,17 +1608,23 @@ object Dedup extends QueryModule {
           val d = dropped.select(col("node").as(c))
           if (bcast) broadcast(d) else d
         }
-        val next = edges
+        edges = edges
           .join(side("src"), Seq("src"), "left_anti")
           .join(side("dst"), Seq("dst"), "left_anti")
           .select(col("src"), col("dst"))
-          .localCheckpoint(true,
+        if (nDropped >= cpMinDropped) {
+          val next = edges.localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edges)
-        edges = next
+          org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edgesCp)
+          edgesCp = next
+          edges = next
+        }
         round += 1
       }
-      org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(dropped)
+      // NOT released when the chain stays lazy: the anti-join still
+      // reads it. The checkpointed frame is tiny (dropped nodes).
+      if (converged)
+        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(dropped)
     }
     edges
   }
@@ -1594,7 +1684,22 @@ object Dedup extends QueryModule {
     var c = edges.groupBy("src").agg(count(lit(1)).as("c"))
       .select(col("src").as("id"), col("c"))
       .localCheckpoint(true)
-    var cSum = c.agg(sum("c")).collect()(0).getLong(0)
+    // sum drives convergence; the node count (constant across rounds)
+    // gates the per-round estimate-table broadcast — one job for both
+    val row0 = c.agg(sum("c"), count(lit(1))).collect()(0)
+    var cSum = row0.getLong(0)
+    // r17 (guide §2.4/§3.1): the estimate table c is nodes-sized (two
+    // longs per node) while the edge list is m-sized — joining them as
+    // a shuffle join re-exchanges (and SMJ-sorts) the whole edge list
+    // EVERY round, which at the x100 regime (255M directed edges, 8
+    // rounds) was the entire cost of the decomposition. Broadcast c
+    // into the edge scan instead while it fits (size-gated like every
+    // other graph-side broadcast: past the cap the join degrades to
+    // the old shuffle shape). Measured x100: 1313 s -> see
+    // OPTIMIZATION_r17.md.
+    val cHint: DataFrame => DataFrame =
+      if (graphNodesBcast(pairs0.sparkSession, row0.getLong(1))) broadcast
+      else identity
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
@@ -1607,8 +1712,8 @@ object Dedup extends QueryModule {
       // as a hub's degree. H = max over desc-sorted (v, n) of
       // min(v, cumulative n) — the citation-histogram identity.
       val next = edges
-        .join(c.select(col("id").as("dst"),
-          least(col("c"), lit(CORENESS_MAX_H.toLong)).as("cv")), "dst")
+        .join(cHint(c.select(col("id").as("dst"),
+          least(col("c"), lit(CORENESS_MAX_H.toLong)).as("cv"))), "dst")
         .groupBy(col("src"), col("cv").as("v"))
         .agg(count(lit(1)).as("n"))
         .groupBy("src")
@@ -1889,12 +1994,21 @@ object Dedup extends QueryModule {
   def lpaFromPairsReleasable(pairs0: DataFrame, rounds: Int,
       checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
-    var lab = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
+    // nodes-sized seed frame, checkpointed so the node count that gates
+    // the per-round label broadcast (r17, guide §2.4 — the shuffle
+    // shape re-exchanged the full edge list every round) is one cheap
+    // job, and round 1 reads the materialized frame instead of
+    // re-running the distinct
+    val lab0 = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    val labHint: DataFrame => DataFrame =
+      if (graphNodesBcast(pairs0.sparkSession, lab0.count())) broadcast
+      else identity
+    var lab = lab0.select(col("id"), col("id").as("lab"))
     var labCp: DataFrame = null
     (1 to rounds).foreach { r =>
       lab = edges
-        .join(lab.select(col("id").as("dst"), col("lab")), "dst")
+        .join(labHint(lab.select(col("id").as("dst"), col("lab"))), "dst")
         .groupBy(col("src"), col("lab"))
         .agg(count(lit(1)).as("n"))
         .groupBy("src")
@@ -1913,7 +2027,7 @@ object Dedup extends QueryModule {
     val lastCp = labCp
     (lab.select(col("id").as("doc_id"), col("lab").as("community"))
       .orderBy("doc_id"),
-      releaseHook(lastCp, edges))
+      releaseHook(lastCp, edges, lab0))
   }
   /** Per-cluster quality report over the near-dup CC partition — the
     * curation dial for whether cluster-dedup is collapsing genuine
@@ -2131,12 +2245,21 @@ object Dedup extends QueryModule {
       .groupBy("src")
       .agg(sort_array(collect_list("dst")).as("nbrs"))
       .withColumn("deg", lit(maxDeg + 1).cast("long"))
+    // checkpointed once (both join legs read it), then broadcast while
+    // the graph fits the adjacency gate (r17, guide §2.4): the shuffle
+    // shape dragged the a-side neighbor arrays through the b_id
+    // exchange — wedge-volume bytes for two array columns that total
+    // only ~2|E| longs at rest
     val adj = common.unionByName(hubAdj)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val adjHint: DataFrame => DataFrame =
+      if (graphAdjBcast(s, pairs.count() * 2)) broadcast else identity
     pairs
-      .join(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
-        col("deg").as("da")), "a_id")
-      .join(adj.select(col("src").as("b_id"), col("nbrs").as("nb"),
-        col("deg").as("db")), "b_id")
+      .join(adjHint(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
+        col("deg").as("da"))), "a_id")
+      .join(adjHint(adj.select(col("src").as("b_id"), col("nbrs").as("nb"),
+        col("deg").as("db"))), "b_id")
       .select(col("a_id"), col("b_id"),
         graft.functions.ArraySets.sortedIntersectCount(
           s, col("na"), col("nb")).as("common"),

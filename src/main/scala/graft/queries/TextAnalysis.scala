@@ -168,8 +168,27 @@ object TextAnalysis extends QueryModule {
       topK: Int = 256,
       onRound: (Int, Int, Double) => Unit = (_, _, _) => ())
       : (Seq[(Long, String, String, Long)], Int) = {
-    var seg = words.select(col("freq"), segInit(col("w")).as("seg"))
+    // r17 (guide §1.2 — per-round fixed cost dominates this
+    // driver-round-bound loop): the segmentation table is checkpointed
+    // every CP_EVERY rounds instead of every round. Between
+    // checkpoints the pending replace batches stay a lazy map-only
+    // projection fused into the next round's pair-count scan, so ~3/4
+    // of the per-round materialization jobs disappear while lineage
+    // depth stays bounded at CP_EVERY batch layers. Values are
+    // untouched — the replace chain is applied identically either way
+    // (BpeSpec pins batched == sequential).
+    val CP_EVERY = 4
+    // 8 partitions: the seg table is vocab-sized (~100k short rows at
+    // the deep-merge regime), and every one of the ~hundred rounds
+    // launches its tasks over it — 32 partitions paid 4x the task
+    // scheduling for no parallelism gain on rows this small. Kept >1 so
+    // a giant-vocab corpus still spreads; the explode below fans each
+    // row to its symbol pairs, so per-task work stays bounded.
+    var segCp = words.select(col("freq"), segInit(col("w")).as("seg"))
+      .coalesce(8)
       .localCheckpoint() // vocab-sized; truncates the per-round lineage
+    var seg = segCp
+    var sinceCp = 0
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var k = 1
     var rounds = 0
@@ -218,13 +237,19 @@ object TextAnalysis extends QueryModule {
         val batched = accepted.foldLeft(col("seg")) { case (c, (l, r)) =>
           call_function("replace", c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
         }
-        val next = seg.withColumn("seg", batched).localCheckpoint()
-        org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(seg)
-        seg = next
+        seg = seg.withColumn("seg", batched)
+        sinceCp += 1
+        if (sinceCp >= CP_EVERY) {
+          val next = seg.localCheckpoint()
+          org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(segCp)
+          segCp = next
+          seg = next
+          sinceCp = 0
+        }
         onRound(rounds, accepted.length, (System.nanoTime() - roundT0) / 1e9)
       }
     }
-    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(seg)
+    org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(segCp)
     (merges.toSeq, rounds)
   }
 
