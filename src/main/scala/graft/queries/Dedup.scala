@@ -1815,13 +1815,21 @@ object Dedup extends QueryModule {
   def bfsFromPairsReleasable(pairs0: DataFrame, seeds: Int,
       rounds: Int, checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
+    // r17: the settled-distance table is bounded by the node count —
+    // broadcast it into the edge scan per round (size-gated; one
+    // distinct-count job prices the gate) so the relaxation join stops
+    // re-exchanging the m-row edge list every round
+    val distHint: DataFrame => DataFrame =
+      if (graphNodesBcast(pairs0.sparkSession,
+        edges.select(col("src")).distinct().count())) broadcast
+      else identity
     var dist = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
       .select(col("id"), lit(0L).as("dist"))
     var distCp: DataFrame = null
     (1 to rounds).foreach { r =>
       dist = edges
-        .join(dist.select(col("id").as("dst"), col("dist")), "dst")
+        .join(distHint(dist.select(col("id").as("dst"), col("dist"))), "dst")
         .select(col("src").as("id"), (col("dist") + 1L).as("dist"))
         .union(dist)
         .groupBy("id").agg(min("dist").as("dist"))
@@ -1879,6 +1887,12 @@ object Dedup extends QueryModule {
   def harmonicFromPairsReleasable(pairs0: DataFrame, seeds: Int,
       rounds: Int, checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
+    // r17: per-seed distance rows are bounded by seeds x nodes —
+    // broadcast-gate on that product (same rationale as bfs)
+    val distHint: DataFrame => DataFrame =
+      if (graphNodesBcast(pairs0.sparkSession,
+        edges.select(col("src")).distinct().count() * seeds)) broadcast
+      else identity
     val seedIds = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
     var dist = seedIds.select(col("id").as("seed"), col("id"),
@@ -1886,8 +1900,8 @@ object Dedup extends QueryModule {
     var distCp: DataFrame = null
     (1 to rounds).foreach { r =>
       dist = edges
-        .join(dist.select(col("seed"), col("id").as("dst"), col("dist")),
-          "dst")
+        .join(distHint(dist.select(col("seed"), col("id").as("dst"),
+          col("dist"))), "dst")
         .select(col("seed"), col("src").as("id"),
           (col("dist") + 1L).as("dist"))
         .union(dist)
