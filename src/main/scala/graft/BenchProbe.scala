@@ -11,7 +11,11 @@ object BenchProbe {
     val name = if (args.nonEmpty) args(0) else "ref"
     val reps = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Engine.session("local[32]", shufflePartitions = 32)
+    // SPARK_GRAFT_CPUS: probe at Bench's lower-core leg (the driver
+    // also benches at 8 cores) without a bespoke harness — same
+    // master/shuffle-partition coupling as Bench.main
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(s"local[$cpus]", shufflePartitions = cpus.toInt)
     val mb = sys.env.getOrElse("SPARK_GRAFT_MAXPART_MB", "8").toLong
     spark.conf.set("spark.sql.files.maxPartitionBytes", (mb << 20).toString)
 
@@ -133,6 +137,13 @@ object BenchProbe {
         // iteration against scaledkcore
         val p = Bench.prepareScaledDocs(spark, sfDir)
         graft.queries.Dedup.corenessFromPairs(
+          Bench.scaledMinhash(spark, p).select("a_id", "b_id"))
+      } else if (name == "scaledlpa") {
+        // LPA at x20 (the Bench scaled_lpa_x20 workload, isolated):
+        // 4 synchronous rounds over the minhash pair graph — the row
+        // that regressed 2x in r17 under the per-round label broadcast
+        val p = Bench.prepareScaledDocs(spark, sfDir)
+        graft.queries.Dedup.lpaFromPairs(
           Bench.scaledMinhash(spark, p).select("a_id", "b_id"))
       } else if (name == "scaledsimhash") {
         val p = Bench.prepareScaledDocs(spark, sfDir)

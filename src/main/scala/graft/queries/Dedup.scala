@@ -1190,15 +1190,22 @@ object Dedup extends QueryModule {
   val SNM_W = 5
 
   def sortedNeighborhoodPairsFrom(docs: DataFrame): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]+", "")
+    // r18: keys + sorted-distinct token set in ONE fused byte scan
+    // (graft.functions.SnmBase — bit-exact vs the regexp_replace /
+    // substring(reverse) / split / array_distinct / array_sort Column
+    // formulation it replaces, pinned by SnmBaseSpec): this projection
+    // WAS a 7.8 s map stage at x20, all of it java.util.regex + array
+    // churn. The empty-ts filter runs on the materialized column after
+    // the checkpoint so the scan stays one pass.
     // one materialization serves both passes and the verify re-attach
     val base = docs.select(col("doc_id"),
-        substring(norm, 1, 12).as("k1"),
-        substring(reverse(norm), 1, 12).as("k2"),
-        array_sort(array_distinct(Text.tokensLower(col("text")))).as("ts"))
-      .filter(size(col("ts")) > 0)
+        graft.functions.SnmBase.of(docs.sparkSession,
+          lower(col("text"))).as("sb"))
+      .select(col("doc_id"), col("sb.k1").as("k1"), col("sb.k2").as("k2"),
+        col("sb.ts").as("ts"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .filter(size(col("ts")) > 0)
     import org.apache.spark.sql.expressions.Window
     def passPairs(key: String): DataFrame = {
       val r = base.select(col("doc_id"), col(key).as("key"))
@@ -1594,6 +1601,10 @@ object Dedup extends QueryModule {
       "spark.graft.graph.kcoreCpMinDropped", "1000000").toLong
     var edgesCp = edges0 // last materialized frame (released on replace)
     var edges = edges0 // current, possibly lazy, frame
+    // dropped-node checkpoints still read by the lazy anti-join chain;
+    // ALL become dead the moment a re-checkpoint materializes `next`
+    // (r17 ADVICE: they used to stay pinned until session end)
+    val pendingDropped = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -1612,17 +1623,24 @@ object Dedup extends QueryModule {
           .join(side("src"), Seq("src"), "left_anti")
           .join(side("dst"), Seq("dst"), "left_anti")
           .select(col("src"), col("dst"))
+        pendingDropped += dropped
         if (nDropped >= cpMinDropped) {
           val next = edges.localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
           org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(edgesCp)
           edgesCp = next
           edges = next
+          // `next` is materialized: the anti-join chain (and its
+          // dropped frames) are no longer reachable from `edges`
+          pendingDropped.foreach(
+            org.apache.spark.sql.GraftShims.releaseLocalCheckpoint)
+          pendingDropped.clear()
         }
         round += 1
       }
-      // NOT released when the chain stays lazy: the anti-join still
-      // reads it. The checkpointed frame is tiny (dropped nodes).
+      // Frames still referenced by a lazy chain at loop exit stay
+      // pinned until session end — tiny (dropped nodes only) and
+      // bounded by the rounds dial (<= 8 everywhere).
       if (converged)
         org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(dropped)
     }
@@ -1681,13 +1699,16 @@ object Dedup extends QueryModule {
     def release(df: DataFrame): Unit =
       org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(df)
     val edges = symmetrized(pairs0)
+    // sum drives convergence; the node count (constant across rounds)
+    // gates the per-round estimate-table broadcast — both ride the
+    // degree checkpoint job as observed metrics (r18: no separate
+    // collect job)
+    val obs0 = new org.apache.spark.sql.Observation()
     var c = edges.groupBy("src").agg(count(lit(1)).as("c"))
       .select(col("src").as("id"), col("c"))
+      .observe(obs0, sum(col("c")).as("s"), count(lit(1)).as("n"))
       .localCheckpoint(true)
-    // sum drives convergence; the node count (constant across rounds)
-    // gates the per-round estimate-table broadcast — one job for both
-    val row0 = c.agg(sum("c"), count(lit(1))).collect()(0)
-    var cSum = row0.getLong(0)
+    var cSum = obs0.get("s").asInstanceOf[Long]
     // r17 (guide §2.4/§3.1): the estimate table c is nodes-sized (two
     // longs per node) while the edge list is m-sized — joining them as
     // a shuffle join re-exchanges (and SMJ-sorts) the whole edge list
@@ -1698,7 +1719,8 @@ object Dedup extends QueryModule {
     // the old shuffle shape). Measured x100: 1313 s -> see
     // OPTIMIZATION_r17.md.
     val cHint: DataFrame => DataFrame =
-      if (graphNodesBcast(pairs0.sparkSession, row0.getLong(1))) broadcast
+      if (graphNodesBcast(pairs0.sparkSession,
+        obs0.get("n").asInstanceOf[Long])) broadcast
       else identity
     var r = 0
     var converged = false
@@ -1711,6 +1733,13 @@ object Dedup extends QueryModule {
       // buffer on ANY graph, where a raw collect_list row is as wide
       // as a hub's degree. H = max over desc-sorted (v, n) of
       // min(v, cumulative n) — the citation-histogram identity.
+      //
+      // r18 (guide §1.2): the convergence sum rides the checkpoint job
+      // as an observed metric instead of a second per-round job — the
+      // loop is driver-round-bound, so per-round job count is the
+      // fixed cost that multiplies by `rounds`. Values unchanged: the
+      // metric sums the same rows the checkpoint materializes.
+      val obs = new org.apache.spark.sql.Observation()
       val next = edges
         .join(cHint(c.select(col("id").as("dst"),
           least(col("c"), lit(CORENESS_MAX_H.toLong)).as("cv"))), "dst")
@@ -1727,8 +1756,9 @@ object Dedup extends QueryModule {
               greatest(acc("best"),
                 least(x("v"), acc("cum") + x("n"))).as("best")),
             acc => acc("best")).as("c"))
+        .observe(obs, sum(col("c")).as("s"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("c")).collect()(0).getLong(0)
+      val nextSum = obs.get("s").asInstanceOf[Long]
       release(c)
       c = next
       if (nextSum == cSum) converged = true // pointwise <= + equal sum
@@ -1811,25 +1841,35 @@ object Dedup extends QueryModule {
       rounds: Int, checkpointEvery: Int): DataFrame =
     bfsFromPairsReleasable(pairs0, seeds, rounds, checkpointEvery)._1
 
-  /** See [[bfsFromPairs]]: returns (result, release hook). */
+  /** See [[bfsFromPairs]]: returns (result, release hook).
+    *
+    * Join shape (r18, measured): the per-round state table stays a
+    * SHUFFLE join against the edge list, NOT a broadcast. With
+    * `checkpointEvery == 0` the whole loop compiles into ONE query, and
+    * Spark's ReusedExchange computes the m-row edge exchange ONCE for
+    * all rounds — the r17 per-round state broadcast removed that
+    * already-amortized exchange but paid a per-round broadcast-build
+    * job that re-executed the entire state subplan (no checkpoint in
+    * between), plus an eager distinct-count gate job that broke this
+    * function's job-free-at-plan-time contract. The same pattern
+    * doubled scaled_lpa_x20 (see [[lpaFromPairsReleasable]]);
+    * [[corenessFromPairs]] keeps its broadcast because its convergence
+    * collect materializes every round, so there is no cross-round
+    * exchange reuse to lose there.
+    */
   def bfsFromPairsReleasable(pairs0: DataFrame, seeds: Int,
       rounds: Int, checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
-    // r17: the settled-distance table is bounded by the node count —
-    // broadcast it into the edge scan per round (size-gated; one
-    // distinct-count job prices the gate) so the relaxation join stops
-    // re-exchanging the m-row edge list every round
-    val distHint: DataFrame => DataFrame =
-      if (graphNodesBcast(pairs0.sparkSession,
-        edges.select(col("src")).distinct().count())) broadcast
-      else identity
     var dist = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
       .select(col("id"), lit(0L).as("dist"))
     var distCp: DataFrame = null
     (1 to rounds).foreach { r =>
       dist = edges
-        .join(distHint(dist.select(col("id").as("dst"), col("dist"))), "dst")
+        // SHUFFLE_HASH on the nodes-bounded state side — same
+        // sort-elision rationale as the LPA round join (guide §3.1)
+        .join(dist.select(col("id").as("dst"), col("dist"))
+          .hint("shuffle_hash"), "dst")
         .select(col("src").as("id"), (col("dist") + 1L).as("dist"))
         .union(dist)
         .groupBy("id").agg(min("dist").as("dist"))
@@ -1883,16 +1923,13 @@ object Dedup extends QueryModule {
       rounds: Int, checkpointEvery: Int): DataFrame =
     harmonicFromPairsReleasable(pairs0, seeds, rounds, checkpointEvery)._1
 
-  /** See [[bfsFromPairs]]'s lifetime note: (result, release hook). */
+  /** See [[bfsFromPairs]]'s lifetime note: (result, release hook).
+    * Shuffle-join round shape, not broadcast — same fused-query
+    * exchange-reuse rationale as [[bfsFromPairsReleasable]] (r18).
+    */
   def harmonicFromPairsReleasable(pairs0: DataFrame, seeds: Int,
       rounds: Int, checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
-    // r17: per-seed distance rows are bounded by seeds x nodes —
-    // broadcast-gate on that product (same rationale as bfs)
-    val distHint: DataFrame => DataFrame =
-      if (graphNodesBcast(pairs0.sparkSession,
-        edges.select(col("src")).distinct().count() * seeds)) broadcast
-      else identity
     val seedIds = edges.select(col("src").as("id")).distinct()
       .orderBy("id").limit(seeds)
     var dist = seedIds.select(col("id").as("seed"), col("id"),
@@ -1900,8 +1937,10 @@ object Dedup extends QueryModule {
     var distCp: DataFrame = null
     (1 to rounds).foreach { r =>
       dist = edges
-        .join(distHint(dist.select(col("seed"), col("id").as("dst"),
-          col("dist"))), "dst")
+        // SHUFFLE_HASH on the (seeds x nodes)-bounded state side —
+        // same sort-elision rationale as the LPA round join
+        .join(dist.select(col("seed"), col("id").as("dst"),
+          col("dist")).hint("shuffle_hash"), "dst")
         .select(col("seed"), col("src").as("id"),
           (col("dist") + 1L).as("dist"))
         .union(dist)
@@ -2004,25 +2043,36 @@ object Dedup extends QueryModule {
       checkpointEvery: Int): DataFrame =
     lpaFromPairsReleasable(pairs0, rounds, checkpointEvery)._1
 
-  /** See [[bfsFromPairs]]'s lifetime note: (result, release hook). */
+  /** See [[bfsFromPairs]]'s lifetime note: (result, release hook).
+    *
+    * Join shape (r18, measured — the r17 regression): each round's
+    * label re-attach is a SHUFFLE join, not a broadcast. With
+    * `checkpointEvery == 0` (the gate query and the x20 bench row) the
+    * 4 rounds compile into ONE query and ReusedExchange pays the m-row
+    * edge exchange ONCE for all of them; r17's per-round label
+    * broadcast traded that single amortized exchange for 4 broadcast
+    * -build jobs, each re-executing the whole un-checkpointed label
+    * subplan — driver-measured 9.5 -> 18.0 s at identical stage load
+    * (r17 VERDICT), 7.6 -> ~14 s in quiet-box probes. Reverted; see
+    * [[corenessFromPairs]] for why ITS broadcast stays (per-round
+    * materialization means no exchange reuse to lose).
+    */
   def lpaFromPairsReleasable(pairs0: DataFrame, rounds: Int,
       checkpointEvery: Int): (DataFrame, () => Unit) = {
     val edges = symmetrized(pairs0)
-    // nodes-sized seed frame, checkpointed so the node count that gates
-    // the per-round label broadcast (r17, guide §2.4 — the shuffle
-    // shape re-exchanged the full edge list every round) is one cheap
-    // job, and round 1 reads the materialized frame instead of
-    // re-running the distinct
-    val lab0 = edges.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
-    val labHint: DataFrame => DataFrame =
-      if (graphNodesBcast(pairs0.sparkSession, lab0.count())) broadcast
-      else identity
-    var lab = lab0.select(col("id"), col("id").as("lab"))
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
     var labCp: DataFrame = null
     (1 to rounds).foreach { r =>
       lab = edges
-        .join(labHint(lab.select(col("id").as("dst"), col("lab"))), "dst")
+        // SHUFFLE_HASH on the nodes-sized label side (guide §3.1): the
+        // edge exchange is reused across rounds, but SortMergeJoin
+        // still re-SORTS the m-row edge partitions EVERY round — a
+        // per-partition hash build of the label table replaces those
+        // sorts (label rows per partition = nodes/shuffle-partitions,
+        // the size a cluster tunes its partition count to anyway)
+        .join(lab.select(col("id").as("dst"), col("lab"))
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src"), col("lab"))
         .agg(count(lit(1)).as("n"))
         .groupBy("src")
@@ -2041,7 +2091,7 @@ object Dedup extends QueryModule {
     val lastCp = labCp
     (lab.select(col("id").as("doc_id"), col("lab").as("community"))
       .orderBy("doc_id"),
-      releaseHook(lastCp, edges, lab0))
+      releaseHook(lastCp, edges))
   }
   /** Per-cluster quality report over the near-dup CC partition — the
     * curation dial for whether cluster-dedup is collapsing genuine
