@@ -968,8 +968,20 @@ object Bench {
     // 6.8/7.4/23.1 s across same-code sweeps), so a single attempt can
     // fake a round-over-round regression. Two attempts bound the
     // weather; the min is the comparable number.
-    def triOnce() = timeOne("scaled_tri_x20", () =>
-      graft.queries.Dedup.trianglesFromPairs(
+    // releasable variants (r17 ADVICE): each rep frees its pinned
+    // pairs/deg/adj checkpoints after the timed materialization instead
+    // of stacking them in the block manager for the rest of the sweep
+    def timeReleasable(name: String,
+        mk: () => (DataFrame, () => Unit)): Double = {
+      var hook: () => Unit = null
+      val t = timeThunk(name) {
+        val (df, h) = mk(); hook = h; runOnce(df)
+      }
+      if (hook != null) hook()
+      t
+    }
+    def triOnce() = timeReleasable("scaled_tri_x20", () =>
+      graft.queries.Dedup.trianglesFromPairsReleasable(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id")))
@@ -985,9 +997,12 @@ object Bench {
         .select("a_id", "b_id")
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val exact = graft.queries.Dedup.trianglesFromPairs(p)
+      val (triDf, triHook) =
+        graft.queries.Dedup.trianglesFromPairsReleasable(p)
+      val exact = triDf
         .agg(expr("coalesce(sum(n_tri), 0) DIV 3").as("t"))
         .collect()(0).getAs[Long]("t")
+      triHook()
       val est = graft.queries.Dedup.triEstimateFrom(p)
         .collect()(0).getAs[Long]("tri_estimate")
       org.apache.spark.sql.GraftShims.releaseLocalCheckpoint(p)
@@ -996,8 +1011,8 @@ object Bench {
         "per-mille of exact)")
       (exact, est)
     }
-    def ejaccOnce() = timeOne("scaled_ejacc_x20", () =>
-      graft.queries.Dedup.edgeJaccardFrom(
+    def ejaccOnce() = timeReleasable("scaled_ejacc_x20", () =>
+      graft.queries.Dedup.edgeJaccardFromReleasable(
         graft.queries.Dedup.minhashPairsFrom(
           spark.read.parquet(scaledPath), ordered = false)
           .select("a_id", "b_id")))
@@ -1095,8 +1110,8 @@ object Bench {
       Seq("scaled_tri_x100_wedges2" -> wedges2x100.toDouble,
         "scaled_tri_x100_bound_sec" -> triBoundSec) ++
       (if (!triX100skipped)
-        Seq("scaled_tri_x100" -> timeOne("scaled_tri_x100", () =>
-          graft.queries.Dedup.trianglesFromPairs(pairs100)))
+        Seq("scaled_tri_x100" -> timeReleasable("scaled_tri_x100", () =>
+          graft.queries.Dedup.trianglesFromPairsReleasable(pairs100)))
       else Seq.empty)
     // Bounded-work ESTIMATE in the refusal regime (r15 verdict #5 —
     // "a real user still wants a number"): the md5 edge sample keeps

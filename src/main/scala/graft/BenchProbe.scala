@@ -18,6 +18,14 @@ object BenchProbe {
     val spark = Engine.session(s"local[$cpus]", shufflePartitions = cpus.toInt)
     val mb = sys.env.getOrElse("SPARK_GRAFT_MAXPART_MB", "8").toLong
     spark.conf.set("spark.sql.files.maxPartitionBytes", (mb << 20).toString)
+    // SPARK_GRAFT_CONF="k=v,k=v": arbitrary session-conf overrides for
+    // A/B probing dials (e.g. spark.graft.bpe.partitions) without a
+    // recompile per value
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     // SPARK_GRAFT_STAGES=1: per-stage telemetry (duration, input rows,
     // shuffle read/write rows + bytes) for ANY probe — the generic form

@@ -1337,7 +1337,17 @@ object Dedup extends QueryModule {
     *              duplicates, no self-loops
     * @return (doc_id, n_tri) for every node in >= 1 triangle
     */
-  def trianglesFromPairs(pairs0: DataFrame): DataFrame = {
+  def trianglesFromPairs(pairs0: DataFrame): DataFrame =
+    trianglesFromPairsReleasable(pairs0)._1
+
+  /** [[trianglesFromPairs]] plus a release hook for the three
+    * checkpoints the pass pins (pairs, degree, adjacency — two of them
+    * edges-sized), the bfs/lpa releaseHook pattern (r17 ADVICE):
+    * long-lived sweeps call the hook once the result is materialized;
+    * session-exiting callers may discard it.
+    */
+  def trianglesFromPairsReleasable(
+      pairs0: DataFrame): (DataFrame, () => Unit) = {
     val s = pairs0.sparkSession
     val pairs = pairs0.localCheckpoint(true) // consumed three times below
     // metadata-cheap on the materialized checkpoint; gates the degree
@@ -1396,7 +1406,7 @@ object Dedup extends QueryModule {
     // physical subtrees and only exchanges get reused. Concatenating
     // the endpoint structs with the transformed third-array keeps the
     // identical contribution multiset in a single scan.
-    third.select(explode(concat(
+    (third.select(explode(concat(
         array(struct(col("src").as("doc_id"),
             size(col("third")).cast("long").as("n")),
           struct(col("dst").as("doc_id"),
@@ -1405,7 +1415,8 @@ object Dedup extends QueryModule {
           t => struct(t.as("doc_id"), lit(1L).as("n"))))).as("c"))
       .select(col("c.doc_id").as("doc_id"), col("c.n").as("n"))
       .groupBy("doc_id").agg(sum("n").as("n_tri"))
-      .orderBy("doc_id")
+      .orderBy("doc_id"),
+      releaseHook(pairs, deg, adj))
   }
 
   /** Edge-sampling modulus for [[triEstimateFrom]]: keep ~1/5 of the
@@ -1558,7 +1569,7 @@ object Dedup extends QueryModule {
     * and far under the 8 GB broadcast hard cap. Past the cap the loops
     * keep their shuffle-join shape — a code path, not a comment.
     */
-  private def graphNodesBcast(s: SparkSession, nodes: Long): Boolean =
+  private[graft] def graphNodesBcast(s: SparkSession, nodes: Long): Boolean =
     nodes >= 0 && nodes <= s.conf.get(
       "spark.graft.graph.broadcastNodes", (8L * 1000 * 1000).toString).toLong
 
@@ -2276,7 +2287,15 @@ object Dedup extends QueryModule {
     * @param maxDeg per-node neighbor-array cap (row-width bound)
     */
   def edgeJaccardFrom(pairs0: DataFrame,
-      maxDeg: Int = EDGE_JACC_MAX_DEG): DataFrame = {
+      maxDeg: Int = EDGE_JACC_MAX_DEG): DataFrame =
+    edgeJaccardFromReleasable(pairs0, maxDeg)._1
+
+  /** [[edgeJaccardFrom]] plus a release hook for its two pinned
+    * checkpoints (pairs, adjacency) — see
+    * [[trianglesFromPairsReleasable]].
+    */
+  def edgeJaccardFromReleasable(pairs0: DataFrame,
+      maxDeg: Int = EDGE_JACC_MAX_DEG): (DataFrame, () => Unit) = {
     val s = pairs0.sparkSession
     val pairs = pairs0.localCheckpoint(true) // consumed four times below
     val e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -2319,7 +2338,7 @@ object Dedup extends QueryModule {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val adjHint: DataFrame => DataFrame =
       if (graphAdjBcast(s, pairs.count() * 2)) broadcast else identity
-    pairs
+    (pairs
       .join(adjHint(adj.select(col("src").as("a_id"), col("nbrs").as("na"),
         col("deg").as("da"))), "a_id")
       .join(adjHint(adj.select(col("src").as("b_id"), col("nbrs").as("nb"),
@@ -2334,7 +2353,8 @@ object Dedup extends QueryModule {
           .otherwise(expr("common * 1000 DIV (da + db - 2 - common)"))
           .as("jacc_mille"))
       .orderBy(col("jacc_mille").desc, col("a_id"), col("b_id"))
-      .limit(25)
+      .limit(25),
+      releaseHook(pairs, adj))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

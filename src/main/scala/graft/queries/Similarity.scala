@@ -473,8 +473,17 @@ object Similarity extends QueryModule {
     * `scaled_knng_x20` probe both drive this code.
     */
   def knnGraphFrom(s: SparkSession, emb: DataFrame): DataFrame = {
+    // r18 (guide §8): the assignment table is (vec_id, c) — two longs
+    // per vector — while emb carries the 64-dim payload. Joining them
+    // by shuffle exchanged (and sorted) the PAYLOAD by vec_id twice
+    // just to attach c; broadcasting the nodes-sized assignment leaves
+    // the payload's only exchange the by-c one the pair work needs.
+    // Size-gated like every nodes-sized broadcast (graphNodesBcast cap).
+    val n = emb.count()
+    val aHint: DataFrame => DataFrame =
+      if (graft.queries.Dedup.graphNodesBcast(s, n)) broadcast else identity
     val t = emb
-      .join(kmeansAssignFrom(emb, semanticDedupKOf(emb.count())), "vec_id")
+      .join(aHint(kmeansAssignFrom(emb, semanticDedupKOf(n))), "vec_id")
       .select(col("vec_id"), col("c"), col("embedding"))
     val l = t.select(col("c"), col("vec_id").as("q_id"),
       col("embedding").as("a_v"))
@@ -494,8 +503,12 @@ object Similarity extends QueryModule {
 
   def semanticDedupFrom(s: SparkSession, emb: DataFrame,
       tau: Long = SEMDEDUP_TAU): DataFrame = {
-    val k = semanticDedupKOf(emb.count())
-    val t = emb.join(kmeansAssignFrom(emb, k), "vec_id")
+    // nodes-sized assignment broadcast — see knnGraphFrom (r18)
+    val n = emb.count()
+    val k = semanticDedupKOf(n)
+    val aHint: DataFrame => DataFrame =
+      if (graft.queries.Dedup.graphNodesBcast(s, n)) broadcast else identity
+    val t = emb.join(aHint(kmeansAssignFrom(emb, k)), "vec_id")
       .select(col("vec_id"), col("c"), col("embedding"))
     val l = t.select(col("c"), col("vec_id").as("a_id"),
       col("embedding").as("a_v"))

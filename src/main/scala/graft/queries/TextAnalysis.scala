@@ -203,13 +203,13 @@ object TextAnalysis extends QueryModule {
     var exhausted = false
     while (k <= nMerges && !exhausted) {
       val roundT0 = System.nanoTime()
+      // r18: fused adjacent-pair generator (one byte scan per row) in
+      // place of regex split + interpreted transform + explode — see
+      // graft.functions.BpePairExplode for the bit-exactness argument
       val pairs = seg
-        .withColumn("sy", split(trim(col("seg"), "|"), "\\|\\|"))
-        .filter(size(col("sy")) >= 2) // sequence(1,0) would DESCEND in Spark
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(sy) - 1), " +
-            "i -> named_struct('l', sy[i-1], 'r', sy[i]))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .select(col("freq"), graft.functions.BpePairExplode
+          .pairs(words.sparkSession, col("seg")).as(Seq("l", "r")))
+        .groupBy("l", "r")
         .agg(sum("freq").as("cnt"))
       val top = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(topK).collect()
