@@ -216,9 +216,49 @@ object Dedup extends QueryModule {
       .repartition(nPart, col("bh"))
     val b = cool.select(col("bh"), col("doc_id").as("b_id"))
       .repartition(nPart, col("bh"))
+    // r18 (guide §5): an explicit repartition on the pair key BEFORE
+    // dropDuplicates. Duplicates come from a pair colliding in SEVERAL
+    // bands, and the stream is partitioned by bucket hash — the same
+    // pair's copies live in different map partitions, so the planner's
+    // map-side partial aggregate collapsed ~nothing while its hash map
+    // spilled the whole candidate stream (x100 measured: 30 GB of
+    // spill on the join stage). With the distribution pre-satisfied
+    // the dedup runs once, reduce-side, where the copies actually meet.
+    // The dedup exchange fans out wider than the session default: its
+    // input is the candidate stream (bands x collisions per pair — the
+    // one frame here that is QUADRATIC-ish in clique density, not
+    // corpus-sized), so at x100 a 32-way final aggregate held 12M rows
+    // per task and spilled ~38 GB. Widened ONLY past broadcast reach
+    // (the same corpus-size signal that flips the signature re-attach
+    // to shuffle joins): within reach the candidate stream fits 32-way
+    // dedup spill-free, and the narrower pair frame keeps downstream
+    // graph passes — which inherit this checkpoint's partitioning — at
+    // session-width tasks (x20 measured: a blanket 6x widened every
+    // triangle stage to 192 near-empty tasks, +4 s). The factor is a
+    // conf; the default 6x keeps 32-core sessions at 192 <
+    // spark.shuffle.sort.bypassMergeThreshold (200), below which the
+    // map side streams to per-partition files instead of sort-spilling
+    // the candidate stream (measured: 256-way re-spilled 10.5 GB).
+    // Widen gate: the SOURCE corpus scan estimate (file-size accurate,
+    // the broadcastReach signal) past a dedicated knee — candidate
+    // volume grows superlinearly with corpus bytes, and the measured
+    // 32-core knee sits between the x20 corpus (~11 MB, spill-free
+    // 32-way) and the x100 one (~55 MB, 38 GB of 32-way agg spill).
+    // Below it the narrow pair frame also keeps downstream graph
+    // passes — which inherit this checkpoint's partitioning — at
+    // session-width tasks (x20 measured: blanket widening cost +4 s of
+    // near-empty triangle tasks); above it the wide frame is what the
+    // m-row graph scans want anyway.
+    val wideMin = docs.sparkSession.conf
+      .get("spark.graft.dedup.widePairsMinBytes", (32L << 20).toString).toLong
+    val dedupParts =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <= wideMin) nPart
+      else nPart * docs.sparkSession.conf
+        .get("spark.graft.dedup.pairPartsFactor", "6").toInt
     val pairs = a.join(b, Seq("bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
+      .repartition(dedupParts, col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     // signatures re-attach via broadcast of the |corpus|-sized frame —
     // NEVER the pair stream (AQE, estimating only the deduped row count,
